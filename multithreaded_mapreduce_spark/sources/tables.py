@@ -1,0 +1,48 @@
+"""Parquet table sources for the driver's synthetic star schema.
+
+Schemas are self-describing (Parquet footers) — the engine does no
+inference of its own, mirroring how the reference's schema is fixed
+rather than discovered (reference ``1.cpp:18-35``: two hard-coded
+structs). Reading through ``spark.read.parquet`` keeps column pruning
+and predicate pushdown available to every downstream query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast in joins at any SF
+# (region=5 rows, nation=25 rows at every scale; customer/supplier/part
+# scale but stay orders of magnitude below the fact tables).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; available: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so queries can use spark.sql."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
