@@ -1,0 +1,397 @@
+"""Core relational operator set over the TPC-H-ish star schema.
+
+The reference has no joins, no multi-column aggregates, no limits —
+its one operator chain is scan→project→filter→group→sum→sort
+(SURVEY.md §2.1). This module widens that surface to the full
+relational algebra the driver exercises (SURVEY.md §2.2-2.3), each
+query Spark-first:
+
+* filters/projections are declared on the scan so Catalyst pushes them
+  into the Parquet reader (check ``PushedFilters`` in explain);
+* dimension joins use ``F.broadcast`` — at 100 TB the fact tables
+  shuffle-join each other, but region/nation/customer/supplier/part
+  stay broadcast-able;
+* aggregates go through decimal-exact sums (functions/numeric.py) so
+  results are deterministic under any partitioning — required for the
+  DuckDB oracle gate and for reproducible results on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC, davg, dround, dsum
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# scan + filter + project (predicate pushdown demo)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+       CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount > 0.05
+  AND l_quantity < 25
+ORDER BY l_orderkey, l_linenumber
+""",
+    description="Scan+filter+project on lineitem; all four predicates push "
+    "down to the Parquet scan, only five columns are read.",
+    tags=("relational", "pushdown"),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+            & (F.col("l_quantity") < 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+            dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# group aggregation — TPC-H Q1 shape
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS {DEC})) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1 pricing summary: 2-key group, 8 aggregates, "
+    "partial (map-side) aggregation shrinks the shuffle to |groups| rows "
+    "per partition.",
+    tags=("relational", "aggregate"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# sort + limit (top-N) with a join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top_customers",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       round(CAST(sum(CAST(o.o_totalprice AS {DEC})) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 10
+""",
+    description="Top-10 customers by lifetime order value: join + group + "
+    "global top-N (Spark runs TakeOrderedAndProject, no full sort).",
+    tags=("relational", "topn", "join"),
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# multi-way join chain with broadcast dimensions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_chain_revenue",
+    oracle=f"""
+SELECT r.r_name, n.n_name,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+""",
+    description="4-hop join chain lineitem⋈orders⋈customer⋈nation⋈region; "
+    "dims broadcast so only the lineitem⋈orders join shuffles.",
+    tags=("relational", "join"),
+)
+def join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# outer / semi / anti joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "left_join_order_counts",
+    oracle=f"""
+SELECT c.c_custkey, c.c_mktsegment,
+       count(o.o_orderkey) AS n_orders,
+       round(CAST(sum(CAST(coalesce(o.o_totalprice, 0) AS {DEC})) AS DOUBLE), 2) AS total_spent
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+ORDER BY c.c_custkey
+""",
+    description="LEFT OUTER join preserving customers with zero orders "
+    "(count of the null-extended side is 0).",
+    tags=("relational", "join", "outer"),
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = customer.c_custkey
+                AND o.o_totalprice > 300000)
+ORDER BY c_custkey
+""",
+    description="LEFT SEMI join (EXISTS): customers having at least one "
+    "order above 300k — no duplication of the probe side.",
+    tags=("relational", "join", "semi"),
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        customer.join(big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_join_idle_customers",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
+ORDER BY c_custkey
+""",
+    description="LEFT ANTI join (NOT EXISTS): customers with no orders at all.",
+    tags=("relational", "join", "anti"),
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct / count-distinct
+# --------------------------------------------------------------------------
+
+
+@register(
+    "distinct_nation_segments",
+    oracle="""
+SELECT DISTINCT n.n_name, c.c_mktsegment
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY n_name, c_mktsegment
+""",
+    description="DISTINCT over a join projection (dedup via hash aggregate).",
+    tags=("relational", "distinct"),
+)
+def distinct_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_mktsegment")
+        .distinct()
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+@register(
+    "count_distinct_parts",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Exact multi-column COUNT DISTINCT per group (expand + "
+    "two-phase aggregate in Spark).",
+    tags=("relational", "distinct"),
+)
+def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "approx_count_distinct_parts",
+    oracle=None,  # HLL sketches are engine-specific — rows-only check
+    description="approx_count_distinct (HyperLogLog++) — the scale path for "
+    "distinct counting at 100 TB; not oracle-able bit-for-bit vs DuckDB.",
+    tags=("relational", "distinct", "approx"),
+)
+def approx_count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# grouping sets: rollup / cube
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_lineitem",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    description="ROLLUP hierarchy (flag, status) → per-pair, per-flag, and "
+    "grand-total rows in one pass (Spark Expand + aggregate).",
+    tags=("relational", "groupingsets"),
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "cube_orders",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       round(CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE), 2) AS total,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+    description="CUBE over (status, priority): all four grouping sets in one "
+    "aggregate.",
+    tags=("relational", "groupingsets"),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice").alias("total"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
