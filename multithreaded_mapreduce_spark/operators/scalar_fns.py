@@ -1,0 +1,184 @@
+"""Scalar-function operators: string / date / JSON / array expressions.
+
+The reference's only scalar function is ``clean_word`` (``1.cpp:60-68``);
+these queries exercise the wider built-in function surface the driver
+tables need (SURVEY.md §2.2). Everything stays a JVM-side Column
+expression — zero Python UDFs — so whole-stage codegen covers each plan
+end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC, dsum
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "string_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substring(p_name, 1, 8) AS name_prefix,
+       replace(p_type, ' ', '_') AS type_snake,
+       concat(p_brand, ':', p_type) AS brand_type,
+       length(p_name) - length(replace(p_name, ' ', '')) + 1 AS n_words
+FROM part
+WHERE p_size >= 40
+ORDER BY p_partkey
+""",
+    description="String expression battery on part: upper/length/substring/"
+    "replace/concat and a word-count-by-length idiom.",
+    tags=("scalar", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            (
+                F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))) + 1
+            ).alias("n_words"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "monthly_order_stats",
+    oracle=f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE), 2) AS month_total
+FROM orders
+GROUP BY date_trunc('month', o_orderdate)
+ORDER BY order_month
+""",
+    description="date_trunc month rollup of orders — the batch shape of a "
+    "time-partitioned aggregation (at 100 TB: partition pruning on a "
+    "date-partitioned layout).",
+    tags=("scalar", "date"),
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("month_total"))
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "date_parts",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month_num,
+       CAST(day(o_orderdate) AS INT) AS order_day,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+""",
+    description="Timestamp component extraction (year/month/day/quarter + "
+    "date cast).",
+    tags=("scalar", "date"),
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month_num"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "json_event_props",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       min(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS min_k,
+       max(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS max_k,
+       round(CAST(sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS DOUBLE)
+             / count(*), 4) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="JSON-in-string extraction: get_json_object(props, '$.k') "
+    "aggregated per event type (oracle extracts the same field via regex — "
+    "same semantics, engine-native path on each side).",
+    tags=("scalar", "json"),
+)
+def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       CAST(round(CAST(sqrt(CAST(sum(CAST(x * x AS DECIMAL(30,20))) AS DOUBLE))
+                       AS DECIMAL(30,10)), 6) AS DOUBLE) AS l2_norm
+FROM (
+  SELECT vec_id, label, embedding, CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+GROUP BY vec_id, label, embedding
+ORDER BY vec_id
+""",
+    description="Higher-order array functions over 64-dim embeddings: "
+    "size + L2 norm via transform/aggregate with a decimal-exact fold "
+    "(no Python UDF — stays in codegen).",
+    tags=("scalar", "array", "vector"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # exact decimal fold of x² keeps the sum order-independent, so the
+    # DuckDB oracle can sum the unnested elements in any order
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: (x.cast("double") * x.cast("double")).cast("decimal(30,20)")),
+        F.lit(0).cast("decimal(30,20)"),
+        lambda acc, x: (acc + x).cast("decimal(30,20)"),
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.size("embedding").alias("dim"),
+            F.round(F.sqrt(sq_sum.cast("double")).cast("decimal(30,10)"), 6)
+            .cast("double")
+            .alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,144 @@
+"""Window-function operators (absent from the reference — SURVEY.md
+§2.2 marks the category ✗; these are the extension surface).
+
+Scale notes: every window here partitions by a real key (brand,
+customer, user) so the shuffle is hash-partitioned and parallel; no
+global single-partition windows. Running sums use decimal-exact
+accumulation — a segment-tree running sum (DuckDB) and a sequential
+fold (Spark) only agree if addition is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "topk_parts_per_brand",
+    oracle="""
+SELECT p_brand, p_partkey, p_name, p_retailprice, rn
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+)
+WHERE rn <= 3
+ORDER BY p_brand, rn
+""",
+    description="Top-3 parts per brand by retail price: row_number window "
+    "with deterministic (price, key) tie-break.",
+    tags=("window", "topk"),
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.select("p_brand", "p_partkey", "p_name", "p_retailprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    )
+
+
+@register(
+    "running_customer_revenue",
+    oracle=f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS {DEC}))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_total
+FROM orders
+WHERE o_custkey <= 100
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+    description="Per-customer running revenue over order date (cumulative "
+    "frame, decimal-exact so engines agree).",
+    tags=("window", "runningagg"),
+)
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@register(
+    "supplier_acctbal_ranks",
+    oracle="""
+SELECT s_suppkey, s_name, s_acctbal,
+       rank()       OVER (ORDER BY s_acctbal DESC) AS bal_rank,
+       dense_rank() OVER (ORDER BY s_acctbal DESC) AS bal_dense_rank,
+       ntile(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+FROM supplier
+ORDER BY s_acctbal DESC, s_suppkey
+""",
+    description="rank / dense_rank / ntile over supplier balances (rank is "
+    "tie-stable; ntile gets a unique total order).",
+    tags=("window", "rank"),
+)
+def supplier_acctbal_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    by_bal = W.orderBy(F.col("s_acctbal").desc())
+    total = W.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        supplier.select(
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            F.rank().over(by_bal).alias("bal_rank"),
+            F.dense_rank().over(by_bal).alias("bal_dense_rank"),
+            F.ntile(4).over(total).alias("quartile"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    )
+
+
+@register(
+    "user_event_deltas",
+    oracle="""
+SELECT user_id, event_id, event_type, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       value - coalesce(lag(value) OVER w, value) AS delta
+FROM events
+WHERE user_id <= 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+""",
+    description="lag/lead neighbors per user in event-time order "
+    "(per-row double subtraction is IEEE-identical across engines).",
+    tags=("window", "lag"),
+)
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            (F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value"))).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
