@@ -1,0 +1,47 @@
+"""Vector math over ``array<float>`` columns as pure Column expressions
+(higher-order functions — JVM-side, no Python UDF, survives codegen).
+
+Dot products and norms fold through DECIMAL(30,20) so the sum is exact
+and order-independent: a DuckDB oracle summing unnested elements in any
+order produces the bit-identical double. Per-element float→double→
+decimal conversion is deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC20 = "decimal(30,20)"
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Exact decimal sum of a decimal array, returned as double."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast(DEC20),
+        lambda acc, x: (acc + x).cast(DEC20),
+    ).cast("double")
+
+
+def dot_exact(a: Column | str, b: Column | str) -> Column:
+    """Exact dot product of two float-array columns, as double."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _fold_sum(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC20))
+    )
+
+
+def norm_sq_exact(a: Column | str) -> Column:
+    """Exact squared L2 norm of a float-array column, as double."""
+    a = F.col(a) if isinstance(a, str) else a
+    return _fold_sum(
+        F.transform(a, lambda x: (x.cast("double") * x.cast("double")).cast(DEC20))
+    )
+
+
+def cosine_exact(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity with exact-sum dot/norms; the final divide and
+    sqrt are single IEEE ops, identical across engines."""
+    return dot_exact(a, b) / (F.sqrt(norm_sq_exact(a)) * F.sqrt(norm_sq_exact(b)))

@@ -1,0 +1,366 @@
+"""Deduplication operators for a training-data pipeline, at five levels
+of fuzziness (SURVEY.md §2.3 extension surface):
+
+* exact          — hash-groupBy on content digest (oracle: md5 group)
+* token Jaccard  — set-similarity pairs via exploded token equi-join
+                   (oracle-able; this is the correctness bearer)
+* MinHash + LSH  — banded signature blocking, the scale path for the
+                   Jaccard semantics (engine-hash dependent → rows-only)
+* SimHash        — 64-bit fingerprint + banded Hamming blocking
+                   (rows-only)
+* embedding cos  — near-dup by exact-sum cosine within a label block
+                   (oracle-able)
+
+Scale design: every pairwise step is *blocked* — token join, LSH band
+buckets, SimHash chunks, label partitions — so no O(n²) cross join ever
+materializes. At 100 TB the candidate sets stay proportional to true
+near-dup density, and every join key is a fixed-width hash, never the
+document text.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_exact
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal; max ≈ 0.47
+
+# ------------------------------------------------------------------
+# exact dedup
+# ------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies,
+       md5(text) AS content_hash
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id
+""",
+    description="Exact dedup by content digest: group on md5(text), keep "
+    "the smallest doc_id. Hashing first means the shuffle carries 32-byte "
+    "digests, not document bodies — the difference between feasible and "
+    "not at 100 TB.",
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("doc_id"), F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies", "content_hash")
+        .orderBy("keep_doc_id")
+    )
+
+
+# ------------------------------------------------------------------
+# token-set Jaccard near-dup (the oracle-able correctness bearer)
+# ------------------------------------------------------------------
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, token) with distinct tokens per doc."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("token"),
+    ).filter(F.length("token") > 0)
+
+
+JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS token
+  FROM documents
+), toks_clean AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks_clean GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM toks_clean a
+  JOIN toks_clean b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b,
+       CAST(s.c AS DOUBLE) / (sa.n + sb.n - s.c) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.doc_a = sa.doc_id
+JOIN sizes sb ON s.doc_b = sb.doc_id
+WHERE CAST(s.c AS DOUBLE) / (sa.n + sb.n - s.c) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=JACCARD_ORACLE,
+    description="Near-dup pairs by distinct-token Jaccard >= 0.8 via "
+    "exploded token equi-join (shared-token counting). Exact and global — "
+    "the ground truth the MinHash/SimHash scale paths approximate. On a "
+    "low-vocabulary corpus the token join is dense; at 100 TB the LSH "
+    "variant is the production path and this one the auditor.",
+    tags=("dedup", "neardup", "jaccard"),
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------------
+# MinHash + LSH (scale path; engine-hash dependent → rows-only check)
+# ------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # bands of 4 signatures each
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,
+    description="MinHash(16)+LSH(4 bands × 4 rows) candidate generation, "
+    "then exact Jaccard verification >= 0.8. The banded bucket join is the "
+    "100 TB path: signatures are 16 longs per doc, candidates only form "
+    "inside equal band-hash buckets. xxhash64 signatures are Spark-"
+    "deterministic but engine-specific → rows-only check; the Jaccard "
+    "verify step ties its output to dedup_jaccard_pairs semantics.",
+    tags=("dedup", "neardup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_tokens(load_table(spark, sf_dir, "documents"))
+    sigs = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"s{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(band),
+                        *[F.col(f"s{band * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact Jaccard verification on candidates only
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    shared = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------------
+# SimHash (rows-only)
+# ------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # Hamming <= 3 guarantees >= 1 equal 16-bit chunk
+HAMMING_MAX = 3
+
+
+def _simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc over its distinct token set: bit k of the
+    fingerprint is the sign of Σ_tokens (±1 by bit k of xxhash64(token))."""
+    toks = _doc_tokens(docs).withColumn("h", F.xxhash64("token"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{k}")
+            for k in range(SIMHASH_BITS)
+        ]
+    )
+    fingerprint = reduce(
+        Column.__add__,
+        [
+            F.when(
+                F.col(f"v{k}") > 0,
+                # bit 63 of a signed long is the sign bit: 1<<63 wraps to LONG_MIN
+                F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for k in range(SIMHASH_BITS)
+        ],
+    )
+    return votes.select("doc_id", fingerprint.alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,
+    description="SimHash near-dup: 64-bit token-vote fingerprints, banded "
+    "into 4×16-bit chunks (any Hamming<=3 pair shares a chunk), verified "
+    "by bit_count(xor) <= 3. Fingerprints are 8 bytes/doc — the blocking "
+    "join never touches text. Engine-specific hash → rows-only check.",
+    tags=("dedup", "neardup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _simhash(load_table(spark, sf_dir, "documents"))
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+                    for i in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    pairs = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------------
+# embedding-cosine near-dup (oracle-able)
+# ------------------------------------------------------------------
+
+EMBEDDING_COSINE_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+prods AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(sum(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  CROSS JOIN dims
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT vec_id,
+         CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS nsq
+  FROM embeddings CROSS JOIN dims
+  GROUP BY 1
+)
+SELECT vec_a, vec_b, cosine
+FROM (
+  SELECT p.vec_a, p.vec_b,
+         CAST(round(CAST(p.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) AS cosine
+  FROM prods p
+  JOIN norms na ON p.vec_a = na.vec_id
+  JOIN norms nb ON p.vec_b = nb.vec_id
+)
+WHERE cosine >= {COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "dedup_embedding_pairs",
+    oracle=EMBEDDING_COSINE_ORACLE,
+    description="Embedding near-dup pairs: exact-sum cosine >= 0.4 within "
+    "a label block (zip_with/aggregate decimal fold — no UDF). Label "
+    "blocking stands in for the LSH/IVF bucketing used at scale "
+    "(see similarity operators).",
+    tags=("dedup", "neardup", "embedding"),
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    # decimal→double conversion can differ by 1 ulp between engines;
+    # snap-and-round to 6 decimals before comparing/thresholding
+    cos = (
+        F.round(
+            cosine_exact(F.col("a.embedding"), F.col("b.embedding")).cast("decimal(30,12)"), 6
+        ).cast("double")
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,43 @@
+"""Algorithm-quality checks for the approximate dedup paths, measured
+against the exact Jaccard query (the oracle-checked ground truth)."""
+
+from __future__ import annotations
+
+from multithreaded_mapreduce_spark.plans.registry import all_queries
+
+Q = all_queries()
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_is_sound_and_recalls(spark, sf_dir):
+    """LSH output is verified-Jaccard, so it must be a subset of the exact
+    pairs; with 4 bands × 4 rows, recall at j>=0.8 should be high."""
+    exact = _pairs(Q["dedup_jaccard_pairs"].builder(spark, sf_dir))
+    lsh = _pairs(Q["dedup_minhash_lsh"].builder(spark, sf_dir))
+    assert lsh <= exact, f"LSH produced non-near-dup pairs: {sorted(lsh - exact)[:5]}"
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.5, f"LSH recall too low: {recall:.2f} ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_catches_identical_token_sets(spark, sf_dir):
+    """Docs with identical distinct-token sets (jaccard == 1.0) have equal
+    SimHash fingerprints → Hamming 0 → must be reported."""
+    jac = Q["dedup_jaccard_pairs"].builder(spark, sf_dir)
+    identical = {(r.doc_a, r.doc_b) for r in jac.collect() if r.jaccard == 1.0}
+    sim = _pairs(Q["dedup_simhash"].builder(spark, sf_dir))
+    missed = identical - sim
+    assert not missed, f"SimHash missed identical-token-set pairs: {sorted(missed)[:5]}"
+
+
+def test_exact_dedup_covers_all_docs(spark, sf_dir):
+    """Σ n_copies over dup groups == total docs; keep ids are distinct."""
+    df = Q["dedup_exact"].builder(spark, sf_dir)
+    rows = df.collect()
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_copies for r in rows) == total
+    keeps = [r.keep_doc_id for r in rows]
+    assert len(keeps) == len(set(keeps))
