@@ -1,0 +1,202 @@
+"""Similarity search over the ``embeddings`` table (64-dim float
+vectors): brute-force cosine top-k as the exact baseline, and a
+sign-sketch-prefiltered ANN variant as the scale path. Both are pure
+Column-expression plans (zip_with/aggregate folds — no Python UDFs).
+
+Scale design:
+* brute force broadcasts the (small) query set against the corpus —
+  a BroadcastNestedLoopJoin with no shuffle of the corpus; the per-pair
+  cost is the 64-dim fold. This is the O(n·q) baseline every ANN path
+  is measured against.
+* the ANN variant compresses each vector to a 16-bit sign sketch
+  (1 bit per leading dimension). Candidate pairs must agree on >= 12 of
+  16 sign bits (Hamming <= 4 on a 2-byte mask — a popcount, ~100×
+  cheaper than the full fold); only candidates get the exact cosine and
+  final rank. At 100 TB the sketch column is 8 bytes/row and can be
+  bucketed/partitioned for locality; recall/cost trades by widening the
+  Hamming radius or the sketch.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_exact
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+SKETCH_BITS = 16
+HAMMING_RADIUS = 4
+
+_DOT_CTE = """
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+queries AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}),
+norms AS (
+  SELECT vec_id,
+         CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS nsq
+  FROM embeddings CROSS JOIN dims
+  GROUP BY 1
+)
+"""
+
+
+def _rounded_cosine(a: Column, b: Column) -> Column:
+    """Exact-sum cosine snapped to 6 decimals (engine-stable)."""
+    return F.round(cosine_exact(a, b).cast("decimal(30,12)"), 6).cast("double")
+
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle=_DOT_CTE.format(n_queries=N_QUERIES)
+    + f"""
+, dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(sum(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM queries q
+  JOIN embeddings e ON e.vec_id != q.vec_id
+  CROSS JOIN dims
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(round(CAST(d.dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nn ON d.neighbor_id = nn.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY query_id, rnk
+""",
+    description=f"Exact cosine top-{TOP_K} for {N_QUERIES} query vectors via "
+    "broadcast nested-loop scoring + per-query row_number ranking "
+    "(tie-broken on neighbor id; cosine snapped to 6 decimals).",
+    tags=("similarity", "knn", "bruteforce"),
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _sign_sketch_spark(emb: Column) -> Column:
+    """16-bit sign sketch: bit i set iff embedding[i] > 0."""
+    return reduce(
+        Column.__add__,
+        [
+            F.when(F.element_at(emb, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(SKETCH_BITS)
+        ],
+    ).cast("long")
+
+
+def _sign_sketch_sql(col: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(SKETCH_BITS)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "knn_sketch_ann",
+    oracle=_DOT_CTE.format(n_queries=N_QUERIES)
+    + f"""
+, sketches AS (
+  SELECT vec_id, embedding, {_sign_sketch_sql("embedding")} AS sketch FROM embeddings
+), cand AS (
+  SELECT q.vec_id AS query_id, q.embedding AS q_emb,
+         e.vec_id AS neighbor_id, e.embedding AS n_emb
+  FROM sketches q
+  JOIN sketches e
+    ON q.vec_id < {N_QUERIES} AND e.vec_id != q.vec_id
+   AND bit_count(xor(q.sketch, e.sketch)) <= {HAMMING_RADIUS}
+), dots AS (
+  SELECT query_id, neighbor_id,
+         CAST(sum(CAST(CAST(q_emb[i] AS DOUBLE) * CAST(n_emb[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM cand CROSS JOIN dims
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(round(CAST(d.dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nn ON d.neighbor_id = nn.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY query_id, rnk
+""",
+    description=f"ANN top-{TOP_K}: 16-bit sign-sketch prefilter (candidates "
+    f"within Hamming {HAMMING_RADIUS}), exact cosine rerank of survivors. "
+    "Same output schema as the brute-force baseline so recall is directly "
+    "measurable.",
+    tags=("similarity", "knn", "ann", "sketch"),
+)
+def knn_sketch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _sign_sketch_spark(F.col("embedding")).alias("sketch")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sketch").alias("q_sketch"),
+    )
+    hamming = F.bit_count(F.col("q_sketch").bitwiseXOR(F.col("sketch")))
+    cand = (
+        F.broadcast(queries)
+        .crossJoin(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("sketch"),
+            )
+        )
+        .filter((F.col("neighbor_id") != F.col("query_id")) & (hamming <= HAMMING_RADIUS))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
+    )

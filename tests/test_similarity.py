@@ -1,0 +1,47 @@
+"""ANN quality vs the exact brute-force baseline (both oracle-checked
+for rank correctness; this measures the recall/cost trade)."""
+
+from __future__ import annotations
+
+from multithreaded_mapreduce_spark.plans.registry import all_queries
+
+Q = all_queries()
+
+
+def test_ann_recall_and_soundness(spark, sf_dir):
+    brute = Q["knn_cosine_bruteforce"].builder(spark, sf_dir).collect()
+    ann = Q["knn_sketch_ann"].builder(spark, sf_dir).collect()
+
+    exact_sets = {}
+    for r in brute:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann_sets = {}
+    ann_cos = {}
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        ann_cos[(r.query_id, r.neighbor_id)] = r.cosine
+
+    # soundness: an ANN hit that also appears in the exact top-k must carry
+    # the identical (snapped) cosine — same scoring, just fewer candidates
+    brute_cos = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    for key, c in ann_cos.items():
+        if key in brute_cos:
+            assert c == brute_cos[key]
+
+    hits = sum(len(exact_sets[q] & ann_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    # 16-bit sign sketch @ Hamming<=4 is a coarse prefilter; just pin the
+    # floor so a regression (e.g. a broken sketch) is caught
+    # (measured: 0.20-0.22 on the synthetic near-orthogonal vectors)
+    assert recall >= 0.12, f"ANN recall collapsed: {recall:.2f} ({hits}/{total})"
+
+
+def test_every_query_gets_k_results(spark, sf_dir):
+    brute = Q["knn_cosine_bruteforce"].builder(spark, sf_dir).collect()
+    per_query = {}
+    for r in brute:
+        per_query.setdefault(r.query_id, []).append(r.rnk)
+    assert len(per_query) == 10
+    for q, rnks in per_query.items():
+        assert sorted(rnks) == [1, 2, 3, 4, 5], f"query {q} ranks: {rnks}"
