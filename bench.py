@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink
+(``df.write.format("noop")``) so the full plan executes — scan,
+shuffles, aggregations — without driver-side collect skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from multithreaded_mapreduce_spark.plans.registry import all_queries  # noqa: E402
+from multithreaded_mapreduce_spark.session import get_spark  # noqa: E402
+
+#: headline set — one per operator family (SURVEY.md §2), heaviest shapes
+HEADLINE = (
+    "wordcount",              # flagship: text scan → explode → group → sort
+    "q1_pricing_summary",     # TPC-H Q1 shape: wide agg over lineitem
+    "join_chain_revenue",     # orders⋈customer⋈nation⋈region, broadcast dims
+    "top_customers",          # global sort + limit
+    "topk_parts_per_brand",   # window row_number per group
+    "events_tumbling_hourly", # event-time tumbling windows
+    "user_sessions",          # sessionization (lag + cumsum windows)
+    "dedup_minhash_lsh",      # MinHash-LSH near-dup over documents
+    "knn_cosine_bruteforce",  # cosine top-k over embeddings
+    "text_quality_scores",    # text-quality scan (higher-order fns)
+)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # warmup: JIT, codegen, parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.perf_counter()
+        q.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

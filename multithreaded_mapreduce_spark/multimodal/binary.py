@@ -1,0 +1,168 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas UDFs
+over ``mapInPandas`` (SURVEY.md §2.3 extension surface).
+
+The container has no image/audio codecs, so the *decode* step is
+isolated behind ``_decode_payload``: by default it raises
+``NotImplementedError`` (clearly marked stub); tests inject the
+deterministic fake (``fake_codec=True``) which derives pixel metadata
+from the payload bytes. Everything Spark-side — schema, partitioning,
+UDF signatures, Arrow batch shapes — is real and tested.
+
+Scale design: payloads never leave the executor as Python objects row
+by row; ``mapInPandas`` streams Arrow record batches, so a 100 TB media
+table decodes at batch granularity with bounded memory
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` sizes the batches).
+Feature vectors come back as fixed-width ``array<float>`` ready for the
+similarity operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_MIME = {"image": "image/fake", "audio": "audio/fake", "video": "video/fake"}
+
+
+def synthesize_media(spark: SparkSession, n: int = 64, partitions: int = 4) -> DataFrame:
+    """Deterministic fake media table: payload bytes are sha256-derived
+    from the media id, so every run (and every engine) sees identical
+    binary content."""
+    kinds = ("image", "audio", "video")
+    rows = []
+    for i in range(n):
+        kind = kinds[i % len(kinds)]
+        seed = hashlib.sha256(f"media-{i}".encode()).digest()
+        payload = (seed * ((64 + i) // len(seed) + 1))[: 64 + i]
+        rows.append((i, kind, payload, len(payload), _MIME[kind]))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions, "media_id")
+
+
+def _decode_payload(payload: bytes, fake_codec: bool) -> tuple[int, int, int]:
+    """Decode image metadata from payload bytes.
+
+    STUB: real decoding requires an image codec (PIL/libvips), which is
+    not available in this environment. The deterministic fake derives
+    (width, height, channels) from the payload digest — stable plumbing
+    stand-in, clearly not a real decoder.
+    """
+    if not fake_codec:
+        raise NotImplementedError(
+            "image decode requires a codec library (PIL/libvips) not present "
+            "in this environment; pass fake_codec=True for the deterministic stub"
+        )
+    d = hashlib.sha256(payload).digest()
+    width = 16 + d[0] % 240
+    height = 16 + d[1] % 240
+    channels = (1, 3, 4)[d[2] % 3]
+    return width, height, channels
+
+
+def decode_images(media: DataFrame, *, fake_codec: bool = False) -> DataFrame:
+    """Decode metadata for image rows via mapInPandas (Arrow-batched)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                }
+            )
+            decoded = [_decode_payload(p, fake_codec) for p in pdf["payload"]]
+            out["width"] = pd.array([d[0] for d in decoded], dtype="int32")
+            out["height"] = pd.array([d[1] for d in decoded], dtype="int32")
+            out["n_channels"] = pd.array([d[2] for d in decoded], dtype="int32")
+            yield out
+
+    return media.filter(F.col("kind") == "image").mapInPandas(decode, DECODED_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Byte-histogram feature vectors (FEATURE_DIM floats, L1-normalized)
+    via a scalar Pandas UDF — the Arrow-vectorized path a real encoder
+    (CLIP etc.) would use; the histogram itself is a deterministic,
+    codec-free feature."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def byte_histogram(payloads: pd.Series) -> pd.Series:
+        feats = []
+        for p in payloads:
+            arr = np.frombuffer(p, dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
+            total = hist.sum()
+            feats.append((hist / total if total else hist).astype(np.float32))
+        return pd.Series(feats)
+
+    return media.select(
+        "media_id", "kind", byte_histogram(F.col("payload")).alias("features")
+    )
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """'Video' frame sampling: split the payload into n_frames equal
+    chunks (stand-in for keyframe extraction) and emit one row per
+    frame with its digest — mapInPandas with a fan-out (rows out >
+    rows in), the shape a real frame sampler has."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_md5", T.StringType(), False),
+            T.StructField("frame_bytes", T.LongType(), False),
+        ]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests, sizes = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                step = max(1, len(payload) // n_frames)
+                for k in range(n_frames):
+                    chunk = payload[k * step : (k + 1) * step]
+                    if not chunk:
+                        break
+                    ids.append(mid)
+                    idxs.append(k)
+                    digests.append(hashlib.md5(chunk).hexdigest())
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_md5": digests,
+                    "frame_bytes": pd.array(sizes, dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(frames, out_schema)

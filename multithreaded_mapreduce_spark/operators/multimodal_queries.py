@@ -1,0 +1,68 @@
+"""Multimodal pipeline queries registered for the driver harness.
+
+The container ships no image/audio codecs, so the media table itself is
+synthesized deterministically (sha256-derived payloads — every engine
+and every run sees identical bytes) and the decode step uses the
+clearly-marked fake codec from ``multimodal/binary.py``. What these
+queries exercise for real is the Spark side a 100 TB media pipeline
+needs: binary columns + typed metadata schema, hash partitioning by
+media_id, Arrow-batched mapInPandas (bounded memory per batch),
+fan-out row production (frame sampling), and fixed-width
+``array<float>`` feature vectors compatible with the similarity
+operators.
+
+No DuckDB oracle: the media table is synthesized in-engine, not one of
+the driver's parquet tables, so these are rows-only checks; the pytest
+suite (tests/test_multimodal.py) asserts determinism, schema, batch
+shapes, and fan-out counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..multimodal.binary import (
+    decode_images,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+from ..plans.registry import register
+
+_N_MEDIA = 96
+
+
+@register(
+    "media_decode_metadata",
+    oracle=None,
+    description="Decode (width, height, channels) for image rows via "
+    "Arrow-batched mapInPandas; codec stubbed deterministically "
+    "(fake_codec) because no image library ships in this container.",
+    tags=("multimodal", "image", "pandas-udf"),
+)
+def media_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_images(synthesize_media(spark, n=_N_MEDIA), fake_codec=True)
+
+
+@register(
+    "media_feature_vectors",
+    oracle=None,
+    description="Byte-histogram feature extraction (16-dim L1-normalized "
+    "array<float>) via scalar Pandas UDF — the Arrow-vectorized shape a "
+    "real encoder (CLIP-style) plugs into.",
+    tags=("multimodal", "features", "pandas-udf"),
+)
+def media_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(synthesize_media(spark, n=_N_MEDIA))
+
+
+@register(
+    "media_frame_sample",
+    oracle=None,
+    description="Video frame sampling: mapInPandas fan-out (4 frames per "
+    "video row) emitting per-frame digests — the keyframe-extraction "
+    "plumbing with the codec stubbed.",
+    tags=("multimodal", "video", "pandas-udf"),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(synthesize_media(spark, n=_N_MEDIA), n_frames=4)

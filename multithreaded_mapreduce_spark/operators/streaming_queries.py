@@ -1,0 +1,63 @@
+"""Structured Streaming queries registered for the driver harness.
+
+These run the streaming plans from ``streaming/events.py`` to completion
+against a memory sink and return the materialized batch result, so the
+driver can treat a stream like any other query. The tumbling query
+carries the SAME DuckDB oracle as its batch twin
+(``events_tumbling_hourly``) — a file-replay stream in complete mode
+must reproduce the batch answer exactly, which is the strongest
+correctness statement a streaming engine can make without a second
+streaming engine to compare against.
+
+Reference parity note: the reference (1.cpp / project.cpp) is strictly
+one-shot batch — streaming is extension surface (SURVEY.md §2.2/§2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.numeric import DEC
+from ..plans.registry import register
+from ..streaming.events import (
+    run_stream_to_memory,
+    sessionized_stream,
+    stream_events,
+    tumbling_counts_stream,
+)
+
+
+@register(
+    "streaming_tumbling_hourly",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS {DEC})) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY window_start, event_type
+""",
+    description="Structured Streaming twin of events_tumbling_hourly: "
+    "readStream(parquet) → watermark 10m → window(1h) × event_type agg → "
+    "memory sink, run to completion. Checked against the same batch oracle.",
+    tags=("streaming", "events", "window"),
+)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = tumbling_counts_stream(stream_events(spark, sf_dir))
+    return run_stream_to_memory(stream, "q_streaming_tumbling_hourly")
+
+
+@register(
+    "streaming_user_sessions",
+    oracle=None,  # session_window output isn't ANSI-SQL expressible; the
+    # pytest suite checks per-user consistency with the oracle-checked
+    # batch `user_sessions` query instead (tests/test_streaming.py)
+    description="Native streaming sessionization via session_window(ts, "
+    "'5 minutes') per user — stateful merge windows with watermark-bounded "
+    "state; rows-only driver check, batch-consistency asserted in tests.",
+    tags=("streaming", "events", "session"),
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = sessionized_stream(stream_events(spark, sf_dir))
+    return run_stream_to_memory(stream, "q_streaming_user_sessions")

@@ -1,0 +1,255 @@
+"""Text-analysis operators for a training-data pipeline: quality
+scoring, language identification, token counting, fingerprinting
+(SURVEY.md §2.3). All pure Column expressions (split / filter /
+aggregate higher-order functions + md5) — no Python UDFs, every plan
+stays in whole-stage codegen, and every query has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+# small embedded stopword lists (public, standard function words)
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "fr": ("le", "la", "et", "de", "les", "des", "un"),
+    "es": ("el", "la", "y", "de", "los", "que", "un"),
+    "de": ("der", "die", "und", "das", "von", "ein", "zu"),
+    "zh": ("的", "是", "在", "了", "和"),
+}
+
+#: BPE-ish word/number/symbol tokenizer (ASCII-explicit like clean_word)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return f"list_filter(string_split_regex({col}, '\\s+'), t -> length(t) > 0)"
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         {_sql_tokens()} AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains({list(STOPWORDS["en"])}, x))) AS n_stopwords,
+         length(replace(text, ' ', '')) AS n_nonspace_chars
+  FROM t
+)
+SELECT doc_id, lang, source, n_chars, n_tokens,
+       CAST(round(CAST(CAST(n_nonspace_chars AS DOUBLE) / n_tokens AS DECIMAL(30,12)), 4)
+            AS DOUBLE) AS avg_token_len,
+       CAST(round(CAST(CAST(n_stopwords AS DOUBLE) / n_tokens AS DECIMAL(30,12)), 4)
+            AS DOUBLE) AS stopword_ratio,
+       CASE WHEN n_tokens >= 20
+             AND CAST(n_stopwords AS DOUBLE) / n_tokens BETWEEN 0.02 AND 0.6
+            THEN 1 ELSE 0 END AS passes_quality
+FROM m
+ORDER BY doc_id
+""",
+    description="Per-document quality signals: token count, average token "
+    "length, stopword ratio, and a pass/fail gate (the C4-style length + "
+    "stopword heuristic). One scan, no shuffle except the final sort.",
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            n_tokens.alias("n_tokens"),
+            F.round((n_nonspace.cast("double") / n_tokens).cast("decimal(30,12)"), 4)
+            .cast("double")
+            .alias("avg_token_len"),
+            F.round(stop_ratio.cast("decimal(30,12)"), 4).cast("double").alias("stopword_ratio"),
+            F.when((n_tokens >= 20) & stop_ratio.between(0.02, 0.6), 1)
+            .otherwise(0)
+            .alias("passes_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_score(toks: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+
+
+def _sql_lang_score(lang: str) -> str:
+    return f"len(list_filter(toks, x -> list_contains({list(STOPWORDS[lang])}, x)))"
+
+
+@register(
+    "language_id",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+         {_sql_lang_score("en")} AS c_en,
+         {_sql_lang_score("fr")} AS c_fr,
+         {_sql_lang_score("es")} AS c_es,
+         {_sql_lang_score("de")} AS c_de,
+         {_sql_lang_score("zh")} AS c_zh
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE
+         WHEN greatest(c_en, c_fr, c_es, c_de, c_zh) = 0 THEN 'und'
+         WHEN c_en >= greatest(c_fr, c_es, c_de, c_zh) THEN 'en'
+         WHEN c_fr >= greatest(c_es, c_de, c_zh) THEN 'fr'
+         WHEN c_es >= greatest(c_de, c_zh) THEN 'es'
+         WHEN c_de >= c_zh THEN 'de'
+         ELSE 'zh'
+       END AS guessed_lang
+FROM scores
+ORDER BY doc_id
+""",
+    description="Stopword-overlap language ID: score each doc against five "
+    "embedded function-word lists, argmax with a fixed precedence order "
+    "(n-gram-free heuristic; the synthetic corpus is English-vocab so the "
+    "guess is honestly 'en' everywhere — the operator is the point).",
+    tags=("text", "langid"),
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_lang_score(toks, lang).alias(f"c_{lang}") for lang in ("en", "fr", "es", "de", "zh")],
+    )
+    c = {lang: F.col(f"c_{lang}") for lang in ("en", "fr", "es", "de", "zh")}
+    guess = (
+        F.when(F.greatest(c["en"], c["fr"], c["es"], c["de"], c["zh"]) == 0, "und")
+        .when(c["en"] >= F.greatest(c["fr"], c["es"], c["de"], c["zh"]), "en")
+        .when(c["fr"] >= F.greatest(c["es"], c["de"], c["zh"]), "fr")
+        .when(c["es"] >= F.greatest(c["de"], c["zh"]), "es")
+        .when(c["de"] >= c["zh"], "de")
+        .otherwise("zh")
+    )
+    return scored.select("doc_id", "labeled_lang", guess.alias("guessed_lang")).orderBy("doc_id")
+
+
+@register(
+    "token_counting",
+    oracle=f"""
+SELECT doc_id,
+       len({_sql_tokens()}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct({_sql_tokens()})) AS n_distinct_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+FROM documents
+ORDER BY doc_id
+""",
+    description="Token counting three ways: whitespace tokens, BPE-ish "
+    "regex pieces (letters|digits|symbol), distinct tokens, and the "
+    "chars/4 LLM-token estimate.",
+    tags=("text", "tokens"),
+)
+def token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(_tokens()).alias("n_ws_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("n_bpe_tokens"),
+            F.size(F.array_distinct(_tokens())).alias("n_distinct_tokens"),
+            F.ceil(F.length("text") / 4.0).cast("long").alias("approx_llm_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       md5(array_to_string(list_sort(list_distinct({_sql_tokens()})), ' ')) AS vocab_md5,
+       substring(md5(text), 1, 8) AS short_id
+FROM documents
+ORDER BY doc_id
+""",
+    description="Document fingerprints: exact content digest plus an "
+    "order-insensitive vocabulary digest (md5 of the sorted distinct token "
+    "set) — the pair distinguishes exact dups from shuffled near-dups in "
+    "O(1) per comparison downstream.",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))
+    return (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("content_md5"),
+            F.md5(vocab).alias("vocab_md5"),
+            F.substring(F.md5("text"), 1, 8).alias("short_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_stats_by_source",
+    oracle=f"""
+WITH t AS (
+  SELECT source, lang, n_chars, len({_sql_tokens()}) AS n_tokens FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       sum(n_tokens) AS total_tokens,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(round(CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DECIMAL(30,12)), 4)
+            AS DOUBLE) AS avg_chars
+FROM t
+GROUP BY source
+ORDER BY source
+""",
+    description="Corpus rollup per source: doc/lang/token/char stats — the "
+    "dashboard query of a crawl pipeline (single scan + one shuffle).",
+    tags=("text", "stats"),
+)
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", "lang", "n_chars", F.size(_tokens()).alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round((F.sum("n_chars").cast("double") / F.count(F.lit(1))).cast("decimal(30,12)"), 4)
+            .cast("double")
+            .alias("avg_chars"),
+        )
+        .orderBy("source")
+    )

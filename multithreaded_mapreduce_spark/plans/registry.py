@@ -40,6 +40,8 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.dedup",
     "multithreaded_mapreduce_spark.operators.similarity",
     "multithreaded_mapreduce_spark.operators.textstats",
+    "multithreaded_mapreduce_spark.operators.streaming_queries",
+    "multithreaded_mapreduce_spark.operators.multimodal_queries",
 )
 
 

@@ -1,0 +1,117 @@
+"""Structured Streaming over the events table.
+
+The batch event-time queries (``operators/event_windows.py``) define the
+oracle-checked semantics; this module runs the same logical plans
+through ``readStream`` → watermark → windowed aggregation →
+``writeStream``, which is how the engine would consume a live feed
+(Kafka/files) on a cluster. Tests drive a file-source stream over the
+driver's parquet and assert the streaming results equal the batch ones
+— the strongest check a stream can get without a second engine.
+
+Watermarking: 10 minutes of allowed lateness bounds state; with the
+file source replaying history the watermark only matters for state
+cleanup, but on a live feed it is what lets a 1000-executor job drop
+late data instead of holding unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import hashlib
+import os
+import tempfile
+
+from ..functions.numeric import DEC
+from ..sources.tables import table_path
+
+
+def _as_stream_dir(path: str) -> str:
+    """The file stream source requires a *directory*; the driver ships
+    single-file parquet tables. Stage a per-path symlink directory under
+    the system temp dir (idempotent, content untouched)."""
+    if os.path.isdir(path):
+        return path
+    tag = hashlib.md5(path.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"mmr_spark_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (one-file replay).
+
+    Schema comes from a batch read of the same file (a stream source
+    cannot infer), including the ns→µs shim from sources/tables.py:
+    ts arrives as TIMESTAMP(NANOS) parquet, which Spark reads as long.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def tumbling_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the ``events_tumbling_hourly`` batch query."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Native streaming sessionization: ``session_window`` merges
+    events within ``gap`` of each other per user — the stateful
+    streaming analogue of the batch lag+cumsum ``user_sessions`` query.
+    """
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming query to completion against a memory sink and
+    return the materialized result as a batch DataFrame (test/driver
+    harness; a production job would writeStream to kafka/parquet)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

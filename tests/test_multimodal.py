@@ -1,0 +1,66 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch shapes,
+determinism, and the clearly-marked decode stub."""
+
+from __future__ import annotations
+
+import pytest
+
+from multithreaded_mapreduce_spark.multimodal import (
+    FEATURE_DIM,
+    decode_images,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+from multithreaded_mapreduce_spark.multimodal.binary import _decode_payload
+
+
+def test_media_table_schema_and_partitioning(spark):
+    media = synthesize_media(spark, n=30, partitions=4)
+    assert media.rdd.getNumPartitions() == 4
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "kind",
+        "payload",
+        "n_bytes",
+        "mime",
+    ]
+    rows = media.collect()
+    assert len(rows) == 30
+    assert all(len(r.payload) == r.n_bytes for r in rows)
+
+
+def test_decode_stub_raises_without_codec(spark):
+    media = synthesize_media(spark, n=6)
+    with pytest.raises(Exception) as exc_info:
+        decode_images(media).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "codec" in str(exc_info.value)
+
+
+def test_decode_fake_codec_is_deterministic(spark):
+    media = synthesize_media(spark, n=30)
+    a = {r.media_id: (r.width, r.height, r.n_channels) for r in decode_images(media, fake_codec=True).collect()}
+    b = {r.media_id: (r.width, r.height, r.n_channels) for r in decode_images(media, fake_codec=True).collect()}
+    assert a == b
+    assert len(a) == 10  # every 3rd row is an image
+    assert all(16 <= w < 256 and 16 <= h < 256 and c in (1, 3, 4) for w, h, c in a.values())
+
+
+def test_feature_vectors_fixed_dim_normalized(spark):
+    media = synthesize_media(spark, n=24)
+    feats = extract_features(media).collect()
+    assert len(feats) == 24
+    for r in feats:
+        assert len(r.features) == FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 1e-3  # L1-normalized histogram
+
+
+def test_frame_sampling_fan_out(spark):
+    media = synthesize_media(spark, n=12)
+    frames = sample_frames(media, n_frames=4).collect()
+    videos = [r for r in media.collect() if r.kind == "video"]
+    assert len(frames) == 4 * len(videos)
+    per = {}
+    for r in frames:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())

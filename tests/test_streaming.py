@@ -1,0 +1,47 @@
+"""Structured Streaming parity: the streaming queries must produce the
+same results as their oracle-checked batch twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_spark.plans.registry import all_queries
+from multithreaded_mapreduce_spark.streaming.events import (
+    run_stream_to_memory,
+    sessionized_stream,
+    stream_events,
+    tumbling_counts_stream,
+)
+
+Q = all_queries()
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream = tumbling_counts_stream(stream_events(spark, sf_dir))
+    got = run_stream_to_memory(stream, "stream_tumbling")
+    want = Q["events_tumbling_hourly"].builder(spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_sessionization_consistent_with_batch(spark, sf_dir):
+    stream = sessionized_stream(stream_events(spark, sf_dir))
+    got = run_stream_to_memory(stream, "stream_sessions")
+    # session_window and the batch lag+cumsum query define sessions the
+    # same way → per-user session and event counts must agree
+    per_user = (
+        got.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    )
+    want = {r.user_id: (r.n_sessions, r.n_events) for r in Q["user_sessions"].builder(spark, sf_dir).collect()}
+    got_map = {r.user_id: (r.n_sessions, r.n_events) for r in per_user}
+    assert got_map == want
+
+
+def test_stream_is_streaming(spark, sf_dir):
+    assert stream_events(spark, sf_dir).isStreaming
