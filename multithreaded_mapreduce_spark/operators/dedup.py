@@ -151,24 +151,45 @@ N_BANDS = 4  # bands of 4 signatures each
     "dedup_minhash_lsh",
     oracle=None,
     description="MinHash(16)+LSH(4 bands × 4 rows) candidate generation, "
-    "then exact Jaccard verification >= 0.8. The banded bucket join is the "
-    "100 TB path: signatures are 16 longs per doc, candidates only form "
-    "inside equal band-hash buckets. xxhash64 signatures are Spark-"
-    "deterministic but engine-specific → rows-only check; the Jaccard "
-    "verify step ties its output to dedup_jaccard_pairs semantics.",
+    "then exact Jaccard verification >= 0.8. Docs are first collapsed by "
+    "identical distinct-token set (exact-dup collapse — the standard first "
+    "step of a near-dup pass), signatures are computed per unique set "
+    "straight from its token array (no explode shuffle), candidates only "
+    "form inside equal band-hash buckets, and verification is an "
+    "array_intersect/array_union over the compact token arrays instead of "
+    "a re-exploded token join. xxhash64 signatures are Spark-deterministic "
+    "but engine-specific → rows-only check; the Jaccard verify step ties "
+    "its output to dedup_jaccard_pairs semantics (asserted in tests).",
     tags=("dedup", "neardup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _doc_tokens(load_table(spark, sf_dir, "documents"))
-    sigs = toks.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"s{i}")
-            for i in range(N_HASHES)
-        ]
+    docs = load_table(spark, sf_dir, "documents")
+    # distinct-token set per doc: one scan, no shuffle (array ops only)
+    tokset = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
+        ).alias("toks"),
+    )
+    # collapse identical sets: pairs within a group are jaccard 1.0 by
+    # definition (and identical sets always share every band hash), so
+    # MinHash/LSH/verify only needs to run once per unique set
+    # persist: four branches (signatures, both verify sides, within-group
+    # expansion) consume this small relation; without it Spark recomputes
+    # the scan+groupBy per branch (column pruning defeats ReusedExchange)
+    groups = tokset.groupBy("toks").agg(
+        F.min("doc_id").alias("gid"), F.collect_list("doc_id").alias("members")
+    ).persist()
+
+    def _minhash(i: int):
+        return F.array_min(F.transform("toks", lambda t: F.xxhash64(t, F.lit(i))))
+
+    sigs = groups.select(
+        "gid", "toks", *[_minhash(i).alias(f"s{i}") for i in range(N_HASHES)]
     )
     rows_per_band = N_HASHES // N_BANDS
     bands = sigs.select(
-        "doc_id",
+        "gid",
         F.posexplode(
             F.array(
                 *[
@@ -181,37 +202,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
+    # candidate pairs stay slim (two longs) through the bucket self-join
+    # and the distinct; a pair colliding in several bands deduplicates
+    # BEFORE any array work happens
     cand = (
         bands.alias("x")
         .join(
             bands.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.gid") < F.col("y.gid")),
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .select(F.col("x.gid").alias("ga"), F.col("y.gid").alias("gb"))
         .distinct()
     )
-    # exact Jaccard verification on candidates only
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
-    shared = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # exact Jaccard verification on candidate group pairs: token arrays are
+    # bounded by doc length, so intersect/union per pair is O(|a|+|b|) in
+    # codegen — no shuffle of exploded tokens. The group table joins by
+    # gid; AQE broadcasts it when small, shuffles by key at 100 TB.
+    ga = groups.select(
+        F.col("gid").alias("ga"), F.col("toks").alias("toks_a"), F.col("members").alias("m_a")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    gb = groups.select(
+        F.col("gid").alias("gb"), F.col("toks").alias("toks_b"), F.col("members").alias("m_b")
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    verified = (
+        cand.join(ga, "ga")
+        .join(gb, "gb")
+        .select("m_a", "m_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
+    # expand group pairs back to doc pairs (output-bound work only)
+    cross = (
+        verified.select(F.explode("m_a").alias("da"), "m_b", "jaccard")
+        .select("da", F.explode("m_b").alias("db"), "jaccard")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("da"), "members")
+        .select("da", F.explode("members").alias("db"))
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")
 
 
 # ------------------------------------------------------------------
