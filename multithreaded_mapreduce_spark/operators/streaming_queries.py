@@ -25,6 +25,7 @@ from ..streaming.events import (
     stream_events,
     tumbling_counts_stream,
 )
+from ..streaming.stateful import running_user_totals
 
 
 @register(
@@ -61,3 +62,32 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sessionized_stream(stream_events(spark, sf_dir))
     return run_stream_to_memory(stream, "q_streaming_user_sessions")
+
+
+@register(
+    "streaming_stateful_user_totals",
+    oracle=None,  # per-user float accumulation order differs from a SQL
+    # sum, so no exact-hash oracle; tests assert 2-dp equality with the
+    # batch per-user aggregate instead (tests/test_streaming.py)
+    description="Custom stateful streaming operator: running per-user "
+    "(count, sum) in explicit GroupState via applyInPandasWithState, "
+    "update mode. Final state per user equals the batch aggregate.",
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    stream = running_user_totals(stream_events(spark, sf_dir))
+    updates = run_stream_to_memory(
+        stream, "q_streaming_stateful_user_totals", output_mode="update"
+    )
+    # update mode appends one row per user per micro-batch; the final
+    # state is the row with the highest running count (monotone per user)
+    latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )

@@ -42,6 +42,9 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.textstats",
     "multithreaded_mapreduce_spark.operators.streaming_queries",
     "multithreaded_mapreduce_spark.operators.multimodal_queries",
+    "multithreaded_mapreduce_spark.operators.bucketing",
+    "multithreaded_mapreduce_spark.operators.skew",
+    "multithreaded_mapreduce_spark.operators.sql_frontend",
 )
 
 

@@ -1,0 +1,83 @@
+"""Physical-plan assertions for the scale-oriented operators: bucketed
+joins must be exchange-free below the join, salted joins must shuffle on
+(key, salt), and sinks must round-trip."""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_spark.operators.skew import salted_join
+from multithreaded_mapreduce_spark.plans.registry import all_queries
+from multithreaded_mapreduce_spark.sinks import format_console, write_csv, write_parquet
+from multithreaded_mapreduce_spark.sources.tables import load_table
+
+Q = all_queries()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("simple")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle_below_join(spark, sf_dir):
+    df = Q["bucketed_join_order_revenue"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    join_input = plan.split("SortMergeJoin", 1)[1]
+    # everything under the join: bucket-aligned scans, sorts — no Exchange
+    assert "Exchange" not in join_input, f"shuffle below bucketed join:\n{join_input}"
+    assert plan.count("Bucketed: true") >= 2
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark, sf_dir):
+    df = Q["skew_salted_event_user_totals"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "_salt" in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    salted = salted_join(events, customer, "user_id", salt_source=F.xxhash64("event_id"))
+    plain = events.join(customer, "user_id")
+    cols = ["event_id", "user_id", "c_mktsegment"]
+    got = sorted(tuple(r[c] for c in cols) for r in salted.select(cols).collect())
+    want = sorted(tuple(r[c] for c in cols) for r in plain.select(cols).collect())
+    assert got == want
+
+
+def test_console_sink_matches_reference_format(spark, sf_dir):
+    counts = Q["wordcount"].builder(spark, sf_dir)
+    lines = format_console(counts, key="word", value="cnt")
+    assert lines == sorted(lines)  # ascending binary order
+    assert all(": " in line for line in lines)
+    first_word, first_count = lines[0].split(": ")
+    assert first_count.isdigit()
+
+
+def test_parquet_sink_partitioned_roundtrip(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "nation")
+    out = os.path.join(str(tmp_path), "nation_by_region")
+    write_parquet(df, out, partition_by=("n_regionkey",))
+    # hive-style partition dirs exist → partition pruning is available
+    assert any(d.startswith("n_regionkey=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+
+def test_csv_sink_roundtrip(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = os.path.join(str(tmp_path), "region_csv")
+    write_csv(df, out)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == df.count()

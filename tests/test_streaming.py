@@ -45,3 +45,24 @@ def test_streaming_sessionization_consistent_with_batch(spark, sf_dir):
 
 def test_stream_is_streaming(spark, sf_dir):
     assert stream_events(spark, sf_dir).isStreaming
+
+
+def test_stateful_totals_equal_batch_aggregate(spark, sf_dir):
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in Q["streaming_stateful_user_totals"].builder(spark, sf_dir).collect()
+    }
+    from multithreaded_mapreduce_spark.sources.tables import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .collect()
+    )
+    want = {r.user_id: (r.n_events, r.total_value) for r in batch}
+    assert set(got) == set(want)
+    for uid, (n, total) in want.items():
+        gn, gtotal = got[uid]
+        assert gn == n
+        assert abs(gtotal - total) < 0.02  # float accumulation-order slack
