@@ -103,3 +103,41 @@ def wordcount_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "wordcount_grouped_trace",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents
+), cleaned AS (
+  SELECT lower(regexp_replace(token, '[^0-9A-Za-z]', '', 'g')) AS word
+  FROM toks WHERE length(token) > 0
+)
+SELECT word, count(*) AS n_ones, count(*) AS cnt
+FROM cleaned
+WHERE length(word) > 0
+GROUP BY word
+ORDER BY word
+""",
+    description="The reference's shuffle-phase 'grouped view' (operator #8, "
+    "1.cpp:126-142): per word, the list of emitted 1s — materialized here "
+    "as collect_list(1) whose size doubles as the count. Cosmetic in the "
+    "reference (only ever printed); kept for operator-inventory parity.",
+    tags=("reference-parity", "text", "trace"),
+)
+def wordcount_grouped_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = tokens_from_lines(docs, "text")
+    return (
+        toks.select(clean_word("token").alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.collect_list(F.lit(1)).alias("ones"))
+        .select(
+            "word",
+            F.size("ones").cast("long").alias("n_ones"),
+            F.size("ones").cast("long").alias("cnt"),
+        )
+        .orderBy("word")
+    )
