@@ -58,6 +58,37 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def stream_events_multibatch(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Events stream that replays as ``n_files`` micro-batches.
+
+    The driver ships one parquet file per table, which the file source
+    consumes in a single trigger — fine for end-state parity, but it
+    never exercises state carried ACROSS batches. This helper splits
+    the events table into ``n_files`` parquet files once (idempotent,
+    under the system temp dir) and sets ``maxFilesPerTrigger=1``, so a
+    query sees a genuine multi-trigger replay: windows accumulate
+    incrementally, stateful operators merge state batch over batch.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = table_path(sf_dir, "events")
+    tag = hashlib.md5(f"{src}:{n_files}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"mmr_spark_stream_split_{tag}")
+    batch = spark.read.parquet(src)
+    if not os.path.isdir(d) or len([f for f in os.listdir(d) if f.endswith(".parquet")]) < n_files:
+        batch.repartition(n_files).write.mode("overwrite").parquet(d)
+    schema = batch.schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
 def tumbling_counts_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of the ``events_tumbling_hourly`` batch query."""
     return (

@@ -75,6 +75,22 @@ def test_parquet_sink_partitioned_roundtrip(spark, sf_dir, tmp_path):
     assert set(back.columns) == set(df.columns)
 
 
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """A hive-partitioned table + a partition-key filter must prune at
+    planning time: the scan's PartitionFilters carries the predicate and
+    only matching directories are read — the mechanism that makes a
+    date-partitioned 100 TB table scannable."""
+    events = load_table(spark, sf_dir, "events")
+    out = os.path.join(str(tmp_path), "events_by_type")
+    write_parquet(events, out, partition_by=("event_type",))
+    one_type = events.select("event_type").first().event_type
+    pruned = spark.read.parquet(out).filter(F.col("event_type") == one_type)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and one_type in plan
+    # row count matches the unpartitioned filter → pruning lost nothing
+    assert pruned.count() == events.filter(F.col("event_type") == one_type).count()
+
+
 def test_csv_sink_roundtrip(spark, sf_dir, tmp_path):
     df = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     out = os.path.join(str(tmp_path), "region_csv")

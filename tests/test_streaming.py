@@ -10,6 +10,7 @@ from multithreaded_mapreduce_spark.streaming.events import (
     run_stream_to_memory,
     sessionized_stream,
     stream_events,
+    stream_events_multibatch,
     tumbling_counts_stream,
 )
 
@@ -45,6 +46,56 @@ def test_streaming_sessionization_consistent_with_batch(spark, sf_dir):
 
 def test_stream_is_streaming(spark, sf_dir):
     assert stream_events(spark, sf_dir).isStreaming
+
+
+def test_multibatch_tumbling_accumulates_across_triggers(spark, sf_dir):
+    """With maxFilesPerTrigger=1 over a 4-file split, the tumbling
+    aggregation must merge state across four genuine micro-batches and
+    still land on the batch answer."""
+    stream = tumbling_counts_stream(stream_events_multibatch(spark, sf_dir, n_files=4))
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mb_tumbling")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = q.lastProgress["batchId"] + 1
+    finally:
+        q.stop()
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    got = spark.sql("SELECT * FROM mb_tumbling")
+    want = Q["events_tumbling_hourly"].builder(spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_multibatch_stateful_state_survives_triggers(spark, sf_dir):
+    """GroupState must carry per-user accumulators across micro-batches:
+    the last update per user equals the batch per-user aggregate."""
+    from multithreaded_mapreduce_spark.sources.tables import load_table
+    from multithreaded_mapreduce_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(stream_events_multibatch(spark, sf_dir, n_files=4))
+    updates = run_stream_to_memory(stream, "mb_stateful", output_mode="update")
+    final = (
+        updates.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    )
+    got = {r.user_id: r.n_events for r in final}
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # multiple updates per user proves state actually spanned batches
+    n_updates = updates.count()
+    assert n_updates > len(want), "expected more than one update per user"
 
 
 def test_stateful_totals_equal_batch_aggregate(spark, sf_dir):
