@@ -349,7 +349,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return cross.unionByName(within).orderBy("doc_a", "doc_b")
+    # within-partition sort only: a global orderBy would range-shuffle the
+    # full (large) pair output for presentation alone — at 100 TB the
+    # consumer of a near-dup pair list never needs a total order
+    return cross.unionByName(within).sortWithinPartitions("doc_a", "doc_b")
 
 
 # ------------------------------------------------------------------
