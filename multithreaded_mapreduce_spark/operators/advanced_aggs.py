@@ -1,0 +1,94 @@
+"""Advanced aggregation shapes beyond plain GROUP BY: explicit GROUPING
+SETS (the general form rollup/cube specialize) and exact interpolated
+percentiles.
+
+The reference's only aggregate is count-per-key (SURVEY.md §2.1 #9/#11);
+these are extension surface. Both stay fully declarative: grouping sets
+compile to one Expand + HashAggregate pass (no N scans for N sets), and
+``percentile`` is Spark's exact interpolated implementation — matched
+against DuckDB's ``quantile_cont`` with symmetric rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "grouping_sets_lineitem",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    description="Explicit GROUPING SETS — per-flag, per-status, and per-pair "
+    "aggregates in ONE Expand+HashAggregate pass (the general form that "
+    "ROLLUP/CUBE specialize; note: no grand-total set, which neither "
+    "shorthand can express).",
+    tags=("relational", "groupingsets"),
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "price_percentiles_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(round(CAST(quantile_cont(l_extendedprice, 0.25) AS DECIMAL(30,12)), 4) AS DOUBLE) AS p25,
+       CAST(round(CAST(quantile_cont(l_extendedprice, 0.50) AS DECIMAL(30,12)), 4) AS DOUBLE) AS p50,
+       CAST(round(CAST(quantile_cont(l_extendedprice, 0.75) AS DECIMAL(30,12)), 4) AS DOUBLE) AS p75,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Exact interpolated quartiles of l_extendedprice per return "
+    "flag (Spark percentile == DuckDB quantile_cont, snapped to 4 "
+    "decimals). The exact form is the oracle anchor; at 100 TB the "
+    "approx_percentile sketch (mergeable, bounded memory) replaces it.",
+    tags=("relational", "percentile", "agg"),
+)
+def price_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def pct(p: float):
+        return (
+            F.round(
+                F.percentile("l_extendedprice", F.lit(p)).cast("decimal(30,12)"), 4
+            ).cast("double")
+        )
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pct(0.25).alias("p25"),
+            pct(0.50).alias("p50"),
+            pct(0.75).alias("p75"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -45,6 +45,8 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.bucketing",
     "multithreaded_mapreduce_spark.operators.skew",
     "multithreaded_mapreduce_spark.operators.sql_frontend",
+    "multithreaded_mapreduce_spark.operators.advanced_aggs",
+    "multithreaded_mapreduce_spark.operators.asof",
 )
 
 
