@@ -22,6 +22,7 @@ from ..plans.registry import register
 from ..streaming.events import (
     run_stream_to_memory,
     sessionized_stream,
+    sliding_counts_stream,
     stream_events,
     tumbling_counts_stream,
 )
@@ -47,6 +48,34 @@ ORDER BY window_start, event_type
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = tumbling_counts_stream(stream_events(spark, sf_dir))
     return run_stream_to_memory(stream, "q_streaming_tumbling_hourly")
+
+
+@register(
+    "streaming_sliding_windows",
+    oracle=f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS {DEC})) AS DOUBLE), 2) AS total_value
+FROM assigned
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+    description="Structured Streaming twin of events_sliding_windows: "
+    "1-hour windows hopping every 30 minutes through readStream, each "
+    "event updating two window states. Same batch oracle.",
+    tags=("streaming", "events", "window", "sliding"),
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = sliding_counts_stream(stream_events(spark, sf_dir))
+    return run_stream_to_memory(stream, "q_streaming_sliding_windows")
 
 
 @register(

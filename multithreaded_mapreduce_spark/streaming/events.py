@@ -107,6 +107,26 @@ def tumbling_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the ``events_sliding_windows`` batch query:
+    1-hour windows hopping every 30 minutes — each event feeds two
+    window states."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionized_stream(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Native streaming sessionization: ``session_window`` merges
     events within ``gap`` of each other per user — the stateful
