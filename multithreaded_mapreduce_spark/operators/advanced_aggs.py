@@ -92,3 +92,55 @@ def price_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+ORDER_STATUSES = ("F", "O", "P")  # fixed pivot columns → stable schema
+
+
+@register(
+    "pivot_orders_status",
+    oracle=f"""
+SELECT o_orderpriority,
+       {", ".join(
+           f"count(*) FILTER (WHERE o_orderstatus = '{s}') AS status_{s.lower()}"
+           for s in ORDER_STATUSES
+       )},
+       round(CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE), 2) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    description="Pivot: order counts per priority × status spread into "
+    "one column per status (explicit value list keeps the schema stable "
+    "— a data-driven pivot needs an extra distinct pass at 100 TB). "
+    "Oracle is the FILTER-clause conditional aggregation a pivot "
+    "desugars to.",
+    tags=("relational", "pivot", "agg"),
+)
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .agg(F.count(F.lit(1)))
+    )
+    totals = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias(
+                "total_price"
+            )
+        )
+    )
+    return (
+        pivoted.join(totals, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            *[
+                F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s.lower()}")
+                for s in ORDER_STATUSES
+            ],
+            "total_price",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -47,6 +47,7 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.sql_frontend",
     "multithreaded_mapreduce_spark.operators.advanced_aggs",
     "multithreaded_mapreduce_spark.operators.asof",
+    "multithreaded_mapreduce_spark.operators.rangejoin",
 )
 
 
