@@ -98,6 +98,64 @@ def test_multibatch_stateful_state_survives_triggers(spark, sf_dir):
     assert n_updates > len(want), "expected more than one update per user"
 
 
+def test_parquet_sink_checkpointed_exactly_once(spark, sf_dir, tmp_path):
+    """Non-aggregated stream → checkpointed parquet sink: output equals
+    the batch filter, and re-running on the same checkpoint writes
+    nothing new (committed offsets → exactly-once)."""
+    import os
+
+    from multithreaded_mapreduce_spark.sources.tables import load_table
+    from multithreaded_mapreduce_spark.streaming.sinks import (
+        read_sink,
+        run_stream_to_parquet,
+    )
+
+    out = os.path.join(str(tmp_path), "clicks")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def run():
+        clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+        run_stream_to_parquet(clicks.select("event_id", "user_id", "ts"), out, ckpt)
+
+    run()
+    want = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click").count()
+    assert read_sink(spark, out).count() == want
+    run()  # same checkpoint: no new input → no new files
+    assert read_sink(spark, out).count() == want
+
+
+def test_parquet_sink_windowed_append_emits_finalized_windows(spark, sf_dir, tmp_path):
+    """Windowed aggregate in append mode publishes a window only after
+    the watermark passes it; every published row must carry exactly the
+    batch query's value for that window. Single-file replay: all rows
+    arrive in one batch (no late-vs-watermark drops), then the no-data
+    micro-batch advances the watermark and flushes finalized windows.
+    (The random multi-file split would legitimately DROP late rows —
+    that's watermark semantics, not a sink property.)"""
+    import os
+
+    stream = tumbling_counts_stream(stream_events(spark, sf_dir))
+    out = os.path.join(str(tmp_path), "hourly")
+    ckpt = os.path.join(str(tmp_path), "ckpt2")
+    from multithreaded_mapreduce_spark.streaming.sinks import (
+        read_sink,
+        run_stream_to_parquet,
+    )
+
+    run_stream_to_parquet(stream, out, ckpt)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in read_sink(spark, out).collect()
+    }
+    assert got, "append sink emitted no finalized windows"
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in Q["events_tumbling_hourly"].builder(spark, sf_dir).collect()
+    }
+    for key, val in got.items():
+        assert want[key] == val, f"window {key}: sink={val} batch={want[key]}"
+
+
 def test_stateful_totals_equal_batch_aggregate(spark, sf_dir):
     got = {
         r.user_id: (r.n_events, r.total_value)
