@@ -356,6 +356,101 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# near-dup clustering: connected components over the pair graph
+# ------------------------------------------------------------------
+
+_CC_EDGES_CTE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS token
+  FROM documents
+), toks_clean AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks_clean GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM toks_clean a
+  JOIN toks_clean b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT s.doc_a, s.doc_b
+  FROM shared s
+  JOIN sizes sa ON s.doc_a = sa.doc_id
+  JOIN sizes sb ON s.doc_b = sb.doc_id
+  WHERE CAST(s.c AS DOUBLE) / (sa.n + sb.n - s.c) >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+)
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=_CC_EDGES_CTE
+    + """
+SELECT node AS doc_id, min(r) AS cluster_id
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+""",
+    description="Near-dup clustering: connected components over the "
+    "jaccard>=0.8 pair graph via iterative min-label propagation "
+    "(converged fixpoint, lineage cut per round with localCheckpoint). "
+    "cluster_id = smallest doc_id in the component — the canonical "
+    "document a training pipeline keeps. Oracle is a DuckDB recursive "
+    "CTE computing min over the transitive closure.",
+    tags=("dedup", "neardup", "components", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    # min-label propagation: each round every node takes the min of its
+    # own and its neighbors' labels; a component converges in O(diameter)
+    # rounds (near-dup components are clique-ish → a handful). Each round
+    # is one shuffle; localCheckpoint cuts the lineage so round N's plan
+    # doesn't replay rounds 1..N-1.
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(edges.doc_a.alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------------
 # SimHash (rows-only)
 # ------------------------------------------------------------------
 
