@@ -45,3 +45,22 @@ def cosine_exact(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity with exact-sum dot/norms; the final divide and
     sqrt are single IEEE ops, identical across engines."""
     return dot_exact(a, b) / (F.sqrt(norm_sq_exact(a)) * F.sqrt(norm_sq_exact(b)))
+
+
+def _fold_sum_fast(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_fast(a: Column | str, b: Column | str) -> Column:
+    """Plain double-precision cosine — ~100× cheaper than the decimal
+    fold but with order-dependent rounding, so NOT oracle-stable. Use it
+    to pre-rank, then rescore the survivors with ``cosine_exact``: the
+    exact/fast disagreement (~1e-15 relative) is orders of magnitude
+    below any real ranking gap, so a modest rescore buffer makes the
+    two-phase result identical to scoring everything exactly."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = _fold_sum_fast(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+    nsq_a = _fold_sum_fast(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    nsq_b = _fold_sum_fast(F.transform(b, lambda x: x.cast("double") * x.cast("double")))
+    return dot / (F.sqrt(nsq_a) * F.sqrt(nsq_b))

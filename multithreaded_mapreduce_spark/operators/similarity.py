@@ -24,12 +24,13 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_exact
+from ..functions.vectors import cosine_exact, cosine_fast
 from ..plans.registry import register
 from ..sources.tables import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
+RESCORE_BUFFER = 20  # exact-rescore depth for two-phase ranking
 SKETCH_BITS = 16
 HAMMING_RADIUS = 4
 
@@ -90,15 +91,33 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    scored = (
+    # phase 1: every pair scored with the cheap double-precision cosine,
+    # keep a rescore buffer of RESCORE_BUFFER per query (WindowGroupLimit
+    # prunes per-partition before the shuffle)
+    prelim = (
         F.broadcast(queries)
         .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
+            "q_emb",
             "neighbor_id",
-            _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+            "n_emb",
+            cosine_fast(F.col("q_emb"), F.col("n_emb")).alias("approx"),
         )
+    )
+    pw = W.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    buffer = (
+        prelim.withColumn("prnk", F.row_number().over(pw))
+        .filter(F.col("prnk") <= RESCORE_BUFFER)
+    )
+    # phase 2: oracle-stable decimal rescore of the buffer only — fast/
+    # exact disagreement (~1e-15) cannot cross the rank-5→rank-20 gap,
+    # so the final top-k equals scoring everything exactly
+    scored = buffer.select(
+        "query_id",
+        "neighbor_id",
+        _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
