@@ -47,20 +47,51 @@ def cosine_exact(a: Column | str, b: Column | str) -> Column:
     return dot_exact(a, b) / (F.sqrt(norm_sq_exact(a)) * F.sqrt(norm_sq_exact(b)))
 
 
-def _fold_sum_fast(arr: Column) -> Column:
-    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+VECTOR_DIM = 64  # the embeddings table's fixed dimensionality
 
 
-def cosine_fast(a: Column | str, b: Column | str) -> Column:
-    """Plain double-precision cosine — ~100× cheaper than the decimal
-    fold but with order-dependent rounding, so NOT oracle-stable. Use it
-    to pre-rank, then rescore the survivors with ``cosine_exact``: the
-    exact/fast disagreement (~1e-15 relative) is orders of magnitude
-    below any real ranking gap, so a modest rescore buffer makes the
-    two-phase result identical to scoring everything exactly."""
+def _unrolled_sum(terms: list[Column]) -> Column:
+    from functools import reduce
+
+    return reduce(Column.__add__, terms)
+
+
+def dot_fast(a: Column | str, b: Column | str, dim: int = VECTOR_DIM) -> Column:
+    """Double-precision dot product UNROLLED to a flat expression.
+
+    Higher-order functions (``aggregate``/``zip_with`` lambdas) run on
+    the expression interpreter — measured ~10× slower than the same
+    arithmetic unrolled into plain element_at terms, which whole-stage
+    codegen compiles. Fixed-dim vectors make unrolling free."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    dot = _fold_sum_fast(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
-    nsq_a = _fold_sum_fast(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
-    nsq_b = _fold_sum_fast(F.transform(b, lambda x: x.cast("double") * x.cast("double")))
-    return dot / (F.sqrt(nsq_a) * F.sqrt(nsq_b))
+    return _unrolled_sum(
+        [
+            F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+            for i in range(dim)
+        ]
+    )
+
+
+def norm_sq_fast(a: Column | str, dim: int = VECTOR_DIM) -> Column:
+    """Double-precision squared L2 norm, unrolled (see ``dot_fast``)."""
+    a = F.col(a) if isinstance(a, str) else a
+    return _unrolled_sum(
+        [
+            F.element_at(a, i + 1).cast("double") * F.element_at(a, i + 1).cast("double")
+            for i in range(dim)
+        ]
+    )
+
+
+def cosine_fast(a: Column | str, b: Column | str, dim: int = VECTOR_DIM) -> Column:
+    """Plain double-precision cosine — ~100× cheaper than the decimal
+    fold but with order-dependent rounding, so NOT oracle-stable. Use it
+    to pre-rank/prefilter, then rescore the survivors with
+    ``cosine_exact``: the exact/fast disagreement (~1e-15 relative) is
+    orders of magnitude below any real ranking gap, so a modest margin
+    or buffer makes the two-phase result identical to scoring
+    everything exactly. When both sides join repeatedly, precompute
+    ``norm_sq_fast`` per vector instead and divide by the stored norms.
+    """
+    return dot_fast(a, b, dim) / (F.sqrt(norm_sq_fast(a, dim)) * F.sqrt(norm_sq_fast(b, dim)))
