@@ -1,0 +1,100 @@
+"""Deterministic sampling / dataset-splitting operators for a
+training-data pipeline (SURVEY.md §2.3 extension surface).
+
+The reference engine has no sampling story (it consumes one fixture
+file whole — reference ``1.cpp:60-71``); a 100 TB corpus pipeline
+needs reproducible splits and per-stratum samples that do NOT depend
+on partitioning, row order, or executor count. Both operators below
+derive their randomness from ``md5`` of a stable business key, so the
+same row lands in the same split on a laptop and on a 1000-executor
+cluster, and both are exactly reproducible in the DuckDB oracle.
+
+Scale notes: the split is a narrow per-row projection (no shuffle —
+it pipelines into whatever consumes it); the stratified sample
+shuffles once on the stratum key for the per-stratum rank, which is
+the minimal plan for exact-k-per-stratum semantics. For approximate
+fractions at extreme scale, ``df.sampleBy`` is cheaper but neither
+deterministic across engines nor exact-k — this operator is the
+reproducible path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+#: train fraction 0.8 expressed as a 4-hex-digit threshold: the first
+#: 4 hex chars of md5(key) are uniform over [0, 65536); 0xCCCD = 52429
+#: ≈ 0.8 * 65536. Fixed-width lowercase hex compares lexicographically
+#: exactly like the number it encodes, in Spark and DuckDB alike.
+TRAIN_HEX_THRESHOLD = "cccd"
+
+SAMPLE_PER_STRATUM = 10
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+SELECT doc_id, source,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{TRAIN_HEX_THRESHOLD}'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+""",
+    description="Deterministic 80/20 train/test assignment by md5 of the "
+    "document key: partition-order-independent, reproducible across "
+    "engines and cluster sizes, and stable when the corpus grows (a doc's "
+    "split never changes as neighbors are added — unlike rand() seeds or "
+    "row-number modulo). Pure projection: no shuffle, pipelines into the "
+    "scan.",
+    tags=("sampling", "split", "pipeline"),
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < TRAIN_HEX_THRESHOLD, "train").otherwise("test").alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, lang, n_chars
+FROM ranked
+WHERE rk <= {SAMPLE_PER_STRATUM}
+ORDER BY source, doc_id
+""",
+    description="Exact k-per-stratum sample (k=10 per source): rank rows "
+    "within each stratum by md5(key) — a deterministic pseudo-random "
+    "order — and keep the first k. One shuffle on the stratum key; at "
+    "100 TB strata are handled independently so the plan parallelizes "
+    "across all executors, and AQE coalesces the post-shuffle "
+    "partitions. Deterministic alternative to sampleBy(), which is "
+    "approximate-fraction and seed/partitioning-dependent.",
+    tags=("sampling", "stratified", "pipeline"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "lang", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= SAMPLE_PER_STRATUM)
+        .drop("rk")
+        .orderBy("source", "doc_id")
+    )

@@ -48,6 +48,10 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.advanced_aggs",
     "multithreaded_mapreduce_spark.operators.asof",
     "multithreaded_mapreduce_spark.operators.rangejoin",
+    "multithreaded_mapreduce_spark.operators.sampling",
+    "multithreaded_mapreduce_spark.operators.freq",
+    "multithreaded_mapreduce_spark.operators.tpch_extra",
+    "multithreaded_mapreduce_spark.operators.broadcast_udf",
 )
 
 

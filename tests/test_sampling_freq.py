@@ -1,0 +1,96 @@
+"""Property tests for the sampling/split and frequency/sketch operators
+— the invariants their oracles can't state (determinism under
+repartitioning, CMS over-count-only, split stability)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_spark.plans.registry import all_queries
+
+Q = all_queries()
+
+
+def test_train_test_split_is_partition_independent(spark, sf_dir):
+    """The same doc gets the same split however the input is partitioned —
+    the property that makes the split reproducible on any cluster size."""
+    df = Q["train_test_split"].builder(spark, sf_dir)
+    base = {r.doc_id: r.split for r in df.collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(13)
+    rekeyed = docs.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "cccd", "train"
+        ).otherwise("test").alias("split"),
+    )
+    assert {r.doc_id: r.split for r in rekeyed.collect()} == base
+
+
+def test_train_test_split_fraction_near_80_20(spark, sf_dir):
+    counts = {
+        r.split: r.n
+        for r in Q["train_test_split"].builder(spark, sf_dir)
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert 0.68 <= counts.get("train", 0) / total <= 0.9
+
+
+def test_stratified_sample_exact_k_per_stratum(spark, sf_dir):
+    df = Q["stratified_sample"].builder(spark, sf_dir)
+    per = {r.source: r.n for r in df.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    avail = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in per.items():
+        assert n == min(10, avail[src]), (src, n, avail[src])
+    assert set(per) == set(avail)
+
+
+def test_cms_never_undercounts_and_is_tight_enough(spark, sf_dir):
+    """CMS estimates dominate true counts (min of over-counting rows) and
+    the d=4 min keeps the worst overestimate within eps*N of truth."""
+    exact_df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = {r.token: r.cnt for r in exact_df.collect()}
+    n_stream = sum(exact.values())
+    est = {r.token: r.cms_count for r in Q["heavy_hitters_cms"].builder(spark, sf_dir).collect()}
+    assert set(est) == set(exact)
+    for tok, c in exact.items():
+        assert est[tok] >= c, f"CMS undercounted {tok}: {est[tok]} < {c}"
+        # classic CMS bound with w=16: overshoot <= ~2N/w w.h.p.
+        assert est[tok] - c <= 2 * n_stream / 16, (tok, est[tok], c)
+
+
+def test_heavy_hitters_exact_threshold(spark, sf_dir):
+    df = Q["heavy_hitters_exact"].builder(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "threshold should admit hitters at every sf on this corpus"
+    assert all(r.freq > 1 / 30 for r in rows)
+    # frequencies of the reported hitters are consistent with counts
+    total_est = {round(r.cnt / r.freq) for r in rows}
+    assert len(total_est) == 1  # one common denominator: the stream size
+
+
+def test_broadcast_udf_matches_join(spark, sf_dir):
+    """The pandas_udf broadcast-dict lookup is value-identical to the
+    equivalent broadcast join."""
+    udf_rows = {
+        (r.nation, r.n_customers, r.avg_acctbal)
+        for r in Q["broadcast_lookup_udf"].builder(spark, sf_dir).collect()
+    }
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    from multithreaded_mapreduce_spark.functions.numeric import davg
+
+    join_rows = {
+        (r.nation, r.n_customers, r.avg_acctbal)
+        for r in cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), davg("c_acctbal").alias("avg_acctbal"))
+        .collect()
+    }
+    assert udf_rows == join_rows
