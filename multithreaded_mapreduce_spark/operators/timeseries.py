@@ -1,0 +1,168 @@
+"""Time-series operators over ``events``: dense resampling with gap
+fill + forward fill, and a multi-resolution rollup that derives each
+coarser grain from the next finer one's partials.
+
+The reference has no notion of time at all (SURVEY.md §2.1 — its one
+input is a bag of words); these give the engine the hypertable-style
+operations an events store needs.
+
+Scale notes: the 15-minute spine is generated from ONE global
+min/max row cross-joined with the distinct keys — at 100 TB the spine
+is still tiny (slots × keys), so the dense left join broadcasts the
+spine side, not the data. The rollup aggregates raw data ONCE at
+minute grain and derives hour and day grains by re-aggregating the
+minute partials — the classic materialized-rollup pattern: each level
+costs |finer level| rows, not another scan of the fact table. Decimal
+partial sums stay unrounded until output so every level is
+oracle-exact under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+RESAMPLE_SECONDS = 15 * 60
+
+
+@register(
+    "events_gapfill_resample",
+    oracle=f"""
+WITH slotted AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS slot, event_type,
+         count(*) AS n_events,
+         CAST(round(CAST(CAST(sum(CAST(value AS {DEC})) AS DOUBLE) / count(*)
+                         AS DECIMAL(30,12)), 4) AS DOUBLE) AS avg_value
+  FROM events
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT time_bucket(INTERVAL '15 minutes', min(ts)) AS lo,
+         time_bucket(INTERVAL '15 minutes', max(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS slot, event_type
+  FROM bounds CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT s.slot, s.event_type,
+       coalesce(sl.n_events, 0) AS n_events,
+       sl.avg_value,
+       last_value(sl.avg_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_avg
+FROM spine s LEFT JOIN slotted sl ON s.slot = sl.slot AND s.event_type = sl.event_type
+ORDER BY s.event_type, s.slot
+""",
+    description="Dense 15-minute resample per event_type: a generated "
+    "time spine left-joined with the slot aggregates, empty slots "
+    "gap-filled with 0 counts and forward-filled averages "
+    "(last-observation-carried-forward via last(ignorenulls) over an "
+    "ordered window). The spine derives from one global min/max row and "
+    "is broadcast — the fact table never reshuffles for the join.",
+    tags=("timeseries", "gapfill", "resample", "events"),
+)
+def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    slotted = (
+        events.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))).cast(
+                    "decimal(30,12)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("slot"), "event_type", "n_events", "avg_value")
+    )
+    floor15 = lambda c: F.timestamp_seconds(  # noqa: E731
+        F.floor(F.unix_timestamp(c) / RESAMPLE_SECONDS) * RESAMPLE_SECONDS
+    )
+    bounds = events.agg(
+        floor15(F.min("ts")).alias("lo"), floor15(F.max("ts")).alias("hi")
+    )
+    spine = (
+        bounds.crossJoin(events.select("event_type").distinct())
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 15 MINUTES"))).alias("slot"),
+            "event_type",
+        )
+    )
+    ffill = F.last("avg_value", ignorenulls=True).over(
+        W.partitionBy("event_type").orderBy("slot").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(F.broadcast(slotted), ["slot", "event_type"], "left")
+        .select(
+            "slot",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "avg_value",
+            ffill.alias("filled_avg"),
+        )
+        .orderBy("event_type", "slot")
+    )
+
+
+@register(
+    "events_multires_rollup",
+    oracle=f"""
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS slot, event_type,
+         count(*) AS n_events, sum(CAST(value AS {DEC})) AS sdec
+  FROM events GROUP BY 1, 2
+), hour AS (
+  SELECT date_trunc('hour', slot) AS slot, event_type,
+         sum(n_events) AS n_events, sum(sdec) AS sdec
+  FROM minute GROUP BY 1, 2
+), day AS (
+  SELECT date_trunc('day', slot) AS slot, event_type,
+         sum(n_events) AS n_events, sum(sdec) AS sdec
+  FROM hour GROUP BY 1, 2
+)
+SELECT level, slot, event_type, n_events,
+       round(CAST(sdec AS DOUBLE), 2) AS total_value
+FROM (
+  SELECT 'minute' AS level, * FROM minute
+  UNION ALL SELECT 'hour', * FROM hour
+  UNION ALL SELECT 'day', * FROM day
+)
+ORDER BY level, slot, event_type
+""",
+    description="Hierarchical minute→hour→day rollup where each coarser "
+    "grain re-aggregates the finer grain's unrounded decimal partials "
+    "instead of rescanning events — the materialized-rollup pattern: "
+    "one fact-table scan total, each extra level costs only |finer "
+    "level| rows. All three grains emitted with a level tag.",
+    tags=("timeseries", "rollup", "events"),
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    minute = events.groupBy(
+        F.date_trunc("minute", "ts").alias("slot"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast(DEC)).alias("sdec"))
+    hour = minute.groupBy(F.date_trunc("hour", "slot").alias("slot"), "event_type").agg(
+        F.sum("n_events").alias("n_events"), F.sum("sdec").alias("sdec")
+    )
+    day = hour.groupBy(F.date_trunc("day", "slot").alias("slot"), "event_type").agg(
+        F.sum("n_events").alias("n_events"), F.sum("sdec").alias("sdec")
+    )
+    levels = (
+        minute.select(F.lit("minute").alias("level"), "*")
+        .unionByName(hour.select(F.lit("hour").alias("level"), "*"))
+        .unionByName(day.select(F.lit("day").alias("level"), "*"))
+    )
+    return levels.select(
+        "level",
+        "slot",
+        "event_type",
+        "n_events",
+        F.round(F.col("sdec").cast("double"), 2).alias("total_value"),
+    ).orderBy("level", "slot", "event_type")

@@ -52,6 +52,7 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.freq",
     "multithreaded_mapreduce_spark.operators.tpch_extra",
     "multithreaded_mapreduce_spark.operators.broadcast_udf",
+    "multithreaded_mapreduce_spark.operators.timeseries",
 )
 
 

@@ -1,0 +1,56 @@
+"""Structural invariants of the time-series operators: spine density,
+gap-fill semantics, and cross-grain rollup consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_spark.plans.registry import all_queries
+
+Q = all_queries()
+
+
+def test_gapfill_spine_is_dense_and_filled(spark, sf_dir):
+    rows = Q["events_gapfill_resample"].builder(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    n_slots = {t: len(v) for t, v in by_type.items()}
+    # every event_type shares the same global spine
+    assert len(set(n_slots.values())) == 1
+    for t, series in by_type.items():
+        ts = [r.slot for r in series]
+        deltas = {(b - a).total_seconds() for a, b in zip(ts, ts[1:])}
+        assert deltas == {900.0}, f"{t}: spine not dense 15-min: {sorted(deltas)[:3]}"
+        # forward fill: once a value is seen, filled_avg is never null and
+        # equals the last non-null avg_value
+        last = None
+        for r in series:
+            if r.avg_value is not None:
+                last = r.avg_value
+            assert r.filled_avg == last
+            if r.n_events == 0:
+                assert r.avg_value is None  # gap rows carry no raw average
+
+
+def test_rollup_grains_are_consistent(spark, sf_dir):
+    df = Q["events_multires_rollup"].builder(spark, sf_dir)
+    totals = {
+        r.level: (r.n, round(r.v, 2))
+        for r in df.groupBy("level")
+        .agg(F.sum("n_events").alias("n"), F.sum("total_value").alias("v"))
+        .collect()
+    }
+    # each grain partitions the same event stream: counts identical,
+    # value totals equal up to the per-row output rounding
+    assert totals["minute"][0] == totals["hour"][0] == totals["day"][0]
+    assert abs(totals["minute"][1] - totals["day"][1]) < 0.1
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert totals["minute"][0] == n_events
+
+
+def test_rollup_day_rows_bound(spark, sf_dir):
+    df = Q["events_multires_rollup"].builder(spark, sf_dir)
+    n_day = df.filter(F.col("level") == "day").count()
+    # 30 days of data x 5 event types
+    assert n_day <= 31 * 5
