@@ -1,0 +1,155 @@
+"""Statistical aggregates (correlation, covariance, stddev, linear
+regression) and equi-width histograms — oracle-stable across engines.
+
+The reference aggregates only by counting (SURVEY.md §2.1). These add
+the second-moment statistics an analytics engine needs, computed the
+oracle-stable way: the inputs are ≤2-decimal money values, so scaling
+to integer cents (``round(x*100)`` → BIGINT) is lossless; the five
+power sums n, Σx, Σy, Σx², Σy², Σxy are then EXACT integer sums
+(per-row products fit BIGINT, the running sums accumulate in
+DECIMAL(38,0)), cast once to double, descaled by the matching power of
+ten, and the closed-form moment formulas are evaluated in IEEE double
+with an identical expression tree in Spark and DuckDB — bit-identical
+results under any partitioning. Naive ``corr()``/``covar_samp()``
+built-ins would diverge between engines (and between runs!) because
+double summation is order-dependent.
+
+Scale notes: power sums are classic map-side-combinable partials — one
+decimal quintuple per partition crosses the shuffle regardless of row
+count, exactly how a 1000-executor aggregation should look. The
+histogram's bucket id is a pure per-row projection (no two-pass
+min/max), so binning composes with pushdown and stays in one stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+#: exact integer sums of cent-scaled values and their pairwise products
+DEC38 = "decimal(38,0)"
+
+BUCKET_WIDTH = 25_000.0
+
+
+def _snap6(c: Column) -> Column:
+    return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+
+
+@register(
+    "lineitem_moment_stats",
+    oracle=f"""
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+  FROM lineitem
+), sums AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(xc AS {DEC38})) AS DOUBLE) / 100.0 AS sx,
+         CAST(sum(CAST(yc AS {DEC38})) AS DOUBLE) / 100.0 AS sy,
+         CAST(sum(CAST(xc * xc AS {DEC38})) AS DOUBLE) / 10000.0 AS sxx,
+         CAST(sum(CAST(yc * yc AS {DEC38})) AS DOUBLE) / 10000.0 AS syy,
+         CAST(sum(CAST(xc * yc AS {DEC38})) AS DOUBLE) / 10000.0 AS sxy
+  FROM cents GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  CAST(round(CAST(sx / CAST(n AS DOUBLE) AS DECIMAL(30,12)), 6) AS DOUBLE) AS mean_qty,
+  CAST(round(CAST(sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+        AS DECIMAL(30,12)), 6) AS DOUBLE) AS stddev_price,
+  CAST(round(CAST((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+        AS DECIMAL(30,12)), 6) AS DOUBLE) AS covar_qty_price,
+  CAST(round(CAST((CAST(n AS DOUBLE) * sxy - sx * sy)
+        / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))
+        AS DECIMAL(30,12)), 6) AS DOUBLE) AS corr_qty_price,
+  CAST(round(CAST((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)
+        AS DECIMAL(30,12)), 6) AS DOUBLE) AS regr_slope,
+  CAST(round(CAST((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)
+        AS DECIMAL(30,12)), 6) AS DOUBLE) AS regr_intercept
+FROM sums ORDER BY l_returnflag
+""",
+    description="Second-moment statistics of (quantity, price) per "
+    "return flag — mean, sample stddev, sample covariance, Pearson "
+    "correlation, OLS slope/intercept — derived from exact decimal "
+    "power sums so every figure is bit-identical across engines and "
+    "partitionings. The five sums are map-side-combinable partials: one "
+    "decimal quintuple per partition crosses the shuffle.",
+    tags=("stats", "aggregate", "lineitem"),
+)
+def lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("xc"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yc"),
+    )
+    xc, yc = F.col("xc"), F.col("yc")
+    sums = cents.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(xc.cast(DEC38)).cast("double") / 100.0).alias("sx"),
+        (F.sum(yc.cast(DEC38)).cast("double") / 100.0).alias("sy"),
+        (F.sum((xc * xc).cast(DEC38)).cast("double") / 10000.0).alias("sxx"),
+        (F.sum((yc * yc).cast(DEC38)).cast("double") / 10000.0).alias("syy"),
+        (F.sum((xc * yc).cast(DEC38)).cast("double") / 10000.0).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        _snap6(sx / nd).alias("mean_qty"),
+        _snap6(F.sqrt((syy - sy * sy / nd) / (nd - 1))).alias("stddev_price"),
+        _snap6((sxy - sx * sy / nd) / (nd - 1)).alias("covar_qty_price"),
+        _snap6(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        _snap6(slope).alias("regr_slope"),
+        _snap6((sy - slope * sx) / nd).alias("regr_intercept"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "order_price_histogram",
+    oracle=f"""
+SELECT CAST(floor(o_totalprice / {BUCKET_WIDTH}) AS BIGINT) AS bucket,
+       floor(o_totalprice / {BUCKET_WIDTH}) * {BUCKET_WIDTH} AS bucket_lo,
+       count(*) AS n_orders,
+       CAST(round(CAST(min(o_totalprice) AS DECIMAL(30,6)), 2) AS DOUBLE) AS min_price,
+       CAST(round(CAST(max(o_totalprice) AS DECIMAL(30,6)), 2) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY 1, 2 ORDER BY bucket
+""",
+    description="Equi-width histogram of order totals in $25k buckets. "
+    "The bucket id is a stateless per-row projection — no two-pass "
+    "min/max scan — so the whole histogram is one scan + one partial-"
+    "aggregated shuffle of |buckets| rows, and bucketing composes with "
+    "predicate pushdown at any scale.",
+    tags=("stats", "histogram", "orders"),
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / BUCKET_WIDTH)
+    return (
+        orders.groupBy(
+            bucket.alias("bucket"),
+            (bucket * BUCKET_WIDTH).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice").cast("decimal(30,6)"), 2)
+            .cast("double")
+            .alias("min_price"),
+            F.round(F.max("o_totalprice").cast("decimal(30,6)"), 2)
+            .cast("double")
+            .alias("max_price"),
+        )
+        .orderBy("bucket")
+    )

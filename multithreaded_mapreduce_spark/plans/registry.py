@@ -53,6 +53,9 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.tpch_extra",
     "multithreaded_mapreduce_spark.operators.broadcast_udf",
     "multithreaded_mapreduce_spark.operators.timeseries",
+    "multithreaded_mapreduce_spark.operators.subqueries",
+    "multithreaded_mapreduce_spark.operators.stats",
+    "multithreaded_mapreduce_spark.operators.funnel",
 )
 
 

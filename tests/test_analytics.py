@@ -1,0 +1,74 @@
+"""Structural invariants of the behavioral/statistical analytics:
+funnel monotonicity, retention bounds, moment-statistics sanity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_spark.plans.registry import all_queries
+
+Q = all_queries()
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    rows = Q["funnel_view_click_purchase"].builder(spark, sf_dir).collect()
+    assert [r.stage for r in rows] == ["view", "click", "purchase"]
+    users = [r.users for r in rows]
+    assert users == sorted(users, reverse=True), "funnel stages must shrink"
+    assert rows[0].conv_from_first == 1.0
+    assert all(0.0 <= r.conv_from_first <= 1.0 for r in rows)
+
+
+def test_retention_week0_is_full(spark, sf_dir):
+    rows = Q["cohort_weekly_retention"].builder(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r.retention <= 1.0
+        assert r.n_active <= r.cohort_size
+        if r.week_offset == 0:
+            # every user is active in their own first week by construction
+            assert r.retention == 1.0
+
+
+def test_moment_stats_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    got = {
+        r.l_returnflag: r
+        for r in Q["lineitem_moment_stats"].builder(spark, sf_dir).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        x, y = grp["l_quantity"].to_numpy(), grp["l_extendedprice"].to_numpy()
+        r = got[flag]
+        assert r.n == len(x)
+        assert math.isclose(r.mean_qty, x.mean(), rel_tol=1e-6)
+        assert math.isclose(r.stddev_price, y.std(ddof=1), rel_tol=1e-6)
+        assert math.isclose(
+            r.corr_qty_price, float(np.corrcoef(x, y)[0, 1]), rel_tol=1e-5, abs_tol=1e-6
+        )
+        slope, intercept = np.polyfit(x, y, 1)
+        assert math.isclose(r.regr_slope, float(slope), rel_tol=1e-5, abs_tol=1e-6)
+        assert math.isclose(
+            r.regr_intercept, float(intercept), rel_tol=1e-5, abs_tol=1e-3
+        )
+
+
+def test_histogram_partitions_orders(spark, sf_dir):
+    df = Q["order_price_histogram"].builder(spark, sf_dir)
+    rows = df.collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        assert r.bucket_lo == r.bucket * 25_000.0
+        assert r.bucket_lo <= r.min_price <= r.max_price < r.bucket_lo + 25_000.0
+
+
+def test_q18_threshold_holds(spark, sf_dir):
+    rows = Q["q18_large_volume_customers"].builder(spark, sf_dir).collect()
+    assert all(r.sum_qty > 300 for r in rows)
