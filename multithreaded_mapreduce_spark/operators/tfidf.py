@@ -1,0 +1,185 @@
+"""TF-IDF term weighting and a PPJoin-style prefix-filtered set-
+similarity join over ``documents``.
+
+The reference counts raw term frequency over one corpus-wide bag
+(SURVEY.md §2.1); TF-IDF is the canonical refinement (tf × ln(N/df)),
+and the prefix-filtered join is the at-scale candidate-generation
+strategy for exact-threshold set similarity (Chaudhuri et al.,
+"A Primitive Operator for Similarity Joins", ICDE'06; Xiao et al.,
+"Efficient Similarity Joins for Near Duplicate Detection", WWW'08).
+
+Scale notes: tf is one (doc, term) partial-aggregated groupBy; df is
+|vocab| rows and broadcasts back; the document count is a 1-row
+broadcast. The prefix filter sorts each doc's tokens by global rarity
+and indexes only the first |set|−⌈t·|set|⌉+1 of them — any pair with
+Jaccard ≥ t provably shares a prefix token, so the candidate join
+touches the rare tail of the posting lists instead of the full
+token×token blowup, and the exact verify runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+from .dedup import JACCARD_ORACLE, JACCARD_THRESHOLD
+
+TOP_TERMS = 3
+
+
+def _snap6(c: Column) -> Column:
+    return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+), toks_clean AS (
+  SELECT * FROM toks WHERE length(term) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks_clean GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks_clean GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+           AS tfidf_raw
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf,
+         CAST(round(CAST(tfidf_raw AS DECIMAL(30,12)), 6) AS DOUBLE) AS tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, tfidf FROM ranked WHERE rank <= {TOP_TERMS}
+ORDER BY doc_id, rank
+""",
+    description="Top-3 TF-IDF terms per document: tf from one (doc, "
+    "term) partial-aggregated groupBy, ln(N/df) idf from a broadcast "
+    "|vocab|-row table and a 1-row document count, rank via a per-doc "
+    "window with (score desc, term) tie-break so results are total-"
+    "ordered across engines. Everything stays in whole-stage codegen.",
+    tags=("text", "tfidf", "ranking"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf_raw = F.col("tf").cast("double") * F.log(
+        F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", tfidf_raw.alias("tfidf_raw"))
+    )
+    rank = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), "term")
+    )
+    return (
+        scored.select(
+            "doc_id", rank.alias("rank"), "term", "tf", _snap6(F.col("tfidf_raw")).alias("tfidf")
+        )
+        .filter(F.col("rank") <= TOP_TERMS)
+        .orderBy("doc_id", "rank")
+    )
+
+
+@register(
+    "dedup_prefix_filter",
+    oracle=JACCARD_ORACLE,
+    description="Exact-threshold Jaccard join via PPJoin-style prefix "
+    "filtering — same output as dedup_jaccard_pairs, different (at-"
+    "scale) candidate generation: tokens of each collapsed set are "
+    "ordered by global rarity, only the first n−⌈t·n⌉+1 are indexed, "
+    "and candidates come from equi-joining those prefixes (any pair "
+    "with J ≥ t provably shares a prefix token since the overlap must "
+    "reach t·max(na,nb)). Candidates then verify exactly with "
+    "array_intersect. On a heavy-tailed vocabulary this touches only "
+    "rare posting lists instead of the full token×token join.",
+    tags=("dedup", "neardup", "jaccard", "prefix-filter"),
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokset = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+            )
+        ).alias("toks"),
+    )
+    groups = (
+        tokset.filter(F.size("toks") > 0)
+        .groupBy("toks")
+        .agg(F.min("doc_id").alias("gid"), F.collect_list("doc_id").alias("members"))
+        .withColumn("n", F.size("toks"))
+        .persist()
+    )
+    # global rarity order (freq asc, token asc) over collapsed sets
+    tok = groups.select(F.col("gid"), F.col("n"), F.explode("toks").alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    pos = F.row_number().over(W.partitionBy("gid").orderBy("freq", "token"))
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_THRESHOLD)) + 1).cast(
+        "int"
+    )
+    prefixes = (
+        tok.join(F.broadcast(freq), "token")
+        .select("gid", "token", pos.alias("pos"), prefix_len.alias("plen"))
+        .filter(F.col("pos") <= F.col("plen"))
+        .select("gid", "token")
+    )
+    cand = (
+        prefixes.select(F.col("gid").alias("ga"), "token")
+        .join(prefixes.select(F.col("gid").alias("gb"), "token"), "token")
+        .filter(F.col("ga") < F.col("gb"))
+        .select("ga", "gb")
+        .distinct()
+    )
+    a = groups.select(
+        F.col("gid").alias("ga"), F.col("toks").alias("ta"),
+        F.col("members").alias("m_a"), F.col("n").alias("na"),
+    )
+    b = groups.select(
+        F.col("gid").alias("gb"), F.col("toks").alias("tb"),
+        F.col("members").alias("m_b"), F.col("n").alias("nb"),
+    )
+    c = F.size(F.array_intersect("ta", "tb"))
+    jac = c.cast("double") / (F.col("na") + F.col("nb") - c)
+    verified = (
+        cand.join(F.broadcast(a), "ga")
+        .join(F.broadcast(b), "gb")
+        .select("m_a", "m_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    pairs = (
+        verified.select(F.explode("m_a").alias("da"), "m_b", "jaccard")
+        .select("da", F.explode("m_b").alias("db"), "jaccard")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("da"), "members")
+        .select("da", F.explode("members").alias("db"))
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return pairs.unionByName(within).orderBy("doc_a", "doc_b")

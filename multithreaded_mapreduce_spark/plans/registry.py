@@ -56,6 +56,8 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.subqueries",
     "multithreaded_mapreduce_spark.operators.stats",
     "multithreaded_mapreduce_spark.operators.funnel",
+    "multithreaded_mapreduce_spark.operators.reshape",
+    "multithreaded_mapreduce_spark.operators.tfidf",
 )
 
 
