@@ -120,3 +120,79 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         .drop("_rn")
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_dedup_exactly_once",
+    oracle=f"""
+SELECT event_type, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS {DEC})) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    description="Streaming exactly-once dedup: the events stream is "
+    "unioned with itself (simulating at-least-once redelivery), then "
+    "watermark + dropDuplicates(event_id, ts) drops the echoes with "
+    "state that ages out past the watermark. The deduped append-mode "
+    "output aggregates back to exactly the batch per-type totals — "
+    "duplicates provably eliminated.",
+    tags=("streaming", "dedup", "exactly-once"),
+)
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import deduped_stream
+
+    redelivered = stream_events(spark, sf_dir).unionByName(
+        stream_events(spark, sf_dir)
+    )
+    ded = deduped_stream(redelivered).select("event_id", "ts", "event_type", "value")
+    out = run_stream_to_memory(
+        ded, "q_streaming_dedup_exactly_once", output_mode="append"
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "streaming_click_purchase_join",
+    oracle="""
+SELECT c.user_id, count(*) AS n_pairs
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY c.user_id ORDER BY c.user_id
+""",
+    description="Stream-stream interval join: clicks joined to the same "
+    "user's purchases within the following 30 minutes, watermarks on "
+    "both sides + the time-range condition bounding buffered state. "
+    "Append-mode pairs aggregate to per-user counts equal to the batch "
+    "self-join — the file replay must reproduce it exactly.",
+    tags=("streaming", "join", "interval"),
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import click_purchase_join_stream
+
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    pairs = click_purchase_join_stream(clicks, purchases)
+    out = run_stream_to_memory(
+        pairs, "q_streaming_click_purchase_join", output_mode="append"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )

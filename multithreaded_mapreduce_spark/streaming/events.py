@@ -70,14 +70,29 @@ def stream_events_multibatch(
     under the system temp dir) and sets ``maxFilesPerTrigger=1``, so a
     query sees a genuine multi-trigger replay: windows accumulate
     incrementally, stateful operators merge state batch over batch.
+
+    Files are RANGE-partitioned on ``ts`` so the replay advances
+    through event time like a real log: the watermark after trigger k
+    sits just behind slice k's end, and slice k+1 is never dropped as
+    late. A random split would let the first trigger race the
+    watermark to end-of-time and silently discard every later file —
+    that is a misconfigured-source bug, not a semantics to test.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = table_path(sf_dir, "events")
-    tag = hashlib.md5(f"{src}:{n_files}".encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{src}:{n_files}:tsorted".encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"mmr_spark_stream_split_{tag}")
     batch = spark.read.parquet(src)
     if not os.path.isdir(d) or len([f for f in os.listdir(d) if f.endswith(".parquet")]) < n_files:
-        batch.repartition(n_files).write.mode("overwrite").parquet(d)
+        batch.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(d)
+        # the file source replays in MODIFICATION-TIME order, but the
+        # executors finish part files in arbitrary order — restamp
+        # ascending mtimes in part-name order (range partition k holds
+        # time slice k) so the replay is chronological
+        parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        base = int(os.path.getmtime(os.path.join(d, parts[0])))
+        for k, f in enumerate(parts):
+            os.utime(os.path.join(d, f), (base + 10 * k, base + 10 * k))
     schema = batch.schema
     raw = (
         spark.readStream.schema(schema)
@@ -146,6 +161,39 @@ def sessionized_stream(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
             "n_events",
             "total_value",
         )
+    )
+
+
+def deduped_stream(events: DataFrame) -> DataFrame:
+    """Exactly-once projection of an at-least-once delivery: watermark
+    + ``dropDuplicates`` keyed by (event_id, ts). Including the event-
+    time column in the key lets the engine age dedup state out past the
+    watermark — the unbounded-state trap a 1000-executor job must avoid
+    (state is otherwise |all event ids ever seen|)."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicates(
+        ["event_id", "ts"]
+    )
+
+
+def click_purchase_join_stream(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each click pairs with the same user's
+    purchases in (click_ts, click_ts + horizon]. Watermarks on BOTH
+    sides plus the time-range join condition bound the buffered state to
+    watermark + horizon per side — the canonical interval-join pattern
+    (without the range condition the join state would grow forever)."""
+    c = clicks.select(
+        F.col("user_id"), F.col("ts").alias("c_ts")
+    ).withWatermark("c_ts", "10 minutes")
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    ).withWatermark("p_ts", "10 minutes")
+    return c.join(
+        p,
+        F.expr(
+            f"user_id = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL {horizon}"
+        ),
     )
 
 

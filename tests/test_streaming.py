@@ -175,3 +175,56 @@ def test_stateful_totals_equal_batch_aggregate(spark, sf_dir):
         gn, gtotal = got[uid]
         assert gn == n
         assert abs(gtotal - total) < 0.02  # float accumulation-order slack
+
+
+def test_multibatch_dedup_drops_redelivery_across_triggers(spark, sf_dir):
+    """Duplicates delivered in DIFFERENT micro-batches must still be
+    dropped: union two multibatch replays so every event arrives twice
+    across interleaved triggers, and the deduped row count must equal
+    the batch distinct count."""
+    from multithreaded_mapreduce_spark.streaming.events import (
+        deduped_stream,
+        run_stream_to_memory,
+    )
+
+    src = stream_events_multibatch(spark, sf_dir, n_files=4).unionByName(
+        stream_events_multibatch(spark, sf_dir, n_files=4)
+    )
+    out = run_stream_to_memory(
+        deduped_stream(src).select("event_id", "ts"),
+        "t_multibatch_dedup",
+        output_mode="append",
+    )
+    n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.count() == n_batch
+    assert out.select("event_id").distinct().count() == n_batch
+
+
+def test_stream_stream_join_equals_batch_self_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_spark.streaming.events import (
+        click_purchase_join_stream,
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    out = run_stream_to_memory(
+        click_purchase_join_stream(clicks, purchases),
+        "t_stream_stream_join",
+        output_mode="append",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if ev.schema["ts"].dataType.simpleString() == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    c = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("c_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    n_expected = c.join(
+        p,
+        F.expr("user_id = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"),
+    ).count()
+    assert out.count() == n_expected
