@@ -1,0 +1,170 @@
+"""Time-series anomaly detection and time-weighted averaging over
+``events`` — both oracle-exact despite floating point.
+
+The reference has no notion of time or deviation (SURVEY.md §1.1);
+these are the monitoring-style operators an events store needs: a
+trailing-window z-score flagger and the TimescaleDB-style
+time-weighted average (value integrated over its holding duration).
+
+Determinism: trailing-window sums accumulate in DECIMAL (exact, order-
+independent); every double expression afterwards is the identical IEEE
+tree in Spark and DuckDB. Event times compare in integer MICROSECONDS
+(``unix_micros`` / ``epoch_us``) — casting timestamps to epoch seconds
+truncates in Spark but rounds in DuckDB, a real cross-engine trap.
+
+Scale notes: the z-score is one window pass hash-partitioned by
+event_type (at 100 TB partition instead by (event_type, day) — the
+window frame spans ≤1 h so only a 1-hour tail per split needs
+overlap); no self-join, no shuffle beyond the partitioning. The TWA is
+lead() + one partial-aggregated groupBy per type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+HOUR_US = 3_600_000_000
+Z_CUT = 2.5
+MIN_N = 5
+
+
+@register(
+    "events_zscore_anomalies",
+    oracle=f"""
+WITH w AS (
+  SELECT event_id, ts, event_type, value,
+         count(*) OVER tw AS n,
+         CAST(sum(CAST(value AS {DEC})) OVER tw AS DOUBLE) AS s,
+         CAST(sum(CAST(value * value AS {DEC})) OVER tw AS DOUBLE) AS s2
+  FROM events
+  WINDOW tw AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                RANGE BETWEEN {HOUR_US} PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT event_id, ts, event_type, value, n,
+         (value - s / CAST(n AS DOUBLE))
+           / sqrt((s2 - s * s / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS z
+  FROM w
+  WHERE n >= {MIN_N} AND (s2 - s * s / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) > 0
+)
+SELECT event_id, ts, event_type, value,
+       CAST(round(CAST(z AS DECIMAL(30,12)), 6) AS DOUBLE) AS zscore
+FROM scored WHERE abs(z) >= {Z_CUT}
+ORDER BY event_type, ts, event_id
+""",
+    description="Trailing 1-hour z-score outliers per event_type: each "
+    "event scored against the mean/stddev of its type's previous hour "
+    "(inclusive), flagged at |z| ≥ 2.5 with ≥5 supporting points. One "
+    "window pass, sums exact in decimal, timestamps compared in integer "
+    "microseconds; no self-join.",
+    tags=("timeseries", "anomaly", "zscore", "events"),
+)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tw = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-HOUR_US, 0)
+    )
+    v = F.col("value")
+    w = ev.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(tw).alias("n"),
+        F.sum(v.cast(DEC)).over(tw).cast("double").alias("s"),
+        F.sum((v * v).cast(DEC)).over(tw).cast("double").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s, s2 = F.col("s"), F.col("s2")
+    var = (s2 - s * s / nd) / nd
+    z = (F.col("value") - s / nd) / F.sqrt(var)
+    return (
+        w.filter((F.col("n") >= MIN_N) & (var > 0))
+        .filter(F.abs(z) >= Z_CUT)  # cut on RAW z, like the oracle
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            F.round(z.cast("decimal(30,12)"), 6).cast("double").alias("zscore"),
+        )
+        .orderBy("event_type", "ts", "event_id")
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle=f"""
+WITH seg AS (
+  SELECT event_type, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+           - epoch_us(ts) AS dur_us
+  FROM events
+), spans AS (
+  SELECT event_type,
+         CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 1000000.0 AS total_s,
+         count(*) AS n_events
+  FROM events GROUP BY event_type
+), contrib AS (
+  SELECT event_type,
+         sum(CAST(value * (CAST(dur_us AS DOUBLE) / 1000000.0) AS {DEC})) AS c
+  FROM seg WHERE dur_us IS NOT NULL GROUP BY event_type
+)
+SELECT s.event_type, s.n_events,
+       CAST(round(CAST(CAST(c.c AS DOUBLE) / s.total_s AS DECIMAL(30,12)), 6) AS DOUBLE)
+         AS time_weighted_avg
+FROM spans s JOIN contrib c ON s.event_type = c.event_type
+ORDER BY s.event_type
+""",
+    description="Time-weighted average value per event_type: each "
+    "observation holds until the next one (last-point excluded), its "
+    "value weighted by holding duration in seconds and integrated over "
+    "the type's observed span — the TimescaleDB time_weight('LOCF') "
+    "semantic. Durations from lead() in integer microseconds; weighted "
+    "contributions summed exactly in decimal.",
+    tags=("timeseries", "twa", "events"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    nxt = W.partitionBy("event_type").orderBy(F.unix_micros("ts"), "event_id")
+    seg = ev.select(
+        "event_type",
+        "value",
+        (F.lead(us).over(nxt) - us).alias("dur_us"),
+    )
+    spans = ev.groupBy("event_type").agg(
+        ((F.max(us) - F.min(us)).cast("double") / 1_000_000.0).alias("total_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    contrib = (
+        seg.filter(F.col("dur_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (
+                    F.col("value") * (F.col("dur_us").cast("double") / 1_000_000.0)
+                ).cast(DEC)
+            ).alias("c")
+        )
+    )
+    return (
+        spans.join(contrib, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.round(
+                (F.col("c").cast("double") / F.col("total_s")).cast("decimal(30,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("time_weighted_avg"),
+        )
+        .orderBy("event_type")
+    )

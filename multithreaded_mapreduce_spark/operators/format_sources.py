@@ -1,0 +1,104 @@
+"""Queries proving the CSV/JSON/ORC connectors reproduce the parquet
+answers exactly (the oracle always reads the original parquet, so any
+staging or parsing loss would hash-mismatch).
+
+Reference parity: the reference's single source is whitespace text via
+``fscanf`` (``1.cpp:260``); these are the engine's ingest surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC, dsum
+from ..plans.registry import register
+from ..sources.formats import read_staged
+
+
+@register(
+    "csv_source_orders_by_priority",
+    oracle=f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE), 2) AS total_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    description="Orders aggregated per priority, read through the CSV "
+    "connector (explicit schema, header, microsecond timestamp format) "
+    "from a staged CSV copy — must match the oracle computed on the "
+    "original parquet bit-for-bit, proving the round-trip is lossless. "
+    "CSV is a row format: no pruning or pushdown, ingest-only at scale.",
+    tags=("source", "csv", "connector"),
+)
+def csv_source_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_staged(spark, sf_dir, "orders", "csv")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "json_source_events_hourly",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS {DEC})) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+""",
+    description="Hourly event rollup read through the JSON-lines "
+    "connector from a staged copy — timestamps carry an explicit "
+    "microsecond format so event-time semantics survive the round-trip; "
+    "the oracle reads the original parquet. JSON scans parse every byte "
+    "of every row: ingest-only at scale, land to columnar immediately.",
+    tags=("source", "json", "connector"),
+)
+def json_source_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_staged(spark, sf_dir, "events", "json")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "orc_source_lineitem_q6",
+    oracle=f"""
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS {DEC})) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    description="The Q6 scan-aggregate read through the ORC connector "
+    "from a staged copy — ORC keeps columnar pruning and predicate "
+    "pushdown like parquet, so this is a full-fidelity analytics source, "
+    "not just ingest. Oracle reads the original parquet.",
+    tags=("source", "orc", "connector", "pushdown"),
+)
+def orc_source_lineitem_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_staged(spark, sf_dir, "lineitem", "orc").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

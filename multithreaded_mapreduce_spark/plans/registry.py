@@ -58,6 +58,9 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.funnel",
     "multithreaded_mapreduce_spark.operators.reshape",
     "multithreaded_mapreduce_spark.operators.tfidf",
+    "multithreaded_mapreduce_spark.operators.format_sources",
+    "multithreaded_mapreduce_spark.operators.anomaly",
+    "multithreaded_mapreduce_spark.operators.cooccur",
 )
 
 
