@@ -135,16 +135,45 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefixes = (
         tok.join(F.broadcast(freq), "token")
-        .select("gid", "token", pos.alias("pos"), prefix_len.alias("plen"))
+        .select("gid", "n", "token", pos.alias("pos"), prefix_len.alias("plen"))
         .filter(F.col("pos") <= F.col("plen"))
-        .select("gid", "token")
+        .select("gid", "n", "token", "pos")
+    )
+    pa = prefixes.select(
+        F.col("gid").alias("ga"), F.col("n").alias("na"),
+        "token", F.col("pos").alias("pos_a"),
+    )
+    pb = prefixes.select(
+        F.col("gid").alias("gb"), F.col("n").alias("nb"),
+        "token", F.col("pos").alias("pos_b"),
+    )
+    # candidates: shared prefix token, with PPJoin's two cheap prunes
+    # applied BEFORE anything fat moves — (1) size-ratio inside the
+    # join condition (J >= t forces min(na,nb) >= t·max(na,nb)); (2)
+    # the positional prune after: a witness token at (pos_a, pos_b)
+    # caps the overlap at 1 + min(na−pos_a, nb−pos_b), which must reach
+    # ⌈t/(1+t)·(na+nb)⌉ — keep a pair only if its best witness passes.
+    # The groupBy doubles as the dedup `distinct` would have done, so
+    # the prune rides the same shuffle of slim int rows.
+    ubound = 1 + F.least(
+        F.col("na") - F.col("pos_a"), F.col("nb") - F.col("pos_b")
+    )
+    needed = F.ceil(
+        (F.col("na") + F.col("nb"))
+        * F.lit(JACCARD_THRESHOLD / (1.0 + JACCARD_THRESHOLD))
     )
     cand = (
-        prefixes.select(F.col("gid").alias("ga"), "token")
-        .join(prefixes.select(F.col("gid").alias("gb"), "token"), "token")
-        .filter(F.col("ga") < F.col("gb"))
+        pa.join(
+            pb,
+            (pa["token"] == pb["token"])
+            & (F.col("ga") < F.col("gb"))
+            & (F.col("na") <= F.floor(F.col("nb") / JACCARD_THRESHOLD))
+            & (F.col("nb") <= F.floor(F.col("na") / JACCARD_THRESHOLD)),
+        )
+        .groupBy("ga", "gb")
+        .agg(F.max(ubound).alias("best_ubound"), F.first(needed).alias("needed"))
+        .filter(F.col("best_ubound") >= F.col("needed"))
         .select("ga", "gb")
-        .distinct()
     )
     a = groups.select(
         F.col("gid").alias("ga"), F.col("toks").alias("ta"),
@@ -182,4 +211,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return pairs.unionByName(within).orderBy("doc_a", "doc_b")
+    # no global output sort: the pair set is ~millions of rows and the
+    # driver's comparison is order-insensitive — a total order on the
+    # output would be the single most expensive stage of the plan
+    return pairs.unionByName(within)
