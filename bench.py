@@ -39,6 +39,10 @@ HEADLINE = (
     "bucketed_join_order_revenue",   # zero-shuffle fact-fact SMJ
     "skew_salted_event_user_totals", # salted shuffle join
     "sql_q5_local_supplier_volume",  # 6-table join via raw SQL
+    "lineitem_moment_stats",         # exact decimal power-sum statistics
+    "funnel_view_click_purchase",    # chained per-user funnel aggregates
+    "events_zscore_anomalies",       # trailing range-window anomaly scan
+    "tfidf_top_terms",               # tf-idf + per-doc top-k window
 )
 
 
