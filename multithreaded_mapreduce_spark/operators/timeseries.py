@@ -166,3 +166,54 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("sdec").cast("double"), 2).alias("total_value"),
     ).orderBy("level", "slot", "event_type")
+
+
+CUTOVER = "2024-01-25"
+
+
+@register(
+    "events_incremental_rollup",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS {DEC})) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+""",
+    description="Incremental materialized-rollup maintenance: the daily "
+    "rollup of the 'already materialized' base partition (< 2024-01-25) "
+    "is MERGED with the rollup of the fresh delta partition via a full "
+    "outer join that adds the decimal partials — proving rollup(base) ⊕ "
+    "rollup(delta) = rollup(base ∪ delta), the algebra that lets a "
+    "100 TB pipeline fold a day's delta into a stored rollup without "
+    "rescanning history. Oracle recomputes from scratch; results must "
+    "be bit-identical because the partials are exact decimals.",
+    tags=("timeseries", "rollup", "incremental", "events"),
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("sdec"),
+        )
+
+    base = daily(events.filter(F.col("ts") < CUTOVER))
+    delta = daily(events.filter(F.col("ts") >= CUTOVER))
+    b = base.select("day", "event_type", F.col("n").alias("bn"), F.col("sdec").alias("bs"))
+    d = delta.select("day", "event_type", F.col("n").alias("dn"), F.col("sdec").alias("ds"))
+    zero = F.lit(0).cast(DEC)
+    return (
+        b.join(d, ["day", "event_type"], "full_outer")
+        .select(
+            "day",
+            "event_type",
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_events"),
+            F.round(
+                (F.coalesce("bs", zero) + F.coalesce("ds", zero)).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -61,6 +61,7 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.format_sources",
     "multithreaded_mapreduce_spark.operators.anomaly",
     "multithreaded_mapreduce_spark.operators.cooccur",
+    "multithreaded_mapreduce_spark.operators.vectors",
 )
 
 

@@ -97,3 +97,41 @@ def test_csv_sink_roundtrip(spark, sf_dir, tmp_path):
     write_csv(df, out)
     back = spark.read.option("header", "true").csv(out)
     assert back.count() == df.count()
+
+
+def test_moment_stats_combine_map_side(spark, sf_dir):
+    """The power sums must partial-aggregate before the exchange: one
+    decimal quintuple per partition crosses the shuffle, not rows."""
+    plan = _plan(Q["lineitem_moment_stats"].builder(spark, sf_dir))
+    agg_part = plan.split("Exchange", 1)[0]
+    # below (after in text) the first exchange there must already be a
+    # partial HashAggregate over the cent sums
+    assert "partial_sum" in plan or "partial" in agg_part.lower() or plan.count("HashAggregate") >= 2
+
+
+def test_q18_broadcasts_qualifying_orders(spark, sf_dir):
+    plan = _plan(Q["q18_large_volume_customers"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_centroid_partial_aggregates_before_shuffle(spark, sf_dir):
+    plan = _plan(Q["embedding_label_centroids"].builder(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_incremental_rollup_equals_full_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from multithreaded_mapreduce_spark.functions.numeric import DEC
+
+    inc = Q["events_incremental_rollup"].builder(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    full = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full]
