@@ -144,3 +144,35 @@ def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "approx_price_percentiles",
+    oracle=None,  # sketch-based: GK summaries differ engine-to-engine,
+    # so no exact-hash oracle; tests/test_analytics.py bounds the error
+    # against the exact interpolated percentiles instead
+    description="Approximate p50/p90/p99 of extended price per return "
+    "flag via percentile_approx (Greenwald-Khanna sketch, accuracy "
+    "10000). The sketch is mergeable — partials combine map-side like "
+    "any algebraic aggregate — which is the whole point at 100 TB: "
+    "exact percentiles need a global sort or two passes, the sketch "
+    "needs one pass and a tiny merge.",
+    tags=("aggregate", "percentile", "approx", "sketch"),
+)
+def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.9, 0.99], 10000
+            ).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

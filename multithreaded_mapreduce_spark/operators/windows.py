@@ -183,3 +183,43 @@ def part_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "p_retailprice", "p_partkey")
     )
+
+
+@register(
+    "events_rolling_median",
+    oracle="""
+SELECT event_id, ts, event_type, value,
+       CAST(round(CAST(median(value) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+       ) AS DECIMAL(30,12)), 6) AS DOUBLE) AS roll_median
+FROM events
+ORDER BY event_type, ts, event_id
+""",
+    description="Trailing 20-row median of value per event_type — the "
+    "robust-smoothing twin of the z-score mean. Spark has no exact "
+    "median window built-in, so the frame materializes via "
+    "collect_list → array_sort and picks/interpolates the middle — "
+    "O(frame log frame) per row but the frame is a constant 20; the "
+    "window is hash-partitioned by type (at 100 TB partition by "
+    "(type, day) with a 20-row overlap tail). Even frames interpolate "
+    "(a+b)/2 exactly like the oracle's median().",
+    tags=("window", "median", "timeseries", "events"),
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    frame = W.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    arr = F.array_sort(F.collect_list("value").over(frame))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, (n / 2).cast("int"))
+    median = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2
+    )
+    return ev.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.round(median.cast("decimal(30,12)"), 6).cast("double").alias("roll_median"),
+    ).orderBy("event_type", "ts", "event_id")

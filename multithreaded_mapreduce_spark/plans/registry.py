@@ -62,6 +62,7 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.anomaly",
     "multithreaded_mapreduce_spark.operators.cooccur",
     "multithreaded_mapreduce_spark.operators.vectors",
+    "multithreaded_mapreduce_spark.operators.graph",
 )
 
 

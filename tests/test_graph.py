@@ -1,0 +1,65 @@
+"""PageRank verified against a NumPy power iteration on the same
+edge weights, plus sketch-percentile error bounds."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_spark.operators.graph import (
+    DAMPING,
+    N_ITER,
+    cooccurrence_edges,
+)
+from multithreaded_mapreduce_spark.plans.registry import all_queries
+
+Q = all_queries()
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    edges = cooccurrence_edges(spark, sf_dir).collect()
+    tokens = sorted({r.src for r in edges} | {r.dst for r in edges})
+    idx = {t: i for i, t in enumerate(tokens)}
+    n = len(tokens)
+    w = np.zeros((n, n))
+    for r in edges:
+        w[idx[r.src], idx[r.dst]] = r.weight
+    p = w / w.sum(axis=1, keepdims=True)  # row-stochastic transition
+    rank = np.full(n, 1.0 / n)
+    for _ in range(N_ITER):
+        rank = (1 - DAMPING) / n + DAMPING * (p.T @ rank)
+
+    got = {r.token: r.rank for r in Q["token_pagerank"].builder(spark, sf_dir).collect()}
+    assert set(got) == set(tokens)
+    for t in tokens:
+        assert math.isclose(got[t], rank[idx[t]], rel_tol=1e-6, abs_tol=1e-9), t
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
+
+
+def test_approx_percentiles_within_bounds(spark, sf_dir):
+    approx = {
+        r.l_returnflag: (r.p50, r.p90, r.p99)
+        for r in Q["approx_price_percentiles"].builder(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for flag, (p50, p90, p99) in approx.items():
+        vals = sorted(
+            r.l_extendedprice
+            for r in li.filter(F.col("l_returnflag") == flag).collect()
+        )
+        for p, got in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            # GK sketch at accuracy 10000: rank error <= n/10000; allow
+            # a generous positional slack for tiny groups
+            k = int(p * (len(vals) - 1))
+            slack = max(3, len(vals) // 1000)
+            lo = vals[max(0, k - slack)]
+            hi = vals[min(len(vals) - 1, k + slack)]
+            assert lo <= got <= hi, (flag, p, got, lo, hi)
+
+
+def test_rolling_median_is_robust_center(spark, sf_dir):
+    rows = Q["events_rolling_median"].builder(spark, sf_dir).limit(500).collect()
+    for r in rows:
+        assert r.roll_median is not None
