@@ -1,0 +1,112 @@
+"""Order-preserving sequence assembly over ``events`` — collapsing a
+user's event stream into one ordered row, the operation that turns raw
+logs into training examples (conversation turns, clickstreams,
+session traces).
+
+The reference never aggregates anything but counts (SURVEY.md §2.1).
+Spark has no ORDER BY inside an aggregate, so the idiomatic exact
+pattern is: pack (sort keys + payload) into structs, ``collect_list``
+per group, ``array_sort`` (struct comparison is field-order
+lexicographic, so (ts, event_id) keys make the sort total), then
+``transform`` out the payload. All JVM-side, no window pass, no UDF.
+
+Scale notes: one shuffle on user_id with map-side partial
+collect_list; the per-user array is bounded by the user's event count
+— the same memory bound any sequence-assembly job carries. The sort
+happens AFTER grouping on the already-assembled array (O(k log k) per
+user), not as a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+
+
+@register(
+    "user_event_sequences",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       string_agg(event_type, '->' ORDER BY ts, event_id) AS type_path
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    description="Each user's full event-type path in exact time order "
+    "('view->click->purchase->…'), with count and first/last "
+    "timestamps. Order-preserving aggregation via struct-packed "
+    "collect_list + array_sort on (ts, event_id) + transform + "
+    "array_join — Spark's exact equivalent of ORDER BY inside "
+    "string_agg, entirely JVM-side with map-side partials.",
+    tags=("events", "sequence", "nested", "aggregate"),
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    packed = F.collect_list(F.struct("ts", "event_id", "event_type"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            packed.alias("seq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "first_ts",
+            "last_ts",
+            F.array_join(
+                F.transform(F.array_sort("seq"), lambda s: s["event_type"]),
+                "->",
+            ).alias("type_path"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "user_purchase_sequences",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_purchases,
+       string_agg(CAST(CAST(round(CAST(value AS DECIMAL(30,6)), 2) AS DECIMAL(30,2)) AS VARCHAR),
+                  ',' ORDER BY ts, event_id) AS amount_path
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+""",
+    description="Per-user purchase-amount trajectory in time order, "
+    "amounts snapped to 2-decimal strings so the rendering is engine-"
+    "independent. Same struct-pack / array_sort / transform pattern as "
+    "the type-path query, after a pushed-down event_type filter.",
+    tags=("events", "sequence", "nested", "aggregate"),
+)
+def user_purchase_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    amount = F.round(F.col("value").cast("decimal(30,6)"), 2).cast("decimal(30,2)")
+    packed = F.collect_list(F.struct("ts", "event_id", amount.alias("amt")))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"), packed.alias("seq"))
+        .select(
+            "user_id",
+            "n_purchases",
+            F.array_join(
+                F.transform(
+                    F.array_sort("seq"), lambda s: s["amt"].cast("string")
+                ),
+                ",",
+            ).alias("amount_path"),
+        )
+        .orderBy("user_id")
+    )

@@ -63,6 +63,9 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.cooccur",
     "multithreaded_mapreduce_spark.operators.vectors",
     "multithreaded_mapreduce_spark.operators.graph",
+    "multithreaded_mapreduce_spark.operators.sequences",
+    "multithreaded_mapreduce_spark.operators.fuzzy",
+    "multithreaded_mapreduce_spark.operators.schema_evolution",
 )
 
 

@@ -72,3 +72,24 @@ def test_histogram_partitions_orders(spark, sf_dir):
 def test_q18_threshold_holds(spark, sf_dir):
     rows = Q["q18_large_volume_customers"].builder(spark, sf_dir).collect()
     assert all(r.sum_qty > 300 for r in rows)
+
+
+def test_event_sequence_path_matches_count(spark, sf_dir):
+    rows = Q["user_event_sequences"].builder(spark, sf_dir).collect()
+    for r in rows:
+        assert len(r.type_path.split("->")) == r.n_events
+        assert r.first_ts <= r.last_ts
+
+
+def test_edit_distance_pairs_are_tight(spark, sf_dir):
+    rows = Q["dedup_edit_distance"].builder(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r.edits <= 5
+        assert r.doc_a < r.doc_b
+
+
+def test_schema_evolution_buckets_cover_all_orders(spark, sf_dir):
+    rows = Q["schema_evolution_orders"].builder(spark, sf_dir).collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert any(r.o_orderpriority == "<pre-schema>" for r in rows)
