@@ -110,3 +110,110 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
+
+
+Q14_M0, Q14_M1 = "1996-03-01", "1996-04-01"
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+WITH j AS (
+  SELECT p.p_type, l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{Q14_M0}' AND l.l_shipdate < TIMESTAMP '{Q14_M1}'
+)
+SELECT
+  CAST(round(CAST(
+    100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(rev AS {DEC}) END) AS DOUBLE)
+          / CAST(sum(CAST(rev AS {DEC})) AS DOUBLE)
+    AS DECIMAL(30,12)), 6) AS DOUBLE) AS promo_share_pct,
+  count(*) AS n_items
+FROM j
+""",
+    description="TPC-H Q14 shape: percentage of one month's revenue "
+    "from PROMO-type parts — conditional aggregation (CASE inside SUM) "
+    "over a fact⋈dim join with the date filter pushed to the lineitem "
+    "scan. Both the conditional and total sums are exact decimals, so "
+    "the ratio is one deterministic double division. The part side "
+    "broadcasts; lineitem never reshuffles.",
+    tags=("relational", "tpch", "conditional-agg", "join"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= Q14_M0) & (F.col("l_shipdate") < Q14_M1)
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.sum(promo).cast("double")
+                    / F.sum(rev).cast("double")
+                ).cast("decimal(30,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "nation_revenue_share",
+    oracle=f"""
+WITH nrev AS (
+  SELECT n.n_name,
+         sum(CAST(o.o_totalprice AS {DEC})) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       CAST(round(CAST(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE)
+                       AS DECIMAL(30,12)), 6) AS DOUBLE) AS share
+FROM nrev ORDER BY n_name
+""",
+    description="Percent-of-total (ratio_to_report) per nation: revenue "
+    "aggregated per nation, then divided by an unpartitioned window sum "
+    "over the |nations|-row aggregate — the global total is computed on "
+    "25 rows, never on the fact table. Exact decimal partials make the "
+    "shares deterministic.",
+    tags=("relational", "window", "ratio", "join"),
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nrev = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    total = F.sum("rev").over(W.partitionBy())
+    return nrev.select(
+        "n_name",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            (F.col("rev").cast("double") / total.cast("double")).cast(
+                "decimal(30,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("share"),
+    ).orderBy("n_name")

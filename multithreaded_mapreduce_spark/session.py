@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOTE: runtime-filter injection (bloomFilter / semiJoinReduction)
+        # is deliberately LEFT AT DEFAULT: measured here, enabling it sent
+        # the optimizer into a multi-minute planning blowup on the deeply
+        # nested iterative plans (10-round PageRank join tree). On a real
+        # cluster enable it per-query for selective fact⋈dim joins, not
+        # globally.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
