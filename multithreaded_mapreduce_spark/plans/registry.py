@@ -51,6 +51,7 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.sampling",
     "multithreaded_mapreduce_spark.operators.freq",
     "multithreaded_mapreduce_spark.operators.tpch_extra",
+    "multithreaded_mapreduce_spark.operators.tpch_full",
     "multithreaded_mapreduce_spark.operators.broadcast_udf",
     "multithreaded_mapreduce_spark.operators.timeseries",
     "multithreaded_mapreduce_spark.operators.subqueries",
