@@ -292,12 +292,13 @@ N_BANDS = 4  # bands of 4 signatures each
     "then exact Jaccard verification >= 0.8. Docs are first collapsed by "
     "identical distinct-token set (exact-dup collapse — the standard first "
     "step of a near-dup pass), signatures are computed per unique set "
-    "straight from its token array (no explode shuffle), candidates only "
-    "form inside equal band-hash buckets, and verification is an "
-    "array_intersect/array_union over the compact token arrays instead of "
-    "a re-exploded token join. xxhash64 signatures are Spark-deterministic "
-    "but engine-specific → rows-only check; the Jaccard verify step ties "
-    "its output to dedup_jaccard_pairs semantics (asserted in tests).",
+    "straight from its hashed-token array (no explode shuffle), candidates "
+    "only form inside equal band-hash buckets under a size-ratio prune, "
+    "and verification is an array_intersect/array_union over fixed-width "
+    "token-hash arrays — strings are hashed once at ingest and never "
+    "compared again. xxhash64 signatures are Spark-deterministic but "
+    "engine-specific → rows-only check; the Jaccard verify step ties its "
+    "output to dedup_jaccard_pairs semantics (asserted in tests).",
     tags=("dedup", "neardup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,23 +312,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # collapse identical sets: pairs within a group are jaccard 1.0 by
     # definition (and identical sets always share every band hash), so
-    # MinHash/LSH/verify only needs to run once per unique set
+    # MinHash/LSH/verify only needs to run once per unique set.
+    # Tokens are hashed ONCE to 64-bit values; signatures, banding, and
+    # Jaccard verification all run over the fixed-width hash array —
+    # variable-length strings never travel past this projection.
     # persist: four branches (signatures, both verify sides, within-group
     # expansion) consume this small relation; without it Spark recomputes
     # the scan+groupBy per branch (column pruning defeats ReusedExchange)
-    groups = tokset.groupBy("toks").agg(
-        F.min("doc_id").alias("gid"), F.collect_list("doc_id").alias("members")
-    ).persist()
+    groups = (
+        tokset.groupBy("toks")
+        .agg(F.min("doc_id").alias("gid"), F.collect_list("doc_id").alias("members"))
+        .select(
+            "gid",
+            "members",
+            F.transform("toks", lambda t: F.xxhash64(t)).alias("toks_h"),
+            F.size("toks").alias("n"),
+        )
+        .persist()
+    )
 
     def _minhash(i: int):
-        return F.array_min(F.transform("toks", lambda t: F.xxhash64(t, F.lit(i))))
+        # re-hash the 8-byte token hash with the family index — far
+        # cheaper than re-hashing the string N_HASHES times, same
+        # min-wise behavior (64-bit collisions are negligible)
+        return F.array_min(F.transform("toks_h", lambda h: F.xxhash64(h, F.lit(i))))
 
     sigs = groups.select(
-        "gid", "toks", *[_minhash(i).alias(f"s{i}") for i in range(N_HASHES)]
+        "gid", "n", *[_minhash(i).alias(f"s{i}") for i in range(N_HASHES)]
     )
     rows_per_band = N_HASHES // N_BANDS
     bands = sigs.select(
         "gid",
+        "n",
         F.posexplode(
             F.array(
                 *[
@@ -341,28 +357,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band", "band_hash"),
     )
     # candidate pairs stay slim (two longs) through the bucket self-join
-    # and the distinct; a pair colliding in several bands deduplicates
-    # BEFORE any array work happens
+    # and the distinct; the size-ratio prune (jaccard >= t requires the
+    # smaller set to be >= t × the larger) drops hopeless pairs before
+    # they even reach the distinct, and a pair colliding in several bands
+    # deduplicates BEFORE any array work happens
     cand = (
         bands.alias("x")
         .join(
             bands.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.gid") < F.col("y.gid")),
+            & (F.col("x.gid") < F.col("y.gid"))
+            & (F.col("x.n") <= F.floor(F.col("y.n") / JACCARD_THRESHOLD))
+            & (F.col("y.n") <= F.floor(F.col("x.n") / JACCARD_THRESHOLD)),
         )
         .select(F.col("x.gid").alias("ga"), F.col("y.gid").alias("gb"))
         .distinct()
     )
-    # exact Jaccard verification on candidate group pairs: token arrays are
-    # bounded by doc length, so intersect/union per pair is O(|a|+|b|) in
-    # codegen — no shuffle of exploded tokens. The group table joins by
-    # gid; AQE broadcasts it when small, shuffles by key at 100 TB.
+    # exact Jaccard verification on candidate group pairs: intersect/union
+    # over fixed-width long arrays is O(|a|+|b|) integer compares in
+    # codegen — no shuffle of exploded tokens, no string comparisons. The
+    # group table joins by gid; AQE broadcasts it when small, shuffles by
+    # key at 100 TB.
     ga = groups.select(
-        F.col("gid").alias("ga"), F.col("toks").alias("toks_a"), F.col("members").alias("m_a")
+        F.col("gid").alias("ga"), F.col("toks_h").alias("toks_a"), F.col("members").alias("m_a")
     )
     gb = groups.select(
-        F.col("gid").alias("gb"), F.col("toks").alias("toks_b"), F.col("members").alias("m_b")
+        F.col("gid").alias("gb"), F.col("toks_h").alias("toks_b"), F.col("members").alias("m_b")
     )
     jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
         F.array_union("toks_a", "toks_b")

@@ -24,7 +24,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_exact, cosine_fast
+from ..functions.vectors import cosine_exact, dot_fast, norm_sq_fast
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -89,21 +89,36 @@ ORDER BY query_id, rnk
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_sq_fast("embedding").alias("q_nsq"),
     )
-    # phase 1: every pair scored with the cheap double-precision cosine,
-    # keep a rescore buffer of RESCORE_BUFFER per query (WindowGroupLimit
-    # prunes per-partition before the shuffle)
+    # phase 1: every pair scored with the cheap double-precision cosine.
+    # Norms are precomputed ONCE PER VECTOR on each side before the cross
+    # join — scoring a pair is then just the 64 dot-product multiplies
+    # instead of 192 (dot + both norms re-derived per pair). The approx
+    # phase only ranks, so sqrt(q_nsq*n_nsq) vs sqrt(q)*sqrt(n) ulp
+    # differences are immaterial; the exact rescore below is unchanged.
+    # Keep a rescore buffer of RESCORE_BUFFER per query (WindowGroupLimit
+    # prunes per-partition before the shuffle).
+    neighbors = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        norm_sq_fast("embedding").alias("n_nsq"),
+    )
     prelim = (
         F.broadcast(queries)
-        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")))
+        .crossJoin(neighbors)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "q_emb",
             "neighbor_id",
             "n_emb",
-            cosine_fast(F.col("q_emb"), F.col("n_emb")).alias("approx"),
+            (
+                dot_fast(F.col("q_emb"), F.col("n_emb"))
+                / F.sqrt(F.col("q_nsq") * F.col("n_nsq"))
+            ).alias("approx"),
         )
     )
     pw = W.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("neighbor_id"))
