@@ -182,3 +182,57 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "map_functions",
+    oracle="""
+WITH pt AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+), mx AS (
+  SELECT user_id, max(c) AS mc FROM pt GROUP BY user_id
+)
+SELECT p.user_id,
+       count(*) AS n_types,
+       sum(p.c) AS total_events,
+       min(p.event_type) FILTER (WHERE p.c = m.mc) AS top_type,
+       min(m.mc) AS top_count
+FROM pt p JOIN mx m ON p.user_id = m.user_id
+GROUP BY p.user_id
+ORDER BY p.user_id
+""",
+    description="Map-type functions over a per-user event_type→count "
+    "map built with map_from_entries(collect_list(struct)): size, "
+    "aggregate over map_values, and argmax via map_filter + map_keys "
+    "with a deterministic min-key tiebreak. The map stays internal — "
+    "the output is scalar columns, so the DuckDB oracle needs no map "
+    "type. Scale: one partial+final aggregation to (user, type) "
+    "pairs, then one to users; the map is bounded by the event-type "
+    "cardinality, never the event count.",
+    tags=("scalar", "map"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("event_type", "c")))
+    )
+    mapped = per_type.groupBy("user_id").agg(m.alias("type_counts"))
+    tc = F.col("type_counts")
+    total = F.aggregate(
+        F.map_values(tc), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    top_count = F.array_max(F.map_values(tc))
+    top_type = F.array_min(
+        F.map_keys(F.map_filter(tc, lambda _, v: v == top_count))
+    )
+    return mapped.select(
+        "user_id",
+        F.size(tc).cast("long").alias("n_types"),
+        total.alias("total_events"),
+        top_type.alias("top_type"),
+        top_count.alias("top_count"),
+    ).orderBy("user_id")
