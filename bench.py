@@ -43,6 +43,10 @@ HEADLINE = (
     "funnel_view_click_purchase",    # chained per-user funnel aggregates
     "events_zscore_anomalies",       # trailing range-window anomaly scan
     "tfidf_top_terms",               # tf-idf + per-doc top-k window
+    "q7_volume_shipping",            # role-playing dims, 6-table join
+    "q13_customer_distribution",     # outer-join double aggregation
+    "q19_disjunctive_revenue",       # disjunctive join predicate residual
+    "events_session_window_native",  # built-in session_window aggregation
 )
 
 

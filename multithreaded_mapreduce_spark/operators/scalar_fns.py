@@ -236,3 +236,40 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_type.alias("top_type"),
         top_count.alias("top_count"),
     ).orderBy("user_id")
+
+
+@register(
+    "json_typed_extraction",
+    oracle="""
+SELECT CAST(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) // 10 AS BIGINT)
+         AS k_decile,
+       count(*) AS n_events,
+       min(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS min_k,
+       max(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS max_k
+FROM events
+WHERE regexp_extract(props, '"k": (-?\\d+)', 1) <> ''
+GROUP BY k_decile
+ORDER BY k_decile
+""",
+    description="Schema-on-read JSON parsing: from_json(props, 'k LONG') "
+    "turns the string column into a typed struct ONCE per row (vs "
+    "get_json_object's per-path re-parse in json_event_props — its twin), "
+    "then buckets k into deciles. Malformed rows parse to null and drop "
+    "out, matching the oracle's empty-extract filter. At scale the parse "
+    "cost is one pass and the struct prunes to the single accessed field.",
+    tags=("scalar", "json", "schema-on-read"),
+)
+def json_typed_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        F.from_json("props", "k LONG").alias("p")
+    ).select(F.col("p.k").alias("k")).filter(F.col("k").isNotNull())
+    return (
+        parsed.groupBy(F.floor(F.col("k") / 10).alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_decile")
+    )

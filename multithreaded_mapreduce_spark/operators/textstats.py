@@ -253,3 +253,59 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "clean_corpus_pipeline",
+    oracle=r"""
+WITH q AS (
+  SELECT doc_id, source, lang, n_chars, md5(text) AS h,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         t -> length(t) > 0)) AS n_toks
+  FROM documents
+  WHERE len(list_filter(string_split_regex(text, '\s+'),
+                        t -> length(t) > 0)) >= 10
+    AND n_chars <= 400
+), kept AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM q
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       sum(n_toks) AS n_tokens,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+FROM kept WHERE rn = 1
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+    description="End-to-end training-corpus curation in one plan: "
+    "quality gate (>= 10 tokens, <= 400 chars) → exact dedup keeping "
+    "the lowest doc_id per content digest → per-(source, lang) corpus "
+    "stats. The composition the LLM-data extensions exist for, as a "
+    "single Catalyst plan: the quality filter pushes into the scan, "
+    "dedup shuffles 32-byte digests (never text), and the final rollup "
+    "is partial+final. At 100 TB each stage feeds the next without "
+    "materialization.",
+    tags=("text", "pipeline", "dedup", "quality"),
+)
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
+    qual = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        F.md5("text").alias("h"),
+        n_toks.alias("n_toks"),
+    ).filter((F.col("n_toks") >= 10) & (F.col("n_chars") <= 400))
+    rn = F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+    kept = qual.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return (
+        kept.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        )
+        .orderBy("source", "lang")
+    )
