@@ -1,8 +1,10 @@
 from .binary import (
     FEATURE_DIM,
     MEDIA_SCHEMA,
+    RESIZE_TARGET,
     decode_images,
     extract_features,
+    resize_images,
     sample_frames,
     synthesize_media,
 )
@@ -10,8 +12,10 @@ from .binary import (
 __all__ = [
     "FEATURE_DIM",
     "MEDIA_SCHEMA",
+    "RESIZE_TARGET",
     "decode_images",
     "extract_features",
+    "resize_images",
     "sample_frames",
     "synthesize_media",
 ]

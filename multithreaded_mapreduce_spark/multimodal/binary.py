@@ -166,3 +166,71 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(frames, out_schema)
+
+
+RESIZE_TARGET = 64  # longest-edge pixels after resize
+
+
+def resize_images(
+    media: DataFrame, target: int = RESIZE_TARGET, *, fake_codec: bool = False
+) -> DataFrame:
+    """Aspect-preserving thumbnail resize via mapInPandas.
+
+    The geometry (decode dims → scale longest edge to ``target`` →
+    output buffer of ``w*h*c`` bytes) is real plumbing; the resample
+    itself is STUBBED — a real implementation calls the codec's
+    resize (PIL ``Image.resize``/libvips ``thumbnail``), absent in
+    this container, so the fake derives the resized buffer
+    deterministically from (payload, target geometry). Output carries
+    the buffer's digest and size, never the buffer — at 100 TB
+    thumbnails write to object storage from the executor; only
+    pointers and stats flow through the plan.
+    """
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("orig_width", T.IntegerType(), False),
+            T.StructField("orig_height", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_channels", T.IntegerType(), False),
+            T.StructField("resized_md5", T.StringType(), False),
+            T.StructField("resized_bytes", T.LongType(), False),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in out_schema.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c = _decode_payload(payload, fake_codec)
+                scale = target / max(w, h)
+                nw = max(1, round(w * scale))
+                nh = max(1, round(h * scale))
+                # STUB resample: deterministic bytes standing in for the
+                # interpolated pixel buffer
+                seed = hashlib.sha256(payload + f"{nw}x{nh}x{c}".encode()).digest()
+                buf = (seed * (nw * nh * c // len(seed) + 1))[: nw * nh * c]
+                cols["media_id"].append(mid)
+                cols["orig_width"].append(w)
+                cols["orig_height"].append(h)
+                cols["width"].append(nw)
+                cols["height"].append(nh)
+                cols["n_channels"].append(c)
+                cols["resized_md5"].append(hashlib.md5(buf).hexdigest())
+                cols["resized_bytes"].append(len(buf))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(cols["media_id"], dtype="int64"),
+                    "orig_width": pd.array(cols["orig_width"], dtype="int32"),
+                    "orig_height": pd.array(cols["orig_height"], dtype="int32"),
+                    "width": pd.array(cols["width"], dtype="int32"),
+                    "height": pd.array(cols["height"], dtype="int32"),
+                    "n_channels": pd.array(cols["n_channels"], dtype="int32"),
+                    "resized_md5": cols["resized_md5"],
+                    "resized_bytes": pd.array(cols["resized_bytes"], dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(resize, out_schema)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..multimodal.binary import (
     decode_images,
     extract_features,
+    resize_images,
     sample_frames,
     synthesize_media,
 )
@@ -66,3 +67,16 @@ def media_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synthesize_media(spark, n=_N_MEDIA), n_frames=4)
+
+
+@register(
+    "media_resize",
+    oracle=None,
+    description="Aspect-preserving thumbnail resize (longest edge → 64) "
+    "via mapInPandas: real geometry and Arrow plumbing, resample stubbed "
+    "deterministically (no codec in this container). Emits digest + size "
+    "per thumbnail, never the pixel buffer.",
+    tags=("multimodal", "image", "resize", "pandas-udf"),
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_images(synthesize_media(spark, n=_N_MEDIA), fake_codec=True)

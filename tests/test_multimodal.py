@@ -64,3 +64,35 @@ def test_frame_sampling_fan_out(spark):
     for r in frames:
         per.setdefault(r.media_id, []).append(r.frame_idx)
     assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
+
+
+def test_resize_preserves_aspect_and_is_deterministic(spark):
+    from multithreaded_mapreduce_spark.multimodal import (
+        RESIZE_TARGET,
+        resize_images,
+    )
+
+    media = synthesize_media(spark, n=24)
+    a = resize_images(media, fake_codec=True).collect()
+    b = resize_images(media, fake_codec=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == len([r for r in media.collect() if r.kind == "image"])
+    for r in a:
+        # longest edge hits the target (rounding keeps it exact: the
+        # longest edge scales by target/max, so round(max*scale)==target)
+        assert max(r.width, r.height) == RESIZE_TARGET
+        assert 1 <= min(r.width, r.height) <= RESIZE_TARGET
+        # aspect ratio preserved within rounding
+        orig_ratio = r.orig_width / r.orig_height
+        new_ratio = r.width / r.height
+        assert abs(orig_ratio - new_ratio) <= max(orig_ratio, new_ratio) * 0.1
+        assert r.resized_bytes == r.width * r.height * r.n_channels
+
+
+def test_resize_stub_raises_without_codec(spark):
+    from multithreaded_mapreduce_spark.multimodal import resize_images
+
+    media = synthesize_media(spark, n=6)
+    with pytest.raises(Exception) as exc_info:
+        resize_images(media).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "codec" in str(exc_info.value)
