@@ -176,3 +176,71 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "boolean_bitwise_aggs",
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big_qty,
+       bool_and(l_discount <= 0.1) AS all_low_discount,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       bit_and(l_linenumber) AS line_bit_and,
+       bit_or(l_linenumber) AS line_bit_or,
+       bit_xor(l_linenumber) AS line_bit_xor
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="Aggregate-function breadth per return flag: count_if, "
+    "bool_and/bool_or, and bitwise bit_and/bit_or/bit_xor — all "
+    "order-independent (commutative/associative), so partial+final "
+    "hash aggregation needs no determinism care at any partitioning. "
+    "One scan, four pruned columns.",
+    tags=("aggregation", "boolean", "bitwise"),
+)
+def boolean_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_big_qty"),
+            F.bool_and(F.col("l_discount") <= 0.1).alias("all_low_discount"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+            F.bit_and("l_linenumber").alias("line_bit_and"),
+            F.bit_or("l_linenumber").alias("line_bit_or"),
+            F.bit_xor("l_linenumber").alias("line_bit_xor"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "string_agg_status_list",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+         AS statuses,
+       count(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    description="Deterministic string aggregation: the sorted distinct "
+    "status list per order priority via collect_set → array_sort → "
+    "array_join (Spark's collect_set order is partition-dependent; the "
+    "sort makes the concatenation order-independent, matching DuckDB's "
+    "ORDER BY string_agg). The set is bounded by status cardinality, "
+    "never row count, so the agg state stays tiny at any scale.",
+    tags=("aggregation", "string"),
+)
+def string_agg_status_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
