@@ -1,0 +1,71 @@
+"""Command-line entry point — the reference's end-user surface on Spark.
+
+The reference binary asks for a text file and prints ``word: count``
+lines in ascending byte order (reference ``1.cpp:248-264`` +
+``1.cpp:322-327``). ``count-file`` reproduces exactly that; ``run``
+executes any registered query; ``list`` shows the catalog.
+
+Usage::
+
+    python -m multithreaded_mapreduce_spark count-file input.txt
+    python -m multithreaded_mapreduce_spark run q1_pricing_summary [sf_dir]
+    python -m multithreaded_mapreduce_spark list
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="multithreaded_mapreduce_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_count = sub.add_parser("count-file", help="word-count a text file (reference UX)")
+    p_count.add_argument("path")
+
+    p_run = sub.add_parser("run", help="run a registered query and show its result")
+    p_run.add_argument("name")
+    p_run.add_argument("sf_dir", nargs="?", default=DEFAULT_SF_DIR)
+    p_run.add_argument("--rows", type=int, default=20, help="rows to display")
+
+    sub.add_parser("list", help="list registered queries")
+
+    args = parser.parse_args(argv)
+
+    from .plans.registry import all_queries
+
+    queries = all_queries()
+
+    if args.cmd == "list":
+        for name, q in sorted(queries.items()):
+            kind = "oracle" if q.oracle else "rows-only"
+            print(f"{name}  [{kind}]  {', '.join(q.tags)}")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark("cli")
+    try:
+        if args.cmd == "count-file":
+            from .operators.wordcount import word_count
+            from .sinks.writers import format_console
+
+            counts = word_count(spark.read.text(args.path))
+            for line in format_console(counts):
+                print(line)
+        else:
+            if args.name not in queries:
+                print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+                return 2
+            queries[args.name].builder(spark, args.sf_dir).show(args.rows, truncate=False)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
