@@ -1,14 +1,16 @@
-"""Remaining feasible TPC-H query shapes (Q7/Q8/Q10/Q13/Q17/Q19/Q21),
-adapted to the synthetic star schema's columns.
+"""Remaining feasible TPC-H query shapes
+(Q7/Q8/Q9/Q10/Q13/Q15/Q17/Q19/Q21), adapted to the synthetic star
+schema's columns.
 
 The reference computes a single fixed word count (reference ``1.cpp``
 whole file; SURVEY.md §2.1) — it has no joins at all — so all of these
 exercise engine surface the reference lacks. The schema has no
 ``partsupp`` table and lineitem carries no commit/receipt dates or ship
-modes (TESTDATA.md), so Q2/Q9/Q11/Q12/Q16/Q20 are not expressible;
+modes (TESTDATA.md), so Q2/Q11/Q12/Q16/Q20 are not expressible;
 Q21 is adapted to use ``l_returnflag`` in place of the receipt-late
-predicate while keeping its signature EXISTS + NOT-EXISTS self-join
-shape.
+predicate (keeping its signature EXISTS + NOT-EXISTS self-join shape)
+and Q9's cost term derives from ``p_retailprice`` in place of
+``ps_supplycost``.
 
 Scale notes (local[32] today, 1000 executors tomorrow):
 
@@ -435,4 +437,105 @@ def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(25)
+    )
+
+
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+Q9_NAME_FRAGMENT = "red"
+Q9_COST_FACTOR = 0.6  # retailprice-derived cost proxy (schema has no partsupp)
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS {DEC}))
+                    AS DOUBLE), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO}' AND l_shipdate < TIMESTAMP '{Q15_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+""",
+    description="TPC-H Q15 shape: the quarter's top revenue supplier(s) "
+    "— an aggregate-derived view compared against its own maximum, the "
+    "max-of-aggregate scalar-subquery pattern. The revenue view is "
+    "computed ONCE and consumed twice (probe + 1-row max, which "
+    "broadcasts); revenue is decimal-summed then rounded on both sides "
+    "so the equality against the max is exact, never a float-drift "
+    "coin-flip.",
+    tags=("relational", "tpch", "subquery", "scalar-max"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q15_LO) & (F.col("l_shipdate") < Q15_HI)
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["mx"])
+        .join(supp, rev["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q9_profit_by_nation",
+    oracle=f"""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       round(CAST(sum(CAST((l.l_extendedprice * (1 - l.l_discount))
+                           - (({Q9_COST_FACTOR} * p.p_retailprice) * l.l_quantity)
+                           AS {DEC})) AS DOUBLE), 2) AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%{Q9_NAME_FRAGMENT}%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    description="TPC-H Q9 shape (adapted: the cost term derives from "
+    "p_retailprice since the schema has no partsupp/ps_supplycost — "
+    "TESTDATA.md): profit per supplier nation per year for parts whose "
+    "name contains a fragment. The LIKE filter broadcasts from part and "
+    "prunes lineitem ~8× before the one fact-fact exchange "
+    "(lineitem⋈orders); the profit measure subtracts inside one decimal "
+    "cast so both engines sum the identical per-row double.",
+    tags=("relational", "tpch", "join", "computed-measure"),
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"%{Q9_NAME_FRAGMENT}%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) - (
+        (F.lit(Q9_COST_FACTOR) * F.col("p_retailprice")) * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
     )
