@@ -309,3 +309,43 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "documents_profile",
+    oracle="""
+SELECT count(*) AS n_docs,
+       sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS n_empty,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+       sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short,
+       count(DISTINCT md5(text)) AS n_unique_texts
+FROM documents
+""",
+    description="Single-scan data-profiling report over the corpus: row "
+    "count, empty-text count, language/source cardinalities, char-length "
+    "range and mean, short-doc count, and distinct-content count (via "
+    "digest, so the distinct state is 32 bytes per unique doc, not the "
+    "text). The validation pass a training pipeline runs before "
+    "ingesting a new crawl — one scan, partial+final aggregation, no "
+    "joins.",
+    tags=("text", "profiling", "quality"),
+)
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    empty = F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)
+    short = F.when(F.col("n_chars") < 100, 1).otherwise(0)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(empty).alias("n_empty"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        F.sum(short).alias("n_short"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+    )
