@@ -15,6 +15,11 @@ Arrow-batched (10-100× over row-at-a-time Python UDFs). For a lookup
 THIS simple a real pipeline should use the broadcast join — the
 docstring of record: UDFs are the slow path, this operator exists to
 keep that path correct and tested.
+
+Extension surface (SURVEY.md §2.2 UDF row): the reference's only
+scalar function is clean_word (reference 1.cpp:60-68), which composes
+from built-ins; UDFs appear in this engine only on Arrow-batched
+paths like this one.
 """
 
 from __future__ import annotations

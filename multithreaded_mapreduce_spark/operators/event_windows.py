@@ -8,6 +8,10 @@ they shuffle once on (window, type) and partial-aggregate map-side. At
 100 TB the events table would be date-partitioned and the window key
 prunes partitions. Sessionization is a windowed scan per user —
 hash-partitioned by user_id, no global ordering anywhere.
+
+Extension surface (SURVEY.md §2.2 streaming row): the reference is
+strictly batch, one-shot (reference 1.cpp whole file — the word
+'window' never appears).
 """
 
 from __future__ import annotations

@@ -15,6 +15,10 @@ No DuckDB oracle: the media table is synthesized in-engine, not one of
 the driver's parquet tables, so these are rows-only checks; the pytest
 suite (tests/test_multimodal.py) asserts determinism, schema, batch
 shapes, and fan-out counts.
+
+Extension surface (SURVEY.md §2.3 multimodal row): the reference
+processes whitespace-delimited text only (reference 1.cpp:248-264);
+binary columns are engine-new.
 """
 
 from __future__ import annotations

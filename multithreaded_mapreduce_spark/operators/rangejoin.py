@@ -16,6 +16,10 @@ does not do it for you.
 
 The DuckDB oracle is the naive inequality join — proving the blocked
 rewrite changes the plan, not the answer.
+
+Extension surface (SURVEY.md §2.2 joins row): the reference has no
+joins at all — no second relation ever exists (reference 1.cpp whole
+file).
 """
 
 from __future__ import annotations

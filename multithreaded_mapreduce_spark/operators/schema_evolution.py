@@ -12,6 +12,10 @@ missing columns as NULL.
 Scale notes: schema merge is a footer-only planning cost (no data
 scan); reading stays columnar with pruning per file. The NULL backfill
 is free — parquet's missing-column read path, not a computed default.
+
+Extension surface (SURVEY.md §1.3): the reference's schema is fixed
+at compile time (two hard-coded structs, reference 1.cpp:18-35);
+evolution handling is engine-new.
 """
 
 from __future__ import annotations

@@ -15,6 +15,9 @@ Scale design:
   final rank. At 100 TB the sketch column is 8 bytes/row and can be
   bucketed/partitioned for locality; recall/cost trades by widening the
   Hamming radius or the sketch.
+
+Extension surface (SURVEY.md §2.3 similarity row): the reference has
+no numeric types beyond int counts (reference 1.cpp:18-21).
 """
 
 from __future__ import annotations

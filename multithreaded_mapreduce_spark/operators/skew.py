@@ -14,6 +14,10 @@ a pipeline knows about in advance.
 Salting is semantically transparent, so the registered query carries a
 plain-join DuckDB oracle — the correctness gate proves the rewrite
 changes the plan, not the answer.
+
+Extension surface (SURVEY.md §4.2 partitioning row): the reference's
+only partitioning is static equal chunks with the remainder to the
+last worker (reference 1.cpp:274-280), with no skew handling.
 """
 
 from __future__ import annotations
