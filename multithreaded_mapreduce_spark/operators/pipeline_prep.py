@@ -1,0 +1,179 @@
+"""Training-corpus preparation operators: benchmark decontamination
+and sequence packing (SURVEY.md §2.3 extension surface).
+
+The reference engine ends at word counts (reference ``1.cpp`` whole
+file); a pretraining-data pipeline additionally needs (a) eval-set
+decontamination — find corpus documents sharing long n-grams with a
+held-out benchmark set — and (b) packing documents into fixed-token
+training sequences. Both are implemented as pure DataFrame plans (no
+Python UDFs) with exact DuckDB oracles.
+
+Scale notes (local[32] today, 1000 executors tomorrow):
+
+* Decontamination dedups shingles per document BEFORE the join (the
+  corpus here is a 31-token word soup, so raw shingle streams repeat;
+  see the MinHash operator for the same lesson), and the eval side is
+  by construction a tiny fraction of the corpus (~1%), so it
+  broadcasts: the corpus-side shingle stream never shuffles at all.
+  At 100 TB the eval set is still a few thousand benchmark documents
+  → still a broadcast; the plan is a single corpus scan.
+* Packing needs a GLOBAL running token count, which naively is a
+  single-partition window — a non-starter at scale. Instead it uses
+  the classic distributed prefix sum: chunk by doc-id range, cumsum
+  within each chunk in parallel, cumsum the per-chunk totals (tiny —
+  one row per chunk), and broadcast the offsets back. No stage ever
+  sees more than one chunk in one task. The slim (doc_id, n_tokens)
+  projection is scanned twice (once per branch); at 100 TB persist it
+  or let the column-pruned parquet scan absorb the cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+from .textstats import _sql_tokens, _tokens
+
+#: decontamination shingle width and the minimum shared-shingle count
+#: that flags a document as contaminated. Production pipelines use
+#: 8-13-gram exact match (GPT-3 used 13); this corpus's near-dups are
+#: bag-of-words perturbations whose token ORDER survives only at
+#: trigram granularity, so wider shingles find nothing here.
+NGRAM = 3
+MIN_SHARED = 2
+
+#: every 97th document plays the role of the held-out benchmark set.
+EVAL_MOD = 97
+
+#: target training-sequence length in whitespace tokens, and the
+#: doc-id chunk width for the distributed prefix sum.
+MAX_SEQ_TOKENS = 2048
+PACK_CHUNK = 256
+
+
+def _shingles(toks) -> F.Column:
+    """Distinct ``NGRAM``-token shingles of a token array (empty when
+    the document is shorter than ``NGRAM`` — Spark's ``sequence(1, 0)``
+    counts DOWN, so the short case must be guarded explicitly)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (NGRAM - 1))
+    built = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM)))
+    return F.array_distinct(
+        F.when(F.size(toks) >= NGRAM, built).otherwise(F.array().cast("array<string>"))
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{NGRAM - 1}], ' ') AS shingle
+  FROM t, unnest(generate_series(1, len(toks) - {NGRAM - 1})) AS u(i)
+  WHERE len(toks) >= {NGRAM}
+)
+SELECT c.doc_id AS corpus_doc_id, e.doc_id AS eval_doc_id,
+       count(*) AS n_shared_ngrams
+FROM sh c JOIN sh e USING (shingle)
+WHERE e.doc_id % {EVAL_MOD} = 0 AND c.doc_id % {EVAL_MOD} <> 0
+GROUP BY 1, 2
+HAVING count(*) >= {MIN_SHARED}
+ORDER BY corpus_doc_id, eval_doc_id
+""",
+    description="Benchmark decontamination: corpus documents sharing "
+    f"≥{MIN_SHARED} distinct {NGRAM}-gram shingles with any held-out "
+    "eval document (every 97th doc plays the eval set). Shingles are "
+    "deduped per document before the join and the eval side broadcasts, "
+    "so the corpus shingle stream is scanned once and never shuffled; "
+    "only the tiny (corpus_doc, eval_doc) pair aggregate exchanges.",
+    tags=("text", "dedup", "decontamination", "pipeline"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(_tokens())).alias("shingle")
+    )
+    corpus = sh.filter(F.col("doc_id") % EVAL_MOD != 0).withColumnRenamed(
+        "doc_id", "corpus_doc_id"
+    )
+    eval_sh = sh.filter(F.col("doc_id") % EVAL_MOD == 0).withColumnRenamed(
+        "doc_id", "eval_doc_id"
+    )
+    return (
+        corpus.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("corpus_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .filter(F.col("n_shared_ngrams") >= MIN_SHARED)
+        .orderBy("corpus_doc_id", "eval_doc_id")
+    )
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({_sql_tokens()}) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT CAST((cum - n_tokens) // {MAX_SEQ_TOKENS} AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id
+FROM c
+GROUP BY 1
+ORDER BY seq_id
+""",
+    description="Pack documents (in doc_id order) into fixed "
+    f"{MAX_SEQ_TOKENS}-token training sequences by global running token "
+    "count, via a distributed prefix sum: per-chunk cumsum in parallel, "
+    "a one-row-per-chunk offset cascade, broadcast-joined back. No "
+    "single-partition window ever touches the full corpus.",
+    tags=("pipeline", "packing", "prefix-sum"),
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_CHUNK).alias("chunk"),
+    )
+    w_local = (
+        Window.partitionBy("chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = toks.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    # one row per chunk → the offset cascade is a tiny single-task window
+    w_prev = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        toks.groupBy("chunk")
+        .agg(F.sum("n_tokens").alias("chunk_total"))
+        .select(
+            "chunk",
+            F.coalesce(F.sum("chunk_total").over(w_prev), F.lit(0)).alias("offset"),
+        )
+    )
+    packed = (
+        local.join(F.broadcast(offsets), "chunk")
+        .withColumn("cum", F.col("local_cum") + F.col("offset"))
+        .withColumn("seq_id", F.expr(f"(cum - n_tokens) div {MAX_SEQ_TOKENS}"))
+    )
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("seq_id")
+    )

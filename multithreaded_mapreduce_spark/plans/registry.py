@@ -67,6 +67,7 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.sequences",
     "multithreaded_mapreduce_spark.operators.fuzzy",
     "multithreaded_mapreduce_spark.operators.schema_evolution",
+    "multithreaded_mapreduce_spark.operators.pipeline_prep",
 )
 
 
