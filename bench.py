@@ -47,6 +47,8 @@ HEADLINE = (
     "q13_customer_distribution",     # outer-join double aggregation
     "q19_disjunctive_revenue",       # disjunctive join predicate residual
     "events_session_window_native",  # built-in session_window aggregation
+    "pack_training_sequences",       # distributed prefix-sum packing
+    "decontaminate_ngram_overlap",   # broadcast shingle-overlap decontamination
 )
 
 

@@ -244,3 +244,45 @@ def string_agg_status_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "argminmax_median_mode",
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice) AS priciest_orderkey,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_orderkey,
+       CAST(round(CAST(median(o_totalprice) AS DECIMAL(30,12)), 4) AS DOUBLE)
+         AS median_totalprice,
+       mode(o_orderstatus) AS modal_status,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    description="Modern aggregate breadth per order priority: argmax/"
+    "argmin (max_by/min_by — the whole-row-at-extremum idiom without a "
+    "self-join), exact interpolated median (snapped to 4 decimals), and "
+    "mode. All are single-pass hash aggregates with bounded state "
+    "except median, whose exact form is the oracle anchor — at 100 TB "
+    "approx_percentile(0.5) replaces it (mergeable sketch, bounded "
+    "memory). max_by/mode are tie-unsafe in general; on this data the "
+    "extremum and modal value are unique per group (verified), which is "
+    "the precondition for cross-engine determinism.",
+    tags=("aggregation", "argmax", "median", "mode"),
+)
+def argminmax_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_orderkey"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_orderkey"),
+            F.round(F.median("o_totalprice").cast("decimal(30,12)"), 4)
+            .cast("double")
+            .alias("median_totalprice"),
+            F.mode("o_orderstatus").alias("modal_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
