@@ -98,3 +98,59 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy("source", "doc_id")
     )
+
+
+#: language-mixing weights (keep-fraction per lang) expressed as
+#: 4-hex-digit md5 thresholds, like TRAIN_HEX_THRESHOLD above.
+#: "zzzz" compares above every hex string → keep-all (a 5-digit
+#: "10000" would sort BELOW "8000" lexicographically — string order,
+#: not numeric order, so the keep-all sentinel must stay 4 chars-ish
+#: and > 'f').
+MIX_WEIGHTS_HEX = {
+    "en": "8000",  # 0.50 — downsample the dominant language
+    "zh": "c000",  # 0.75
+    "de": "zzzz",  # 1.00
+    "fr": "zzzz",  # 1.00
+    "es": "zzzz",  # 1.00
+}
+
+
+@register(
+    "domain_mix_sample",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang
+        WHEN 'en' THEN '{MIX_WEIGHTS_HEX["en"]}'
+        WHEN 'zh' THEN '{MIX_WEIGHTS_HEX["zh"]}'
+        ELSE 'zzzz'
+      END
+ORDER BY doc_id
+""",
+    description="Corpus mixing: per-language keep-fractions (en 0.5, "
+    "zh 0.75, rest 1.0) applied via the same md5-threshold trick as "
+    "train_test_split, so the mix is deterministic, partition-order-"
+    "independent, and composes with the split (a doc's fate under both "
+    "operators is fixed by its key alone). Pure per-row filter — no "
+    "shuffle, pipelines into the scan, and the filter pushes into the "
+    "parquet reader's row-group pruning where stats allow.",
+    tags=("sampling", "mixing", "pipeline"),
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in MIX_WEIGHTS_HEX.items() for x in kv]
+            ),
+            F.col("lang"),
+        ),
+        F.lit("zzzz"),
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        docs.filter(bucket < thr)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
