@@ -286,3 +286,68 @@ def argminmax_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "global_quantile_binning",
+    oracle="""
+WITH b AS (
+  SELECT CAST(round(CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(30,12)), 4) AS DOUBLE) AS b25,
+         CAST(round(CAST(quantile_cont(o_totalprice, 0.50) AS DECIMAL(30,12)), 4) AS DOUBLE) AS b50,
+         CAST(round(CAST(quantile_cont(o_totalprice, 0.75) AS DECIMAL(30,12)), 4) AS DOUBLE) AS b75
+  FROM orders
+)
+SELECT CASE WHEN o_totalprice < b25 THEN 1
+            WHEN o_totalprice < b50 THEN 2
+            WHEN o_totalprice < b75 THEN 3
+            ELSE 4 END AS price_bin,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_price
+FROM orders, b
+GROUP BY 1
+ORDER BY price_bin
+""",
+    description="Equal-frequency quartile binning of every order by "
+    "global price quantiles — the scalable replacement for a global "
+    "ntile(4), which would drag all rows through ONE partition. Here "
+    "the boundaries are computed by a tiny aggregate (exact percentile "
+    "as the oracle anchor; approx_percentile at 100 TB), broadcast to "
+    "a one-row nested-loop join, and the bin assignment is a pure "
+    "per-row CASE that pipelines into the scan. Boundaries are snapped "
+    "to 4 decimals on both engines so bin edges agree bit-for-bit.",
+    tags=("aggregation", "percentile", "binning", "scale-pattern"),
+)
+def global_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def bound(p: float):
+        return (
+            F.round(
+                F.percentile("o_totalprice", F.lit(p)).cast("decimal(30,12)"), 4
+            )
+            .cast("double")
+        )
+
+    bounds = orders.agg(
+        bound(0.25).alias("b25"), bound(0.50).alias("b50"), bound(0.75).alias("b75")
+    )
+    price = F.col("o_totalprice")
+    binned = orders.crossJoin(F.broadcast(bounds)).withColumn(
+        "price_bin",
+        F.when(price < F.col("b25"), 1)
+        .when(price < F.col("b50"), 2)
+        .when(price < F.col("b75"), 3)
+        .otherwise(4),
+    )
+    return (
+        binned.groupBy("price_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(price).alias("min_price"),
+            F.max(price).alias("max_price"),
+            F.round(F.sum(price.cast(DEC)).cast("double"), 2).alias("sum_price"),
+        )
+        .orderBy("price_bin")
+    )

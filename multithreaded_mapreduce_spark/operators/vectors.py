@@ -78,3 +78,63 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "embedding_standardize",
+    oracle=f"""
+WITH dims AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), st AS (
+  SELECT dim, count(*) AS n,
+         CAST(sum(CAST(v AS {DEC})) AS DOUBLE) AS sx,
+         CAST(sum(CAST(v * v AS {DEC})) AS DOUBLE) AS sxx
+  FROM dims GROUP BY dim
+)
+SELECT d.vec_id,
+       list(CAST(round(CAST((d.v - st.sx / st.n)
+              / sqrt((st.sxx - st.sx * st.sx / st.n) / (st.n - 1))
+            AS DECIMAL(30,12)), 4) AS DOUBLE) ORDER BY d.dim) AS zvec
+FROM dims d JOIN st USING (dim)
+GROUP BY d.vec_id
+ORDER BY d.vec_id
+""",
+    description="Per-dimension z-score standardization of the embedding "
+    "matrix (feature scaling before clustering/ANN): posexplode to slim "
+    "(vec_id, dim, value) rows, per-dim mean/std from exact decimal "
+    "power sums (map-side-combined to 64 rows), broadcast back, then "
+    "re-assemble each vector with array_sort ∘ collect_list. The stats "
+    "branch re-scans the exploded projection — at 100 TB persist the "
+    "slim projection or accept the second column-pruned scan.",
+    tags=("vectors", "embeddings", "ml-prep", "aggregate"),
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "dim", F.col("v").cast("double").alias("v"))
+    v = F.col("v")
+    stats = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("sx"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx") / nd
+    std = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / nd) / (nd - 1))
+    z = F.round(((v - mean) / std).cast("decimal(30,12)"), 4).cast("double")
+    return (
+        dims.join(F.broadcast(stats), "dim")
+        .select("vec_id", "dim", z.alias("z"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "z"))),
+                lambda s: s["z"],
+            ).alias("zvec")
+        )
+        .orderBy("vec_id")
+    )
