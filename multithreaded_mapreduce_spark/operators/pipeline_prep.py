@@ -177,3 +177,115 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+#: sliding-window chunking: window width / stride in tokens.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(least({CHUNK_TOKENS}, len(toks) - start + 1) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(array_to_string(toks[start:start + {CHUNK_TOKENS - 1}], ' '))
+         AS chunk_hash
+FROM t, unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS u(start)
+ORDER BY doc_id, chunk_idx
+""",
+    description=f"Context chunking: split each document into "
+    f"{CHUNK_TOKENS}-token windows every {CHUNK_STRIDE} tokens "
+    f"({CHUNK_TOKENS - CHUNK_STRIDE}-token overlap) — the RAG/pretraining "
+    "chunker. Pure higher-order array functions (sequence → posexplode → "
+    "slice), one scan, no shuffle except the final sort; the md5 chunk "
+    "hash feeds downstream chunk-level dedup.",
+    tags=("text", "chunking", "pipeline"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens()
+    with_starts = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.posexplode(
+            F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+        ).alias("pos", "start"),
+    )
+    n = F.size(F.col("toks"))
+    start = F.col("start")
+    return (
+        with_starts.select(
+            "doc_id",
+            ((start - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.least(F.lit(CHUNK_TOKENS), n - start + 1)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), start, CHUNK_TOKENS))
+            ).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "pack_sequences_ffd",
+    oracle=None,  # greedy first-fit-decreasing state is not SQL-expressible;
+    # invariants (capacity, exactly-once assignment, determinism) are
+    # asserted in tests/test_analytics.py
+    description="First-fit-decreasing bin packing of documents into "
+    f"{MAX_SEQ_TOKENS}-token training sequences, per doc-id chunk, via "
+    "grouped-map applyInPandas (Arrow-batched): within each chunk, docs "
+    "are packed greedily largest-first, giving tighter utilization than "
+    "the order-preserving cumsum packer. The imperative greedy state is "
+    "what SQL cannot express — everything around it (chunking, the "
+    "final rollup) stays declarative, and chunks pack independently in "
+    "parallel on any number of executors.",
+    tags=("pipeline", "packing", "applyInPandas"),
+)
+def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_CHUNK).alias("chunk"),
+    )
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        chunk = int(pdf["chunk"].iloc[0])
+        space: list[int] = []  # remaining capacity per bin
+        counts: list[int] = []
+        for nt in pdf["n_tokens"].astype(int):
+            for b, rem in enumerate(space):
+                if nt <= rem:
+                    space[b] -= nt
+                    counts[b] += 1
+                    break
+            else:
+                space.append(MAX_SEQ_TOKENS - nt)
+                counts.append(1)
+        return pd.DataFrame(
+            {
+                "chunk": chunk,
+                "bin_id": range(len(space)),
+                "n_docs": counts,
+                "bin_tokens": [MAX_SEQ_TOKENS - rem for rem in space],
+            }
+        )
+
+    return (
+        toks.groupBy("chunk")
+        .applyInPandas(ffd, "chunk long, bin_id long, n_docs long, bin_tokens long")
+        .orderBy("chunk", "bin_id")
+    )

@@ -93,3 +93,39 @@ def test_schema_evolution_buckets_cover_all_orders(spark, sf_dir):
     n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert sum(r.n_orders for r in rows) == n_orders
     assert any(r.o_orderpriority == "<pre-schema>" for r in rows)
+
+
+def test_ffd_packing_invariants(spark, sf_dir):
+    from multithreaded_mapreduce_spark.operators.pipeline_prep import (
+        MAX_SEQ_TOKENS,
+    )
+
+    bins = Q["pack_sequences_ffd"].builder(spark, sf_dir).collect()
+    assert bins, "packing must produce at least one bin"
+    assert all(r.bin_tokens <= MAX_SEQ_TOKENS for r in bins)
+    # bin ids are dense per chunk
+    by_chunk: dict[int, list[int]] = {}
+    for r in bins:
+        by_chunk.setdefault(r.chunk, []).append(r.bin_id)
+    for ids in by_chunk.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+    # exactly-once: packed totals equal the corpus totals
+    docs = Q["token_counting"].builder(spark, sf_dir)
+    total = docs.agg(
+        F.sum("n_ws_tokens").alias("t"), F.count("*").alias("d")
+    ).collect()[0]
+    assert sum(r.bin_tokens for r in bins) == total.t
+    assert sum(r.n_docs for r in bins) == total.d
+
+    # greedy largest-first packs at least as tight as the order-preserving
+    # cumsum packer (same capacity, same docs)
+    seqs = Q["pack_training_sequences"].builder(spark, sf_dir).collect()
+    assert len(bins) <= len(seqs)
+
+
+def test_ffd_packing_partitioning_independent(spark, sf_dir):
+    q = Q["pack_sequences_ffd"].builder
+    a = [tuple(r) for r in q(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q(spark, sf_dir).repartition(7).orderBy("chunk", "bin_id").collect()]
+    assert a == b
