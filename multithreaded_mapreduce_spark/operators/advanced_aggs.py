@@ -351,3 +351,41 @@ def global_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_bin")
     )
+
+
+@register(
+    "multi_distinct_order_profile",
+    oracle="""
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       count(DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE))
+         AS n_active_months,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    description="Three COUNT(DISTINCT ...) over different columns in one "
+    "aggregate — Catalyst rewrites this through Expand (one row replica "
+    "per distinct column) into a single two-phase hash aggregate, where "
+    "a naive engine runs three scans or keeps three hash sets per "
+    "group. The Expand triples the shuffled row count but each replica "
+    "carries one slim column; at 100 TB prefer approx_count_distinct "
+    "per column if exactness is negotiable.",
+    tags=("aggregation", "distinct", "expand"),
+)
+def multi_distinct_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            F.countDistinct(
+                F.date_trunc("month", "o_orderdate").cast("date")
+            ).alias("n_active_months"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
