@@ -228,3 +228,79 @@ def test_stream_stream_join_equals_batch_self_join(spark, sf_dir):
         F.expr("user_id = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"),
     ).count()
     assert out.count() == n_expected
+
+
+def test_watermark_drops_late_beyond_allowed_lateness(spark, tmp_path):
+    """The watermark contract Spark actually guarantees: once a window
+    is finalized (its end fell behind the watermark and append mode
+    emitted it), a late arrival for that window is DROPPED — the window
+    is never re-opened, so no duplicate append row appears. A
+    below-watermark row whose window is still live, by contrast, may
+    still be aggregated (watermark dropping is best-effort before
+    eviction — measured, not assumed, on this engine). The replay:
+
+    - batch0: three 10:xx events + one 12:00 → watermark becomes 11:50
+    - batch1: 13:00 → the [10:00,11:00) window is evicted, emitting 3;
+      watermark becomes 12:50
+    - batch2: 10:30 targets the finalized window → guaranteed drop;
+      12:05 is below-watermark but its [12:00,13:00) window is live
+    - batch3: 14:30 pushes the watermark past 13:00, flushing the
+      [12:00,13:00) window
+    """
+    import os
+    import time
+
+    def day(hhmm: str) -> str:
+        return f"2024-03-01 {hhmm}:00"
+
+    batches = [
+        [day(t) for t in ("10:00", "10:10", "10:20", "12:00")],
+        [day("13:00")],
+        [day("10:30"), day("12:05")],
+        [day("14:30")],
+    ]
+    src = str(tmp_path / "late_events")
+    os.makedirs(src)
+    base = int(time.time())
+    for k, ts_list in enumerate(batches):
+        pdf = spark.createDataFrame(
+            [(t,) for t in ts_list], "ts_str string"
+        ).select(F.col("ts_str").cast("timestamp").alias("ts"))
+        f = os.path.join(src, f"batch{k}.parquet")
+        pdf.coalesce(1).write.mode("overwrite").parquet(f)
+        os.utime(f, (base + 10 * k, base + 10 * k))
+        for p in os.listdir(f):
+            os.utime(os.path.join(f, p), (base + 10 * k, base + 10 * k))
+
+    schema = spark.read.parquet(os.path.join(src, "batch0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*.parquet"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM late_drop").collect()
+    starts = [str(r.window_start) for r in rows]
+    assert len(starts) == len(set(starts)), "finalized window re-opened!"
+    got = {str(r.window_start): r.n_events for r in rows}
+    assert got == {
+        # the 10:30 arrival after finalization is NOT here (still 3)
+        "2024-03-01 10:00:00": 3,
+        # 12:00 + the below-watermark-but-live-window 12:05 arrival
+        "2024-03-01 12:00:00": 2,
+        # batch1's 13:00 event, flushed once 14:30 moved the watermark
+        "2024-03-01 13:00:00": 1,
+    }
