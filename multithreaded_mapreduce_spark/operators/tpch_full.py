@@ -539,3 +539,56 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(profit).alias("profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
+
+
+Q12_LATE_DAYS = 60
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle=f"""
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+    description="TPC-H Q12 shape (adapted: the schema has no "
+    "l_shipmode/l_commitdate/l_receiptdate — TESTDATA.md — so the "
+    "grouping key is l_returnflag and 'late' means shipped more than "
+    f"{Q12_LATE_DAYS} days after the order date): per return-flag "
+    "counts of late lines on high- vs low-priority orders. The classic "
+    "Q12 pattern survives intact — a fact-fact join whose predicate "
+    "spans BOTH sides (so it cannot push below the join) feeding "
+    "conditional SUM(CASE ...) counters. The join is the at-scale "
+    "key-partitioned shuffle; the post-join filter runs streamed inside "
+    "the same stage, and the 3-group aggregate ships one row per "
+    "partition.",
+    tags=("relational", "tpch", "conditional-agg", "join"),
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
