@@ -22,7 +22,7 @@ tests assert the property against the exact counts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -82,10 +82,13 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = F.sum("cnt").over(Window.partitionBy())
+    # Stream total as a scalar aggregate broadcast back to the vocab
+    # rows: at 100 TB the vocabulary is itself huge, so an unpartitioned
+    # window over it (single partition) would be the bottleneck.
+    total = F.broadcast(cnts.agg(F.sum("cnt").alias("total")))
     freq = F.round((F.col("cnt").cast("double") / F.col("total")).cast("decimal(30,12)"), 6)
     return (
-        cnts.withColumn("total", total)
+        cnts.crossJoin(total)
         .filter(F.col("cnt") * HH_DENOM > F.col("total"))
         .select("token", "cnt", freq.cast("double").alias("freq"))
         .orderBy(F.desc("cnt"), "token")

@@ -16,7 +16,7 @@ size table is |weeks| rows and broadcasts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -85,13 +85,22 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages = stage(1, "view", v).unionByName(stage(2, "click", c)).unionByName(
         stage(3, "purchase", p)
     )
-    top = F.max("users").over(W.partitionBy())
-    return stages.select(
-        "stage_no",
-        "stage",
-        "users",
-        _snap6(F.col("users").cast("double") / top).alias("conv_from_first"),
-    ).orderBy("stage_no")
+    # Scalar aggregate + broadcast, not an unpartitioned window: the
+    # global max is computed by a parallel partial+final agg and joined
+    # back as a 1-row broadcast, so no stage ever single-partitions.
+    top = F.broadcast(stages.agg(F.max("users").alias("top_users")))
+    return (
+        stages.crossJoin(top)
+        .select(
+            "stage_no",
+            "stage",
+            "users",
+            _snap6(
+                F.col("users").cast("double") / F.col("top_users")
+            ).alias("conv_from_first"),
+        )
+        .orderBy("stage_no")
+    )
 
 
 @register(

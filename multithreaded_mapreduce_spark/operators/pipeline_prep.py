@@ -214,7 +214,14 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         toks.alias("toks"),
         F.posexplode(
-            F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+            # Guard the empty-token case: F.sequence(1, 0) throws
+            # 'Illegal sequence boundaries' while the DuckDB oracle's
+            # generate_series(1, 0) returns empty (same gotcha _shingles
+            # guards above).
+            F.when(
+                F.size(toks) >= 1,
+                F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE)),
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("pos", "start"),
     )
     n = F.size(F.col("toks"))

@@ -186,15 +186,13 @@ SELECT n_name,
 FROM nrev ORDER BY n_name
 """,
     description="Percent-of-total (ratio_to_report) per nation: revenue "
-    "aggregated per nation, then divided by an unpartitioned window sum "
-    "over the |nations|-row aggregate — the global total is computed on "
-    "25 rows, never on the fact table. Exact decimal partials make the "
-    "shares deterministic.",
+    "aggregated per nation, then divided by the global total computed as "
+    "a scalar aggregate and broadcast back as one row — no unpartitioned "
+    "window, so nothing ever collapses to a single partition. Exact "
+    "decimal partials make the shares deterministic.",
     tags=("relational", "window", "ratio", "join"),
 )
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -204,16 +202,24 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
     )
-    total = F.sum("rev").over(W.partitionBy())
-    return nrev.select(
-        "n_name",
-        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
-        F.round(
-            (F.col("rev").cast("double") / total.cast("double")).cast(
-                "decimal(30,12)"
-            ),
-            6,
+    # Global total via scalar aggregate + 1-row broadcast cross-join
+    # rather than an unpartitioned window — the window form moves every
+    # row to a single partition; this form keeps the agg fully parallel.
+    total = F.broadcast(nrev.agg(F.sum("rev").alias("total_rev")))
+    return (
+        nrev.crossJoin(total)
+        .select(
+            "n_name",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                (
+                    F.col("rev").cast("double")
+                    / F.col("total_rev").cast("double")
+                ).cast("decimal(30,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("share"),
         )
-        .cast("double")
-        .alias("share"),
-    ).orderBy("n_name")
+        .orderBy("n_name")
+    )

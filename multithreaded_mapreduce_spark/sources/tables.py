@@ -41,22 +41,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; available: {TABLES}")
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _ltz(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def _ltz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP_LTZ. The parquet
+    writer of the driver data marks timestamps isAdjustedToUTC=false,
+    which Spark 4 infers as NTZ — a type many chrono functions
+    (``unix_micros``, ``window``'s slide arithmetic on some paths)
+    reject. With the session timezone pinned UTC the cast is
+    value-preserving, and it restores the LTZ semantics every oracle
+    was validated under."""
+    from pyspark.sql import functions as F
+
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    read as a timestamp (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    truncate to microseconds — the same ns→µs truncation DuckDB applies
-    when it casts to its native µs TIMESTAMP, so oracle comparisons see
-    identical values."""
+    """Normalize ``events.ts`` to TIMESTAMP_LTZ regardless of how the
+    parquet writer encoded it. Observed encodings of the driver data:
+
+    * TIMESTAMP(NANOS) — Spark 4 refuses to read it as a timestamp
+      (PARQUET_TYPE_ILLEGAL); read nanos as long and truncate to µs,
+      the same ns→µs truncation DuckDB applies casting to its native
+      µs TIMESTAMP.
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark 4 infers
+      TIMESTAMP_NTZ, which functions like ``unix_micros`` reject; cast
+      to LTZ (value-preserving: the session timezone is pinned UTC).
+    """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _ltz(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

@@ -24,7 +24,7 @@ import os
 import tempfile
 
 from ..functions.numeric import DEC
-from ..sources.tables import table_path
+from ..sources.tables import _ltz, table_path
 
 
 def _as_stream_dir(path: str) -> str:
@@ -55,7 +55,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
     if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    return _ltz(raw)
 
 
 def stream_events_multibatch(
@@ -101,7 +101,7 @@ def stream_events_multibatch(
     )
     if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    return _ltz(raw)
 
 
 def tumbling_counts_stream(events: DataFrame) -> DataFrame:

@@ -129,3 +129,24 @@ def test_ffd_packing_partitioning_independent(spark, sf_dir):
     a = [tuple(r) for r in q(spark, sf_dir).collect()]
     b = [tuple(r) for r in q(spark, sf_dir).repartition(7).orderBy("chunk", "bin_id").collect()]
     assert a == b
+
+
+def test_chunk_documents_survives_empty_token_docs(spark, tmp_path):
+    """Docs whose text cleans to zero tokens must yield zero chunks, not
+    an 'Illegal sequence boundaries' error (sequence(1, 0) throws while
+    the DuckDB oracle's generate_series(1, 0) returns empty)."""
+    import pandas as pd
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta gamma delta", "", "   "],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = Q["chunk_documents"].builder(spark, str(d)).collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert all(r.n_chunk_tokens > 0 for r in rows)
