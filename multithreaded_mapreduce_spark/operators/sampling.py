@@ -154,3 +154,62 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+#: weighted-sample size (top-N of the exponential race)
+WEIGHTED_SAMPLE_N = 100
+
+#: SQL for the first 8 hex chars of md5(key) as a BIGINT in [0, 2^32):
+#: DuckDB has no hex→int conv(), so the digits decode positionally.
+_SQL_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5('ws:' || CAST(o_orderkey AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "weighted_sample_orders",
+    oracle=f"""
+WITH keyed AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(round(CAST(
+           ln((CAST({_SQL_HEX8} AS DOUBLE) + 0.5) / 4294967296.0)
+             / o_totalprice
+         AS DECIMAL(30,15)), 9) AS DOUBLE) AS race_key
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, race_key
+FROM keyed
+ORDER BY race_key DESC, o_orderkey
+LIMIT {WEIGHTED_SAMPLE_N}
+""",
+    description=f"Weighted sample without replacement (top-{WEIGHTED_SAMPLE_N} "
+    "orders, weight = o_totalprice) via the Efraimidis–Spirakis "
+    "exponential race: rank by ln(u)/w where u derives from md5 of the "
+    "order key, so inclusion probability is proportional to weight yet "
+    "the sample is deterministic across engines, partitionings, and "
+    "cluster sizes. u = (hex64(md5)+0.5)/2^32 is exact in binary "
+    "floating point (power-of-two divisor), leaving ln() as the only "
+    "libm call — identical ranking both engines, ties broken by key. "
+    "Executes as a TakeOrdered (per-partition top-N, no global sort).",
+    tags=("sampling", "weighted", "pipeline"),
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("o_orderkey").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (v.cast("double") + 0.5) / 4294967296.0
+    race = F.log(u) / F.col("o_totalprice")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(race.cast("decimal(30,15)"), 9).cast("double").alias("race_key"),
+        )
+        .orderBy(F.desc("race_key"), "o_orderkey")
+        .limit(WEIGHTED_SAMPLE_N)
+    )

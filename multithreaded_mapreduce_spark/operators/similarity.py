@@ -313,3 +313,162 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("query_id", "rnk")
     )
+
+
+# ------------------------------------------------------------------
+# int8 scalar-quantized ANN (deterministic → fully oracle-checked)
+# ------------------------------------------------------------------
+
+
+def _quantize_spark(emb: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization: q_i = floor(x_i*scale + 0.5).
+
+    Every step is an IEEE double op on exactly-representable inputs,
+    so Spark and DuckDB produce identical integers."""
+    return F.transform(
+        emb,
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+
+
+def _int_dot_unrolled(a: Column, b: Column, dim: int = 64) -> Column:
+    """Exact integer dot product of two long-array columns, unrolled
+    for whole-stage codegen (|q| <= 127 → no overflow anywhere)."""
+    from functools import reduce
+
+    return reduce(
+        Column.__add__,
+        [
+            F.element_at(a, i + 1) * F.element_at(b, i + 1)
+            for i in range(dim)
+        ],
+    )
+
+
+@register(
+    "knn_quantized_ann",
+    oracle=_DOT_CTE.format(n_queries=N_QUERIES)
+    + f"""
+, meta AS (
+  SELECT vec_id,
+         127.0 / list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+), idots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         sum(CAST(floor(CAST(q.embedding[i] AS DOUBLE) * mq.scale + 0.5) AS BIGINT)
+           * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * me.scale + 0.5) AS BIGINT)) AS idot
+  FROM embeddings q
+  JOIN embeddings e ON q.vec_id < {N_QUERIES} AND e.vec_id != q.vec_id
+  JOIN meta mq ON mq.vec_id = q.vec_id
+  JOIN meta me ON me.vec_id = e.vec_id
+  CROSS JOIN dims
+  GROUP BY 1, 2
+), prelim AS (
+  SELECT d.query_id, d.neighbor_id,
+         (CAST(d.idot AS DOUBLE) / (mq.scale * me.scale))
+           / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS approx,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY (CAST(d.idot AS DOUBLE) / (mq.scale * me.scale))
+                                     / (sqrt(nq.nsq) * sqrt(nn.nsq)) DESC,
+                                     d.neighbor_id) AS prnk
+  FROM idots d
+  JOIN meta mq ON d.query_id = mq.vec_id
+  JOIN meta me ON d.neighbor_id = me.vec_id
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nn ON d.neighbor_id = nn.vec_id
+), buffer AS (
+  SELECT query_id, neighbor_id FROM prelim WHERE prnk <= {RESCORE_BUFFER}
+), exact_dots AS (
+  SELECT b.query_id, b.neighbor_id,
+         CAST(sum(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM buffer b
+  JOIN embeddings q ON q.vec_id = b.query_id
+  JOIN embeddings e ON e.vec_id = b.neighbor_id
+  CROSS JOIN dims
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(round(CAST(d.dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) AS cosine
+  FROM exact_dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nn ON d.neighbor_id = nn.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY query_id, rnk
+""",
+    description=f"Scalar-quantized ANN top-{TOP_K}: vectors compress to "
+    "symmetric int8 (scale = 127/max|x| per vector), candidates rank by "
+    "the exact INTEGER dot product de-scaled to a cosine estimate, and "
+    f"the top {RESCORE_BUFFER} per query get the exact decimal rescore. "
+    "Quantization uses only IEEE-exact double ops (floor(x*s+0.5), "
+    "power-of-two-free but reproducible), so unlike MinHash/KMeans the "
+    "whole pipeline is deterministic and fully value-checked against "
+    "the oracle. At scale the int8 corpus is 4× smaller than float32 — "
+    "4× the vectors per executor-byte of scan.",
+    tags=("similarity", "knn", "ann", "quantization"),
+)
+def knn_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import norm_sq_exact
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scale = F.lit(127.0) / F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    sides = emb.select(
+        "vec_id",
+        "embedding",
+        scale.alias("scale"),
+        _quantize_spark(F.col("embedding"), scale).alias("q"),
+        norm_sq_exact("embedding").alias("nsq"),
+    )
+    queries = sides.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("scale").alias("q_scale"),
+        F.col("q").alias("q_q"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    neighbors = sides.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("scale").alias("n_scale"),
+        F.col("q").alias("n_q"),
+        F.col("nsq").alias("n_nsq"),
+    )
+    idot = _int_dot_unrolled(F.col("q_q"), F.col("n_q"))
+    # parenthesization mirrors the oracle exactly: (idot/(sa*sb)) /
+    # (sqrt(nsqa)*sqrt(nsqb)) — identical IEEE trees → identical ranks
+    approx = (idot.cast("double") / (F.col("q_scale") * F.col("n_scale"))) / (
+        F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("n_nsq"))
+    )
+    prelim = (
+        F.broadcast(queries)
+        .crossJoin(neighbors)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "neighbor_id", "n_emb", approx.alias("approx"))
+    )
+    pw = W.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    buffer = (
+        prelim.withColumn("prnk", F.row_number().over(pw))
+        .filter(F.col("prnk") <= RESCORE_BUFFER)
+    )
+    scored = buffer.select(
+        "query_id",
+        "neighbor_id",
+        _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
+    )

@@ -223,3 +223,60 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(median.cast("decimal(30,12)"), 6).cast("double").alias("roll_median"),
     ).orderBy("event_type", "ts", "event_id")
+
+
+#: trailing RANGE frame width for customer order momentum: 30 days in
+#: integer microseconds (both engines frame on epoch-µs, no tz math)
+MOMENTUM_US = 30 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "customer_order_momentum",
+    oracle=f"""
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+         count(*) OVER tr AS orders_30d,
+         CAST(sum(CAST(o_totalprice AS {DEC})) OVER tr AS DOUBLE) AS spend_30d,
+         first_value(o_totalprice) OVER
+           (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey)
+           AS first_order_price
+  FROM orders
+  WINDOW tr AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                RANGE BETWEEN {MOMENTUM_US} PRECEDING AND CURRENT ROW)
+)
+SELECT o_orderkey, o_custkey, o_orderdate, orders_30d,
+       round(spend_30d, 2) AS spend_30d, first_order_price
+FROM w
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+    description="Per-customer order momentum through a RANGE frame on "
+    "event time: for every order, the count and exact-decimal spend of "
+    "that customer's trailing 30 days (value-based frame — peers by "
+    "timestamp, unlike the ROWS frames elsewhere), plus first_value as "
+    "the anchor order price. Frames compare integer epoch-microseconds "
+    "so Spark and DuckDB agree on peer boundaries; one hash-partitioned "
+    "window pass, no self-join.",
+    tags=("window", "range-frame", "relational"),
+)
+def customer_order_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    us = F.unix_micros("o_orderdate")
+    tr = (
+        W.partitionBy("o_custkey")
+        .orderBy(us)
+        .rangeBetween(-MOMENTUM_US, 0)
+    )
+    fv = W.partitionBy("o_custkey").orderBy(us, "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.count(F.lit(1)).over(tr).alias("orders_30d"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).over(tr).cast("double"), 2
+            ).alias("spend_30d"),
+            F.first("o_totalprice").over(fv).alias("first_order_price"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )

@@ -68,6 +68,8 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.fuzzy",
     "multithreaded_mapreduce_spark.operators.schema_evolution",
     "multithreaded_mapreduce_spark.operators.pipeline_prep",
+    "multithreaded_mapreduce_spark.operators.quality_repetition",
+    "multithreaded_mapreduce_spark.operators.sketches",
 )
 
 

@@ -94,3 +94,34 @@ def test_broadcast_udf_matches_join(spark, sf_dir):
         .collect()
     }
     assert udf_rows == join_rows
+
+
+def test_hll_rollup_tracks_exact_distinct(spark, sf_dir):
+    """HLL(lgK=12) estimates per event_type stay within 5% of the exact
+    distinct-user counts, and the day/event bookkeeping is exact."""
+    approx = {
+        r.event_type: r
+        for r in Q["hll_distinct_users_rollup"].builder(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r.n_users
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, row in approx.items():
+        rel = abs(row.approx_distinct_users - exact[et]) / exact[et]
+        assert rel <= 0.05, f"{et}: HLL {row.approx_distinct_users} vs {exact[et]}"
+
+
+def test_weighted_sample_prefers_heavy_orders(spark, sf_dir):
+    """The exponential race with weight=o_totalprice must pull the
+    sample's mean price well above the population mean."""
+    sample = Q["weighted_sample_orders"].builder(spark, sf_dir).collect()
+    assert len(sample) == 100
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pop_mean = orders.agg(F.avg("o_totalprice")).first()[0]
+    samp_mean = sum(r.o_totalprice for r in sample) / len(sample)
+    assert samp_mean > pop_mean, f"sample mean {samp_mean} <= pop mean {pop_mean}"

@@ -71,3 +71,24 @@ def test_every_query_gets_k_results(spark, sf_dir):
     assert len(per_query) == 10
     for q, rnks in per_query.items():
         assert sorted(rnks) == [1, 2, 3, 4, 5], f"query {q} ranks: {rnks}"
+
+
+def test_quantized_ann_recall_and_score_parity(spark, sf_dir):
+    """int8 quantization is a tight approximation: recall vs the exact
+    brute force should be near-perfect, and any (query, neighbor) pair
+    both return must carry the identical exact-rescored cosine."""
+    brute = Q["knn_cosine_bruteforce"].builder(spark, sf_dir).collect()
+    quant = Q["knn_quantized_ann"].builder(spark, sf_dir).collect()
+    brute_cos = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    for r in quant:
+        if (r.query_id, r.neighbor_id) in brute_cos:
+            assert r.cosine == brute_cos[(r.query_id, r.neighbor_id)]
+    exact_sets = {}
+    for r in brute:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    q_sets = {}
+    for r in quant:
+        q_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact_sets[q] & q_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.9, f"quantized recall {hits}/{total}"
