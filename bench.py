@@ -84,13 +84,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        # adaptive attempts: two runs always; when they disagree badly
+        # (>1.5× — CPU steal on this VM swings single runs several ×),
+        # a third run recovers the query's real cost
+        while len(runs) < 2 or (len(runs) == 2 and max(runs) > 1.5 * min(runs)):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

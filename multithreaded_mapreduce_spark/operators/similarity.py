@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_exact, dot_fast, norm_sq_fast
 from ..plans.registry import register
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -104,10 +104,15 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differences are immaterial; the exact rescore below is unchanged.
     # Keep a rescore buffer of RESCORE_BUFFER per query (WindowGroupLimit
     # prunes per-partition before the shuffle).
-    neighbors = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
-        norm_sq_fast("embedding").alias("n_nsq"),
+    # the corpus side streams through the broadcast join on however
+    # many partitions the scan produced — a single-file scan is ONE
+    # task, which would put every dot product on one core; spread it
+    neighbors = spread(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            norm_sq_fast("embedding").alias("n_nsq"),
+        )
     )
     prelim = (
         F.broadcast(queries)
@@ -218,10 +223,12 @@ def knn_sketch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         F.broadcast(queries)
         .crossJoin(
-            emb.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("n_emb"),
-                F.col("sketch"),
+            spread(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("n_emb"),
+                    F.col("sketch"),
+                )
             )
         )
         .filter((F.col("neighbor_id") != F.col("query_id")) & (hamming <= HAMMING_RADIUS))
@@ -437,12 +444,14 @@ def knn_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("q_q"),
         F.col("nsq").alias("q_nsq"),
     )
-    neighbors = sides.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
-        F.col("scale").alias("n_scale"),
-        F.col("q").alias("n_q"),
-        F.col("nsq").alias("n_nsq"),
+    neighbors = spread(
+        sides.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("scale").alias("n_scale"),
+            F.col("q").alias("n_q"),
+            F.col("nsq").alias("n_nsq"),
+        )
     )
     idot = _int_dot_unrolled(F.col("q_q"), F.col("n_q"))
     # parenthesization mirrors the oracle exactly: (idot/(sa*sb)) /

@@ -6,8 +6,10 @@ The reference computes a single fixed word count (reference ``1.cpp``
 whole file; SURVEY.md §2.1) — it has no joins at all — so all of these
 exercise engine surface the reference lacks. The schema has no
 ``partsupp`` table and lineitem carries no commit/receipt dates or ship
-modes (TESTDATA.md), so Q2/Q11/Q12/Q16/Q20 are not expressible;
-Q21 is adapted to use ``l_returnflag`` in place of the receipt-late
+modes (TESTDATA.md); Q12 is adapted in ``relational.py`` (returnflag in
+place of receipt lateness) and Q2/Q11/Q16/Q20 live in
+``tpch_bridge.py``, deriving the part–supplier relation from the
+lineitem bridge. Q21 is adapted to use ``l_returnflag`` in place of the receipt-late
 predicate (keeping its signature EXISTS + NOT-EXISTS self-join shape)
 and Q9's cost term derives from ``p_retailprice`` in place of
 ``ps_supplycost``.

@@ -70,6 +70,7 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.pipeline_prep",
     "multithreaded_mapreduce_spark.operators.quality_repetition",
     "multithreaded_mapreduce_spark.operators.sketches",
+    "multithreaded_mapreduce_spark.operators.tpch_bridge",
 )
 
 

