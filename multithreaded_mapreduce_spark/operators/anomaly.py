@@ -12,11 +12,13 @@ tree in Spark and DuckDB. Event times compare in integer MICROSECONDS
 (``unix_micros`` / ``epoch_us``) — casting timestamps to epoch seconds
 truncates in Spark but rounds in DuckDB, a real cross-engine trap.
 
-Scale notes: the z-score is one window pass hash-partitioned by
-event_type (at 100 TB partition instead by (event_type, day) — the
-window frame spans ≤1 h so only a 1-hour tail per split needs
-overlap); no self-join, no shuffle beyond the partitioning. The TWA is
-lead() + one partial-aggregated groupBy per type.
+Scale notes: the z-score window partitions by (event_type, day) with a
+replicated 1-hour context tail per chunk — parallelism scales with
+days × types instead of capping at |types|, and the frame (≤1 h back)
+sees identical history, so results are bit-identical to the monolithic
+window (oracle-checked). No self-join, no shuffle beyond the
+partitioning. The TWA is lead() + one partial-aggregated groupBy per
+type.
 """
 
 from __future__ import annotations
@@ -59,27 +61,51 @@ ORDER BY event_type, ts, event_id
     description="Trailing 1-hour z-score outliers per event_type: each "
     "event scored against the mean/stddev of its type's previous hour "
     "(inclusive), flagged at |z| ≥ 2.5 with ≥5 supporting points. One "
-    "window pass, sums exact in decimal, timestamps compared in integer "
-    "microseconds; no self-join.",
+    "window pass partitioned by (event_type, day) with a replicated "
+    "1-hour context tail — parallelism scales with the data, results "
+    "bit-identical to the monolithic per-type window. Sums exact in "
+    "decimal, timestamps compared in integer microseconds; no "
+    "self-join.",
     tags=("timeseries", "anomaly", "zscore", "events"),
 )
 def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Chunked window evaluation: partitioning by event_type alone caps
+    # parallelism at |types| (5 here — 5 tasks no matter how many cores;
+    # unusable at 100 TB). The frame only reaches 1 hour back, so the
+    # window can instead partition by (event_type, DAY): every event in
+    # a day's last hour is replicated into the NEXT day's chunk as a
+    # context row (scored but discarded), giving each chunk exactly the
+    # history its own rows' frames need. Decimal sums are order-exact,
+    # so the chunked result is bit-identical to the monolithic window.
+    DAY_US = 24 * HOUR_US
+    us = F.unix_micros("ts")
+    base = ev.select(
+        "event_id", "ts", "event_type", "value", us.alias("us"),
+        F.floor(us / DAY_US).alias("chunk"),
+    )
+    ctx = (
+        base.filter(F.col("us") % DAY_US >= DAY_US - HOUR_US)
+        .withColumn("chunk", F.col("chunk") + 1)
+        .withColumn("is_ctx", F.lit(1))
+    )
+    chunked = base.withColumn("is_ctx", F.lit(0)).unionByName(ctx)
     tw = (
-        W.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"))
+        W.partitionBy("event_type", "chunk")
+        .orderBy("us")
         .rangeBetween(-HOUR_US, 0)
     )
     v = F.col("value")
-    w = ev.select(
+    w = chunked.select(
         "event_id",
         "ts",
         "event_type",
         "value",
+        "is_ctx",
         F.count(F.lit(1)).over(tw).alias("n"),
         F.sum(v.cast(DEC)).over(tw).cast("double").alias("s"),
         F.sum((v * v).cast(DEC)).over(tw).cast("double").alias("s2"),
-    )
+    ).filter(F.col("is_ctx") == 0)
     nd = F.col("n").cast("double")
     s, s2 = F.col("s"), F.col("s2")
     var = (s2 - s * s / nd) / nd
