@@ -249,6 +249,57 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_chunks",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+         md5(array_to_string(toks[start:start + {CHUNK_TOKENS - 1}], ' '))
+           AS chunk_hash
+  FROM t, unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS u(start)
+), g AS (
+  SELECT chunk_hash, count(*) AS n_occurrences, min(doc_id) AS keep_doc_id
+  FROM c GROUP BY 1
+)
+SELECT g.chunk_hash AS chunk_hash, g.n_occurrences, g.keep_doc_id,
+       min(c.chunk_idx) AS keep_chunk_idx
+FROM g JOIN c ON c.chunk_hash = g.chunk_hash AND c.doc_id = g.keep_doc_id
+WHERE g.n_occurrences >= 2
+GROUP BY 1, 2, 3
+ORDER BY chunk_hash
+""",
+    description="Cross-document chunk-level dedup (the fineweb/CCNet "
+    "line-dedup pattern one level up): documents chunk into "
+    f"{CHUNK_TOKENS}-token windows (stride {CHUNK_STRIDE}), chunks group "
+    "by content hash, and any hash seen more than once reports its "
+    "occurrence count plus the canonical (lowest doc_id, lowest "
+    "chunk_idx) copy to keep. The shuffle carries 32-byte hashes — "
+    "never chunk text — and the min(struct) keep-pick is a single "
+    "aggregate, not a window over the full chunk stream.",
+    tags=("text", "dedup", "chunking", "pipeline"),
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_documents(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("keep"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .select(
+            "chunk_hash",
+            "n_occurrences",
+            F.col("keep.doc_id").alias("keep_doc_id"),
+            F.col("keep.chunk_idx").alias("keep_chunk_idx"),
+        )
+        .orderBy("chunk_hash")
+    )
+
+
+@register(
     "pack_sequences_ffd",
     oracle=None,  # greedy first-fit-decreasing state is not SQL-expressible;
     # invariants (capacity, exactly-once assignment, determinism) are
