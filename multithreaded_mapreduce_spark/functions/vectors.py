@@ -62,7 +62,20 @@ def dot_fast(a: Column | str, b: Column | str, dim: int = VECTOR_DIM) -> Column:
     Higher-order functions (``aggregate``/``zip_with`` lambdas) run on
     the expression interpreter — measured ~10× slower than the same
     arithmetic unrolled into plain element_at terms, which whole-stage
-    codegen compiles. Fixed-dim vectors make unrolling free."""
+    codegen compiles. Fixed-dim vectors make unrolling free.
+
+    When both sides are column NAMES the whole sum is built as ONE
+    ``F.expr`` string: composing it Column-by-Column costs ~6 Py4J
+    round-trips per term (~400 for dim=64, >1 s of driver time per
+    plan build); a single parsed SQL string is one round-trip."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            " + ".join(
+                f"(CAST(element_at({a}, {i + 1}) AS DOUBLE)"
+                f" * CAST(element_at({b}, {i + 1}) AS DOUBLE))"
+                for i in range(dim)
+            )
+        )
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return _unrolled_sum(
@@ -75,7 +88,14 @@ def dot_fast(a: Column | str, b: Column | str, dim: int = VECTOR_DIM) -> Column:
 
 def norm_sq_fast(a: Column | str, dim: int = VECTOR_DIM) -> Column:
     """Double-precision squared L2 norm, unrolled (see ``dot_fast``)."""
-    a = F.col(a) if isinstance(a, str) else a
+    if isinstance(a, str):
+        return F.expr(
+            " + ".join(
+                f"(CAST(element_at({a}, {i + 1}) AS DOUBLE)"
+                f" * CAST(element_at({a}, {i + 1}) AS DOUBLE))"
+                for i in range(dim)
+            )
+        )
     return _unrolled_sum(
         [
             F.element_at(a, i + 1).cast("double") * F.element_at(a, i + 1).cast("double")

@@ -147,7 +147,6 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("members").alias("m_b"), F.col("n").alias("nb"),
     )
     c = F.size(F.array_intersect("ta", "tb"))
-    jac = c.cast("double") / (F.col("na") + F.col("nb") - c)
     cross = (
         F.broadcast(a)
         .join(
@@ -158,7 +157,16 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("na") <= F.floor(F.col("nb") / JACCARD_THRESHOLD))
             & (F.col("nb") <= F.floor(F.col("na") / JACCARD_THRESHOLD)),
         )
-        .select("m_a", "m_b", jac.alias("jaccard"))
+        # the intersect size gets its own projection so the jaccard
+        # expression (which references it twice) evaluates it once
+        .select("m_a", "m_b", "na", "nb", c.alias("c"))
+        .select(
+            "m_a",
+            "m_b",
+            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+                "jaccard"
+            ),
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     pairs = (
@@ -253,6 +261,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    # NOTE (measured, kept on purpose): carrying n = size(shingle set)
+    # with the exploded rows to prune inside the join LOOKS cheaper than
+    # this separate sizes aggregate, but any join predicate over n lets
+    # Catalyst infer an isnotnull/size constraint over the WHOLE shingle
+    # expression and push it into the FileScan — which re-runs the
+    # split+hash chain per row inside the single-task scan, 3-5× slower
+    # end to end. The exploded self-join keyed only on the generated
+    # shingle column is immune: generator outputs can't be pushed past
+    # the Generate.
     sh = tok_df.select("doc_id", F.explode(shingle_arr).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -380,18 +397,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group table joins by gid; AQE broadcasts it when small, shuffles by
     # key at 100 TB.
     ga = groups.select(
-        F.col("gid").alias("ga"), F.col("toks_h").alias("toks_a"), F.col("members").alias("m_a")
+        F.col("gid").alias("ga"),
+        F.col("toks_h").alias("toks_a"),
+        F.col("members").alias("m_a"),
+        F.col("n").alias("na"),
     )
     gb = groups.select(
-        F.col("gid").alias("gb"), F.col("toks_h").alias("toks_b"), F.col("members").alias("m_b")
+        F.col("gid").alias("gb"),
+        F.col("toks_h").alias("toks_b"),
+        F.col("members").alias("m_b"),
+        F.col("n").alias("nb"),
     )
-    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    # |A∪B| = na + nb - |A∩B| (sets are distinct by construction):
+    # one array_intersect per candidate instead of intersect + union —
+    # the verify step is the hot loop when the corpus is near-dup dense.
+    # The intersect lands in its own projection so it is evaluated once
+    # even though the jaccard expression references it twice.
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
     verified = (
         cand.join(ga, "ga")
         .join(gb, "gb")
-        .select("m_a", "m_b", jac.alias("jaccard"))
+        .select("m_a", "m_b", "na", "nb", inter.alias("c"))
+        .select(
+            "m_a",
+            "m_b",
+            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+                "jaccard"
+            ),
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     # expand group pairs back to doc pairs (output-bound work only)
@@ -658,7 +691,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double cosine, so prefilter every blocked pair with the fast one
     # at a 1e-6 safety margin (fast/exact disagreement ~1e-15) and pay
     # the decimal fold only on near-threshold survivors
-    fast = dot_fast(F.col("a.embedding"), F.col("b.embedding")) / (
+    fast = dot_fast("a.embedding", "b.embedding") / (
         F.sqrt(F.col("a.nsq")) * F.sqrt(F.col("b.nsq"))
     )
     cos = (

@@ -124,7 +124,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             "n_emb",
             (
-                dot_fast(F.col("q_emb"), F.col("n_emb"))
+                dot_fast("q_emb", "n_emb")
                 / F.sqrt(F.col("q_nsq") * F.col("n_nsq"))
             ).alias("approx"),
         )
@@ -338,17 +338,14 @@ def _quantize_spark(emb: Column, scale: Column) -> Column:
     )
 
 
-def _int_dot_unrolled(a: Column, b: Column, dim: int = 64) -> Column:
+def _int_dot_unrolled(a: str, b: str, dim: int = 64) -> Column:
     """Exact integer dot product of two long-array columns, unrolled
-    for whole-stage codegen (|q| <= 127 → no overflow anywhere)."""
-    from functools import reduce
-
-    return reduce(
-        Column.__add__,
-        [
-            F.element_at(a, i + 1) * F.element_at(b, i + 1)
-            for i in range(dim)
-        ],
+    for whole-stage codegen (|q| <= 127 → no overflow anywhere).
+    Built as one parsed SQL string — see ``dot_fast`` on Py4J cost."""
+    return F.expr(
+        " + ".join(
+            f"(element_at({a}, {i + 1}) * element_at({b}, {i + 1}))" for i in range(dim)
+        )
     )
 
 
@@ -453,7 +450,7 @@ def knn_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nsq").alias("n_nsq"),
         )
     )
-    idot = _int_dot_unrolled(F.col("q_q"), F.col("n_q"))
+    idot = _int_dot_unrolled("q_q", "n_q")
     # parenthesization mirrors the oracle exactly: (idot/(sa*sb)) /
     # (sqrt(nsqa)*sqrt(nsqb)) — identical IEEE trees → identical ranks
     approx = (idot.cast("double") / (F.col("q_scale") * F.col("n_scale"))) / (
