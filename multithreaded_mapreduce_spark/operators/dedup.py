@@ -20,9 +20,7 @@ document text.
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_exact, cosine_fast
@@ -124,26 +122,43 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under a size-ratio prune (jaccard >= t needs min(na,nb)/max >= t),
     # then expand members. All counts are integers, so the jaccard
     # doubles are bit-identical to the oracle's c/(na+nb-c).
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # the no-token filter runs against the RAW text (any non-whitespace
+    # char ⟺ non-empty token set): a predicate over the computed token
+    # array would be pushed into the FileScan and re-run the whole
+    # split/distinct/sort chain inside the single-task scan, while
+    # rlike('\\S') is a cheap early prune there
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").rlike(r"\S"))
+    )
     tokset = docs.select(
         "doc_id",
         F.array_sort(
             F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
         ).alias("toks"),
     )
+    # the pairwise verify compares HASHED token arrays (8-byte longs):
+    # intersecting string arrays re-hashes every variable-length token
+    # per candidate pair, while the long arrays hash once here (same
+    # counts absent 64-bit collisions — odds ~|vocab|²/2⁶⁴, nil)
     groups = (
-        tokset.filter(F.size("toks") > 0)
-        .groupBy("toks")
+        tokset.groupBy("toks")
         .agg(F.min("doc_id").alias("gid"), F.collect_list("doc_id").alias("members"))
-        .withColumn("n", F.size("toks"))
+        .select(
+            "gid",
+            "members",
+            F.transform("toks", lambda t: F.xxhash64(t)).alias("toks_h"),
+            F.size("toks").alias("n"),
+        )
         .persist()
     )
     a = groups.select(
-        F.col("gid").alias("ga"), F.col("toks").alias("ta"),
+        F.col("gid").alias("ga"), F.col("toks_h").alias("ta"),
         F.col("members").alias("m_a"), F.col("n").alias("na"),
     )
     b = groups.select(
-        F.col("gid").alias("gb"), F.col("toks").alias("tb"),
+        F.col("gid").alias("gb"), F.col("toks_h").alias("tb"),
         F.col("members").alias("m_b"), F.col("n").alias("nb"),
     )
     c = F.size(F.array_intersect("ta", "tb"))
@@ -560,26 +575,32 @@ HAMMING_MAX = 3
 
 def _simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc over its distinct token set: bit k of the
-    fingerprint is the sign of Σ_tokens (±1 by bit k of xxhash64(token))."""
+    fingerprint is the sign of Σ_tokens (±1 by bit k of xxhash64(token)).
+
+    Both the 64 vote aggregates and the 64-term fingerprint assembly
+    are built as parsed SQL strings — composing them Column-by-Column
+    costs several Py4J round-trips per term (~1 s of driver time per
+    plan build; see functions/vectors.dot_fast)."""
     toks = _doc_tokens(docs).withColumn("h", F.xxhash64("token"))
     votes = toks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {k}) & 1) = 1 THEN 1 ELSE -1 END)"
             ).alias(f"v{k}")
             for k in range(SIMHASH_BITS)
         ]
     )
-    fingerprint = reduce(
-        Column.__add__,
-        [
-            F.when(
-                F.col(f"v{k}") > 0,
-                # bit 63 of a signed long is the sign bit: 1<<63 wraps to LONG_MIN
-                F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
+    # bit 63 of a signed long is the sign bit: 1<<63 wraps to LONG_MIN,
+    # which has no SQL literal (unary minus of 2⁶³ overflows the
+    # parser) — spell it as -(2⁶³-1) - 1
+    def _bit_literal(k: int) -> str:
+        return f"{1 << k}L" if k < 63 else "(-9223372036854775807L - 1L)"
+
+    fingerprint = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{k} > 0 THEN {_bit_literal(k)} ELSE 0L END)"
             for k in range(SIMHASH_BITS)
-        ],
+        )
     )
     return votes.select("doc_id", fingerprint.alias("simhash"))
 

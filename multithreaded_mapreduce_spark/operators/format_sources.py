@@ -74,6 +74,52 @@ def json_source_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordcount_custom_source",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents
+), cleaned AS (
+  SELECT lower(regexp_replace(token, '[^0-9A-Za-z]', '', 'g')) AS word
+  FROM toks WHERE length(token) > 0
+)
+SELECT word, count(*) AS cnt
+FROM cleaned
+WHERE length(word) > 0
+GROUP BY word
+ORDER BY word
+""",
+    description="The flagship word count read through a CUSTOM Python "
+    "Data Source (pyspark.sql.datasource): documents.text staged once as "
+    "one big plain-text file, scanned by the 'wstokens' source that "
+    "byte-range-partitions the file (64 KiB chunks here) and resolves "
+    "token ownership at the split boundaries — the reference's "
+    "sequential fscanf loop (1.cpp:248-264) as a splittable Spark "
+    "source. Must reproduce the parquet-path word counts exactly, "
+    "proving the boundary rule loses and duplicates nothing.",
+    tags=("source", "custom-datasource", "reference-parity", "text"),
+)
+def wordcount_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import clean_word
+    from ..sources.token_datasource import ensure_staged_text, register_token_source
+
+    register_token_source(spark)
+    path = ensure_staged_text(spark, sf_dir)
+    toks = (
+        spark.read.format("wstokens")
+        .option("path", path)
+        .option("chunk_bytes", 64 * 1024)
+        .load()
+    )
+    return (
+        toks.select(clean_word("token").alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("word")
+    )
+
+
+@register(
     "orc_source_lineitem_q6",
     oracle=f"""
 SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS {DEC})) AS DOUBLE), 2) AS revenue,

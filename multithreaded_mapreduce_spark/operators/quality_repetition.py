@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 from .textstats import _sql_tokens, _tokens
 
 #: repetition gates (Gopher-style): a document fails when any single
@@ -81,7 +81,15 @@ ORDER BY doc_id
     tags=("text", "quality", "repetition", "pipeline"),
 )
 def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # the n_tokens > 0 gate runs against the raw text (rlike('\\S') ⟺
+    # at least one token): filtering on the computed size() would push
+    # the whole tokenize chain into the single-task FileScan. spread()
+    # parallelizes the O(distinct·n) per-row folds on single-file input.
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").rlike(r"\S"))
+    )
     base = docs.select("doc_id", _tokens().alias("ts"))
     ts = F.col("ts")
     n = F.size(ts)
@@ -112,7 +120,7 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(ts)).alias("n_distinct"),
         top_cnt.alias("top_cnt"),
         bi.alias("bi"),
-    ).filter(F.col("n_tokens") > 0)
+    )  # the rlike prune above already guarantees n_tokens > 0
     n_bi = F.size("bi")
     dup_bi = F.when(
         n_bi > 0,

@@ -110,7 +110,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "neardup", "jaccard", "prefix-filter"),
 )
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # cheap raw-text no-token prune; see dedup_jaccard_pairs on why a
+    # size(toks) predicate would drag the tokenize chain into the scan
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"\S"))
     tokset = docs.select(
         "doc_id",
         F.array_sort(
@@ -119,15 +121,24 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("toks"),
     )
+    # tokens hash to 8-byte longs once here: the posting-list join, the
+    # frequency count, and the pairwise verify all run over fixed-width
+    # longs instead of variable-length strings (same counts absent
+    # 64-bit collisions; the rarity order just uses (freq, hash) as its
+    # arbitrary-but-consistent total order)
     groups = (
-        tokset.filter(F.size("toks") > 0)
-        .groupBy("toks")
+        tokset.groupBy("toks")
         .agg(F.min("doc_id").alias("gid"), F.collect_list("doc_id").alias("members"))
-        .withColumn("n", F.size("toks"))
+        .select(
+            "gid",
+            "members",
+            F.transform("toks", lambda t: F.xxhash64(t)).alias("toks_h"),
+            F.size("toks").alias("n"),
+        )
         .persist()
     )
-    # global rarity order (freq asc, token asc) over collapsed sets
-    tok = groups.select(F.col("gid"), F.col("n"), F.explode("toks").alias("token"))
+    # global rarity order (freq asc, token-hash asc) over collapsed sets
+    tok = groups.select(F.col("gid"), F.col("n"), F.explode("toks_h").alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     pos = F.row_number().over(W.partitionBy("gid").orderBy("freq", "token"))
     prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_THRESHOLD)) + 1).cast(
@@ -176,19 +187,27 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ga", "gb")
     )
     a = groups.select(
-        F.col("gid").alias("ga"), F.col("toks").alias("ta"),
+        F.col("gid").alias("ga"), F.col("toks_h").alias("ta"),
         F.col("members").alias("m_a"), F.col("n").alias("na"),
     )
     b = groups.select(
-        F.col("gid").alias("gb"), F.col("toks").alias("tb"),
+        F.col("gid").alias("gb"), F.col("toks_h").alias("tb"),
         F.col("members").alias("m_b"), F.col("n").alias("nb"),
     )
+    # intersect size in its own projection → evaluated once for the
+    # jaccard that references it twice
     c = F.size(F.array_intersect("ta", "tb"))
-    jac = c.cast("double") / (F.col("na") + F.col("nb") - c)
     verified = (
         cand.join(F.broadcast(a), "ga")
         .join(F.broadcast(b), "gb")
-        .select("m_a", "m_b", jac.alias("jaccard"))
+        .select("m_a", "m_b", "na", "nb", c.alias("c"))
+        .select(
+            "m_a",
+            "m_b",
+            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+                "jaccard"
+            ),
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     pairs = (

@@ -1,0 +1,171 @@
+"""A custom Spark Python Data Source (``pyspark.sql.datasource``) for
+the reference's whitespace-token text scan — ``spark.read.format
+("wstokens").load(path)`` yields one row per token.
+
+The reference's file scan (``1.cpp:248-264``, ``fscanf("%s")``) is a
+single sequential loop; a 100 TB corpus needs a SPLITTABLE source.
+This data source partitions each file into byte ranges and resolves
+token ownership at the boundaries with the classic split-file rule
+(the same one Hadoop's TextInputFormat uses for lines):
+
+* a partition owns every token that STARTS inside its byte range;
+* a reader whose range begins mid-token (the byte before ``start`` is
+  not whitespace) skips forward past that token — its owner is the
+  previous partition, which reads past its own ``end`` to finish it.
+
+Every byte is therefore assigned to exactly one partition without any
+coordination, and ``chunk_bytes`` controls scan parallelism
+independently of file count — the single-file shape that defeats
+row-group-based splitting for parquet is handled natively here.
+
+Rows are produced by a Python reader (Arrow-batched by the framework),
+so this source is for demonstrating the *source API surface* and for
+text formats Spark lacks a native reader for; the engine's parquet hot
+path stays on the JVM-native reader.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StringType, StructField, StructType
+
+#: bytes the C library's isspace() accepts — the reference's fscanf
+#: token delimiter set (space, \t, \n, \v, \f, \r)
+_WHITESPACE = b" \t\n\v\f\r"
+
+DEFAULT_CHUNK_BYTES = 1 << 20
+
+
+@dataclass
+class _Range(InputPartition):
+    path: str
+    start: int
+    end: int
+
+
+def _iter_tokens(path: str, start: int, end: int) -> Iterator[str]:
+    """Yield every token that starts in ``[start, end)`` of ``path``.
+
+    One bulk read of the range (plus the tail of the boundary token, if
+    one is in progress at ``end``); ``bytes.split()`` splits on exactly
+    the C ``isspace`` set. Decodes UTF-8 with surrogate escapes so
+    binary-ish text never crashes the scan.
+    """
+    with open(path, "rb") as f:
+        read_from = max(0, start - 1)
+        f.seek(read_from)
+        data = f.read(end - read_from)
+        drop_first = False
+        if start > 0:
+            prev, data = data[:1], data[1:]
+            # range begins mid-token → that token started earlier and is
+            # owned by the previous partition; drop its continuation
+            drop_first = prev not in _WHITESPACE and data[:1] not in _WHITESPACE and data != b""
+        # a token in progress at `end` (last byte non-whitespace) STARTED
+        # in this range unless it started before `start` and spans the
+        # whole range — either way its owner reads the tail; a token
+        # starting exactly at `end` belongs to the next partition, so
+        # only extend when the boundary byte is mid-token
+        if data[-1:] not in _WHITESPACE and data != b"":
+            while True:
+                block = f.read(65536)
+                if not block:
+                    break
+                cut = len(block)
+                for i, byte in enumerate(block):
+                    if byte in _WHITESPACE:
+                        cut = i
+                        break
+                data += block[:cut]
+                if cut < len(block):
+                    break
+        toks = data.split()
+        if drop_first and toks:
+            toks = toks[1:]
+        for t in toks:
+            yield t.decode("utf-8", errors="surrogateescape")
+
+
+class _TokenReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wstokens source requires a path")
+        self.chunk_bytes = int(options.get("chunk_bytes", DEFAULT_CHUNK_BYTES))
+
+    def partitions(self) -> list[InputPartition]:
+        paths = (
+            [os.path.join(self.path, p) for p in sorted(os.listdir(self.path))]
+            if os.path.isdir(self.path)
+            else [self.path]
+        )
+        parts: list[InputPartition] = []
+        for p in paths:
+            size = os.path.getsize(p)
+            if size == 0:
+                continue
+            for off in range(0, size, self.chunk_bytes):
+                parts.append(_Range(p, off, min(off + self.chunk_bytes, size)))
+        # an empty file set must still return one partition so the scan
+        # yields an empty result instead of erroring
+        return parts or [_Range(paths[0] if paths else self.path, 0, 0)]
+
+    def read(self, partition: _Range) -> Iterator[tuple]:
+        if partition.end <= partition.start:
+            return
+        for tok in _iter_tokens(partition.path, partition.start, partition.end):
+            yield (tok,)
+
+
+class TokenDataSource(DataSource):
+    """``spark.read.format("wstokens").option("chunk_bytes", n).load(p)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wstokens"
+
+    def schema(self) -> StructType:
+        return StructType([StructField("token", StringType())])
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _TokenReader(dict(self.options))
+
+
+def register_token_source(spark) -> None:
+    """Idempotently register the source with a SparkSession."""
+    spark.dataSource.register(TokenDataSource)
+
+
+def ensure_staged_text(spark, sf_dir: str) -> str:
+    """Stage ``documents.text`` as ONE plain text file (one document per
+    line, doc_id order) under the system temp dir; idempotent.
+
+    The single big text file is exactly the shape this source exists
+    for: no row groups, no line-based splits Spark can use — only the
+    byte-range partitioner makes the scan parallel."""
+    import hashlib
+    import tempfile
+
+    from .tables import load_table
+
+    tag = hashlib.md5(f"{sf_dir}:documents:txt".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"mmr_spark_txt_{tag}.txt")
+    if os.path.exists(path) and os.path.getsize(path) > 0:
+        return path
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(r.text)
+            f.write("\n")
+    os.replace(tmp, path)
+    return path

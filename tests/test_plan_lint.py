@@ -41,3 +41,41 @@ def test_plan_has_no_scale_killers(spark, sf_dir, name):
     plan = buf.getvalue()
     for bad in FORBIDDEN:
         assert bad not in plan, f"{name}: {bad} in physical plan"
+
+
+#: expression fragments that mean a tokenize/shingle chain got pushed
+#: into the FileScan as an inferred filter. Catalyst's constraint
+#: propagation will do this whenever a downstream predicate (join
+#: condition, size() filter, inferred isnotnull) is derivable from a
+#: projected heavy expression — and the scan of a single-file table is
+#: ONE task, so the whole corpus pays the chain serially before any
+#: repartition. Cheap scalar pushdowns (comparisons, rlike, xxhash64
+#: of a numeric key) are fine and deliberately not flagged.
+HEAVY_IN_SCAN = ("split(", "array_distinct(", "transform(", "aggregate(")
+
+#: queries whose scan-side heavy filter is the DESIGN, not an accident:
+#: clean_corpus_pipeline showcases the quality gate (>= 10 tokens)
+#: pushing into the scan — on real multi-split input that skips
+#: materializing failing rows, which is worth recomputing the tokenize
+#: chain for; there is no downstream repartition being defeated.
+SCAN_PUSHDOWN_INTENDED = frozenset({"clean_corpus_pipeline"})
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in _LINTABLE if n not in SCAN_PUSHDOWN_INTENDED]
+)
+def test_no_heavy_expression_pushed_into_scan(spark, sf_dir, name):
+    plan = (
+        _QUERIES[name]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.split("\n"):
+        if "FileScan" in line:
+            for bad in HEAVY_IN_SCAN:
+                assert bad not in line, (
+                    f"{name}: heavy expression {bad!r} pushed into FileScan — "
+                    "filter on the raw column instead (see dedup_jaccard_pairs)"
+                )

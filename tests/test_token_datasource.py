@@ -1,0 +1,78 @@
+"""Custom Python Data Source ('wstokens'): the reference's whitespace-
+token file scan (1.cpp:248-264) as a splittable Spark source.
+
+The boundary rule (a partition owns tokens that START in its byte
+range; mid-token entry skips; the owner reads past its end to finish a
+boundary token) must make the result independent of chunk_bytes — the
+sweep below covers chunks smaller than a token, chunk edges landing on
+whitespace, mid-token, and at EOF.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from multithreaded_mapreduce_spark.sources.token_datasource import (
+    _iter_tokens,
+    register_token_source,
+)
+
+REF = "/root/reference"
+
+
+def _direct_tokens(path: str) -> list[str]:
+    with open(path, "rb") as f:
+        return [t.decode("utf-8", "surrogateescape") for t in f.read().split()]
+
+
+@pytest.mark.parametrize("chunk", [1, 3, 7, 64, 1024, 1 << 20])
+def test_range_iterator_chunk_invariance(chunk):
+    """Pure-python check, no Spark: concatenating per-range tokens over
+    any chunking reproduces the sequential scan exactly (order included)."""
+    import os
+
+    path = f"{REF}/vlarge.txt"
+    size = os.path.getsize(path)
+    got: list[str] = []
+    for start in range(0, size, chunk):
+        got.extend(_iter_tokens(path, start, min(start + chunk, size)))
+    assert got == _direct_tokens(path)
+
+
+@pytest.mark.parametrize("fixture", ["single", "repeat", "num", "symbol", "large"])
+def test_small_fixtures_all_boundaries(fixture):
+    """Every possible single-split position on the small fixtures."""
+    import os
+
+    path = f"{REF}/{fixture}.txt"
+    size = os.path.getsize(path)
+    expect = _direct_tokens(path)
+    for cut in range(1, size):
+        got = list(_iter_tokens(path, 0, cut)) + list(_iter_tokens(path, cut, size))
+        assert got == expect, f"split at {cut}"
+
+
+def test_spark_source_matches_native_text_scan(spark):
+    register_token_source(spark)
+    df = (
+        spark.read.format("wstokens")
+        .option("path", f"{REF}/vlarge.txt")
+        .option("chunk_bytes", 256)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() > 1  # the split actually happened
+    from collections import Counter
+
+    got = Counter(r.token for r in df.collect())
+    assert got == Counter(_direct_tokens(f"{REF}/vlarge.txt"))
+    assert sum(got.values()) == 1095  # reference golden: vlarge1.png
+
+
+def test_empty_file(spark):
+    register_token_source(spark)
+    df = (
+        spark.read.format("wstokens")
+        .option("path", f"{REF}/notext.txt")
+        .load()
+    )
+    assert df.count() == 0
