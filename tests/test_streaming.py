@@ -3,6 +3,7 @@ same results as their oracle-checked batch twins."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from multithreaded_mapreduce_spark.plans.registry import all_queries
@@ -175,6 +176,48 @@ def test_stateful_totals_equal_batch_aggregate(spark, sf_dir):
         gn, gtotal = got[uid]
         assert gn == n
         assert abs(gtotal - total) < 0.02  # float accumulation-order slack
+
+
+def test_transform_with_state_matches_old_api(spark, sf_dir):
+    """Spark 4's transformWithStateInPandas twin must emit row-for-row
+    what the applyInPandasWithState operator emits on the same replay.
+
+    Dependency-gated: the TWS Python state-server protocol needs
+    protobuf (not shipped in this container) and the RocksDB state
+    store provider."""
+    pytest.importorskip("google.protobuf")
+    from multithreaded_mapreduce_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events,
+    )
+    from multithreaded_mapreduce_spark.streaming.stateful import (
+        running_user_totals,
+        running_user_totals_tws,
+    )
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        tws = run_stream_to_memory(
+            running_user_totals_tws(stream_events(spark, sf_dir)),
+            "tws_totals",
+            output_mode="update",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    old = run_stream_to_memory(
+        running_user_totals(stream_events(spark, sf_dir)),
+        "old_totals",
+        output_mode="update",
+    ).collect()
+    assert sorted(map(tuple, tws)) == sorted(map(tuple, old))
 
 
 def test_multibatch_dedup_drops_redelivery_across_triggers(spark, sf_dir):
