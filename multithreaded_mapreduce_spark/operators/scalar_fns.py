@@ -273,3 +273,44 @@ def json_typed_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_decile")
     )
+
+
+@register(
+    "json_variant_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(count(DISTINCT CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS n_distinct_k
+FROM events
+WHERE regexp_extract(props, '"k": (-?\\d+)', 1) <> ''
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="Semi-structured analytics through Spark 4's VARIANT "
+    "type: try_parse_json(props) lands the JSON as a binary-encoded "
+    "variant (parsed once, no schema declared — the open-schema shape a "
+    "100 TB event lake actually has), variant_get('$.k', 'long') does "
+    "typed path extraction, and the per-type rollup aggregates it. "
+    "Unlike from_json there is no fixed struct: unknown/missing paths "
+    "return null and drop out, matching the oracle's regex-extract "
+    "filter. At scale variant columns store shredded in parquet, so "
+    "path access prunes like a real column.",
+    tags=("scalar", "json", "variant", "spark4"),
+)
+def json_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )

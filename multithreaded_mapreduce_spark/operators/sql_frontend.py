@@ -50,3 +50,49 @@ def sql_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region")
     )
     return spark.sql(Q5_LOCAL_SUPPLIER_VOLUME)
+
+
+#: runs unmodified in Spark SQL (4.x recursive CTE support) and DuckDB.
+#: The recursion is a LINEAR chain (rank k -> k+1 per customer), so
+#: UNION ALL terminates — Spark does not yet allow UNION-distinct in
+#: recursive CTEs, which rules out cyclic closures like connected
+#: components (the DataFrame min-label loop in dedup_components covers
+#: that case instead).
+RECURSIVE_ORDER_CHAINS = """
+WITH RECURSIVE ranked AS (
+  SELECT o_custkey AS c, o_orderdate AS d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rk
+  FROM orders
+), chain (c, rk, d) AS (
+  SELECT c, rk, d FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT r.c, r.rk, r.d
+  FROM ranked r JOIN chain ch ON r.c = ch.c AND r.rk = ch.rk + 1
+  WHERE r.d <= ch.d + INTERVAL 30 DAY
+)
+SELECT c AS custkey,
+       CAST(count(*) AS BIGINT) AS streak_len,
+       min(d) AS first_order,
+       max(d) AS last_order
+FROM chain
+GROUP BY c
+ORDER BY custkey
+"""
+
+
+@register(
+    "sql_recursive_order_chains",
+    oracle=RECURSIVE_ORDER_CHAINS,
+    description="Recursive CTE (Spark 4 WITH RECURSIVE) submitted as raw "
+    "SQL: starting from each customer's first order, the chain extends "
+    "while the next order (by rank) arrives within 30 days — a linear "
+    "per-key recursion whose depth is the reorder streak. The identical "
+    "string is the DuckDB oracle. Iterative semantics the reference "
+    "cannot express at all, planned by Catalyst as a repeated join with "
+    "the recursion-depth guard.",
+    tags=("sql", "recursive-cte", "iterative", "spark4"),
+)
+def sql_recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(RECURSIVE_ORDER_CHAINS)
