@@ -52,6 +52,37 @@ def test_small_fixtures_all_boundaries(fixture):
         assert got == expect, f"split at {cut}"
 
 
+def test_iter_tokens_fuzz_random_bytes():
+    """Hypothesis fuzz: arbitrary byte soup (including every whitespace
+    kind, empty runs, multi-byte UTF-8 fragments) tokenizes identically
+    under any chunking."""
+    import os
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        data=st.binary(max_size=300),
+        chunk=st.integers(min_value=1, max_value=48),
+    )
+    def inner(data: bytes, chunk: int):
+        fd, path = tempfile.mkstemp(prefix="wstok_fuzz_")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            got: list[str] = []
+            for start in range(0, len(data), chunk):
+                got.extend(_iter_tokens(path, start, min(start + chunk, len(data))))
+            expect = [t.decode("utf-8", "surrogateescape") for t in data.split()]
+            assert got == expect
+        finally:
+            os.unlink(path)
+
+    inner()
+
+
 def test_spark_source_matches_native_text_scan(spark):
     register_token_source(spark)
     df = (
