@@ -26,6 +26,13 @@ def main(argv: list[str] | None = None) -> int:
 
     p_count = sub.add_parser("count-file", help="word-count a text file (reference UX)")
     p_count.add_argument("path")
+    p_count.add_argument(
+        "--splittable",
+        action="store_true",
+        help="scan through the byte-range-partitioned custom data source "
+        "('wstokens') instead of spark.read.text — parallelizes a single "
+        "big file",
+    )
 
     p_run = sub.add_parser("run", help="run a registered query and show its result")
     p_run.add_argument("name")
@@ -51,10 +58,26 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("cli")
     try:
         if args.cmd == "count-file":
+            from pyspark.sql import functions as F
+
+            from .functions.text import clean_word
             from .operators.wordcount import word_count
             from .sinks.writers import format_console
 
-            counts = word_count(spark.read.text(args.path))
+            if args.splittable:
+                from .sources.token_datasource import register_token_source
+
+                register_token_source(spark)
+                toks = spark.read.format("wstokens").option("path", args.path).load()
+                counts = (
+                    toks.select(clean_word("token").alias("word"))
+                    .filter(F.length("word") > 0)
+                    .groupBy("word")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .orderBy("word")
+                )
+            else:
+                counts = word_count(spark.read.text(args.path))
             for line in format_console(counts):
                 print(line)
         else:

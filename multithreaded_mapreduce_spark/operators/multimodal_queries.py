@@ -11,10 +11,13 @@ fan-out row production (frame sampling), and fixed-width
 ``array<float>`` feature vectors compatible with the similarity
 operators.
 
-No DuckDB oracle: the media table is synthesized in-engine, not one of
-the driver's parquet tables, so these are rows-only checks; the pytest
-suite (tests/test_multimodal.py) asserts determinism, schema, batch
-shapes, and fan-out counts.
+No DuckDB oracle for the synthesized-media queries (the media table is
+built in-engine, not one of the driver's parquet tables): rows-only
+checks there, with determinism/schema/batch-shape/fan-out asserted in
+tests/test_multimodal.py. ``media_text_frames`` closes the gap: it runs
+the same mapInPandas fan-out over documents.text cast to binary, where
+DuckDB CAN compute the expected per-frame digests — the one multimodal
+query with full value-level oracle parity.
 
 Extension surface (SURVEY.md §2.3 multimodal row): the reference
 processes whitespace-delimited text only (reference 1.cpp:248-264);
@@ -71,6 +74,50 @@ def media_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synthesize_media(spark, n=_N_MEDIA), n_frames=4)
+
+
+@register(
+    "media_text_frames",
+    oracle="""
+WITH params AS (
+  SELECT doc_id AS media_id, text, length(text) AS len,
+         greatest(1, length(text) // 4) AS step
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT media_id,
+       CAST(k AS INT) AS frame_idx,
+       md5(substr(text, CAST(k * step + 1 AS BIGINT), CAST(step AS BIGINT)))
+         AS frame_md5,
+       CAST(least(step, len - k * step) AS BIGINT) AS frame_bytes
+FROM params, unnest(generate_series(0, 3)) AS u(k)
+WHERE k * step < len
+ORDER BY media_id, frame_idx
+""",
+    description="The frame-sampling mapInPandas fan-out VALUE-CHECKED "
+    "against DuckDB: documents.text cast to binary plays the video "
+    "payload (the corpus is ASCII, so byte and character offsets agree), "
+    "each doc splits into 4 equal chunks, and the per-frame md5 digests "
+    "must match the oracle's substr+md5 exactly — proving the Arrow "
+    "batch path (python slicing included) is byte-faithful, which the "
+    "synthesized-media twins can only rows-check.",
+    tags=("multimodal", "video", "pandas-udf", "oracle-checked"),
+)
+def media_text_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table, spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+    )
+    return sample_frames(docs, n_frames=4).orderBy("media_id", "frame_idx")
 
 
 @register(
