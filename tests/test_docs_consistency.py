@@ -1,0 +1,49 @@
+"""Docs-vs-code drift guards (round-1 advice flagged stale counts).
+
+No SparkSession needed — these only import the registry and read the
+markdown files.
+"""
+
+from __future__ import annotations
+
+import re
+
+from multithreaded_mapreduce_spark.plans.registry import all_queries
+
+REPO = "/root/repo"
+
+
+def test_readme_query_count_matches_registry():
+    readme = open(f"{REPO}/README.md").read()
+    m = re.search(r"\((\d+) registered queries\)", readme)
+    assert m, "README is missing the '(N registered queries)' heading"
+    assert int(m.group(1)) == len(all_queries()), (
+        f"README says {m.group(1)} queries, registry has {len(all_queries())} — "
+        "update the README heading"
+    )
+
+
+def test_readme_headline_count_matches_bench():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", f"{REPO}/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    readme = open(f"{REPO}/README.md").read()
+    m = re.search(r"times (\d+) headline queries", readme)
+    assert m, "README is missing the 'times N headline queries' sentence"
+    assert int(m.group(1)) == len(bench.HEADLINE)
+    # every headline query must exist in the registry
+    missing = [n for n in bench.HEADLINE if n not in all_queries()]
+    assert not missing, f"bench.HEADLINE references unknown queries: {missing}"
+
+
+def test_survey_names_every_registered_query_or_is_named_in_survey():
+    """Every query named in SURVEY §2.4 must exist in the registry
+    (catches renames that strand the survey's cross-reference)."""
+    survey = open(f"{REPO}/SURVEY.md").read()
+    names = set(re.findall(r"`([a-z0-9_]+)`", survey))
+    registry = set(all_queries())
+    named_queries = names & registry
+    # §2.4 should reference a substantial majority of the registry
+    assert len(named_queries) >= 0.6 * len(registry)
