@@ -179,7 +179,14 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pa["token"] == pb["token"])
             & (F.col("ga") < F.col("gb"))
             & (F.col("na") <= F.floor(F.col("nb") / JACCARD_THRESHOLD))
-            & (F.col("nb") <= F.floor(F.col("na") / JACCARD_THRESHOLD)),
+            & (F.col("nb") <= F.floor(F.col("na") / JACCARD_THRESHOLD))
+            # positional prune as a JOIN residual, not just post-agg: a
+            # pair survives iff SOME witness's bound passes, and a
+            # witness failing its own bound can never be that witness —
+            # so dropping failing rows before the (ga, gb) aggregate is
+            # exact and cuts the shuffled candidate stream (most prefix
+            # collisions at t=0.8 sit too deep in the prefix to pass)
+            & (ubound >= needed),
         )
         .groupBy("ga", "gb")
         .agg(F.max(ubound).alias("best_ubound"), F.first(needed).alias("needed"))
