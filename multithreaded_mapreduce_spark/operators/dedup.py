@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_exact, cosine_fast
+from ..functions.vectors import cosine_exact
 from ..plans.registry import register
 from ..sources.tables import load_table, spread
 

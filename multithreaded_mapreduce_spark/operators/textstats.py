@@ -7,7 +7,6 @@ stays in whole-stage codegen, and every query has a DuckDB oracle.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
