@@ -196,3 +196,78 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_click_purchase_left_join",
+    oracle="""
+WITH m AS (
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+    (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+  ) AS mx
+),
+base AS (
+  SELECT c.ts AS c_ts, c.user_id AS user_id, p.ts AS p_ts
+  FROM events c
+  LEFT JOIN events p
+    ON p.user_id = c.user_id
+   AND p.event_type = 'purchase'
+   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+  WHERE c.event_type = 'click'
+)
+SELECT user_id,
+       count(*) AS n_rows,
+       count(p_ts) AS n_matched,
+       count(*) - count(p_ts) AS n_unmatched
+FROM base, m
+WHERE c_ts <= mx - INTERVAL 41 MINUTE
+GROUP BY user_id
+ORDER BY user_id
+""",
+    description="LEFT OUTER stream-stream interval join — the hardest "
+    "streaming join semantic: matched pairs emit on arrival, unmatched "
+    "clicks emit with null purchase columns only after the watermark "
+    "passes click_ts + horizon (no future match possible). The flush "
+    "cutoff is ENCODED IN THE ORACLE: the join's global watermark is "
+    "the MIN of the two sides' (each max event time seen post-filter, "
+    "less the 10min delay), so every click older than that minus the "
+    "30min horizon is provably flushed; both sides compare only clicks "
+    "at least 1 minute inside that line, making the outer semantics "
+    "fully value-checked rather than rows-only.",
+    tags=("streaming", "join", "interval", "outer"),
+)
+def streaming_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..streaming.events import click_purchase_join_stream
+
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    rows = click_purchase_join_stream(clicks, purchases, how="leftOuter")
+    out = run_stream_to_memory(
+        rows, "q_streaming_click_purchase_left_join", output_mode="append"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    mx = (
+        ev.filter(F.col("event_type") == "click")
+        .agg(F.max("ts").alias("mxc"))
+        .crossJoin(
+            ev.filter(F.col("event_type") == "purchase").agg(F.max("ts").alias("mxp"))
+        )
+        .select(F.least("mxc", "mxp").alias("mx"))
+    )
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .filter(F.col("c_ts") <= F.col("mx") - F.expr("INTERVAL 41 MINUTE"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("p_ts").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("p_ts")).alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )

@@ -176,13 +176,19 @@ def deduped_stream(events: DataFrame) -> DataFrame:
 
 
 def click_purchase_join_stream(
-    clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes", how: str = "inner"
 ) -> DataFrame:
-    """Stream-stream inner join: each click pairs with the same user's
+    """Stream-stream join: each click pairs with the same user's
     purchases in (click_ts, click_ts + horizon]. Watermarks on BOTH
     sides plus the time-range join condition bound the buffered state to
     watermark + horizon per side — the canonical interval-join pattern
-    (without the range condition the join state would grow forever)."""
+    (without the range condition the join state would grow forever).
+
+    ``how='leftOuter'`` adds the null-emission semantics: an unmatched
+    click row is emitted (purchase columns null) only once the
+    watermark passes click_ts + horizon — i.e. once no future purchase
+    can possibly match — so the outer result is eventual, gated by
+    event-time progress, not by batch boundaries."""
     c = clicks.select(
         F.col("user_id"), F.col("ts").alias("c_ts")
     ).withWatermark("c_ts", "10 minutes")
@@ -194,6 +200,7 @@ def click_purchase_join_stream(
         F.expr(
             f"user_id = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL {horizon}"
         ),
+        how,
     )
 
 

@@ -273,6 +273,57 @@ def test_stream_stream_join_equals_batch_self_join(spark, sf_dir):
     assert out.count() == n_expected
 
 
+def test_stream_stream_left_join_flushes_across_triggers(spark, sf_dir):
+    """LEFT OUTER interval join over a 4-trigger chronological replay:
+    unmatched clicks must flush as the watermark advances batch over
+    batch, and the end state must match the batch left join for every
+    click provably below the final flush line (min of both sides'
+    watermarks minus the 30min horizon, 1min safety margin)."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_spark.streaming.events import (
+        click_purchase_join_stream,
+        run_stream_to_memory,
+        stream_events_multibatch,
+    )
+
+    clicks = stream_events_multibatch(spark, sf_dir, n_files=4).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = stream_events_multibatch(spark, sf_dir, n_files=4).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = run_stream_to_memory(
+        click_purchase_join_stream(clicks, purchases, how="leftOuter"),
+        "t_stream_left_join_mb",
+        output_mode="append",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if ev.schema["ts"].dataType.simpleString() == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    mxc = c.agg(F.max("c_ts")).collect()[0][0]
+    mxp = p.agg(F.max("p_ts")).collect()[0][0]
+    import datetime
+
+    cutoff = min(mxc, mxp) - datetime.timedelta(minutes=41)
+    batch = c.filter(F.col("c_ts") <= F.lit(cutoff)).join(
+        p,
+        F.expr("user_id = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"),
+        "left",
+    )
+    want_matched = batch.filter(F.col("p_ts").isNotNull()).count()
+    want_unmatched = batch.filter(F.col("p_ts").isNull()).count()
+    got = out.filter(F.col("c_ts") <= F.lit(cutoff))
+    assert got.filter(F.col("p_ts").isNotNull()).count() == want_matched
+    assert got.filter(F.col("p_ts").isNull()).count() == want_unmatched
+
+
 def test_watermark_drops_late_beyond_allowed_lateness(spark, tmp_path):
     """The watermark contract Spark actually guarantees: once a window
     is finalized (its end fell behind the watermark and append mode
