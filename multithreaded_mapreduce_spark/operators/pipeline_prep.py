@@ -157,9 +157,14 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = toks.withColumn("local_cum", F.sum("n_tokens").over(w_local))
-    # one row per chunk → the offset cascade is a tiny single-task window
-    w_prev = Window.orderBy("chunk").rowsBetween(
-        Window.unboundedPreceding, -1
+    # one row per chunk → the offset cascade is a tiny single-task window.
+    # partitionBy(lit(0)) pins the same single-partition plan explicitly
+    # (it IS the intent here) without tripping WindowExec's
+    # no-partition-defined warning in every bench run.
+    w_prev = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
         toks.groupBy("chunk")

@@ -96,8 +96,14 @@ ORDER BY s_acctbal DESC, s_suppkey
 )
 def supplier_acctbal_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
-    by_bal = W.orderBy(F.col("s_acctbal").desc())
-    total = W.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    # A global rank is inherently one partition; supplier is a dim table
+    # (10k rows/TB-scale constant), so that is fine — partitionBy(lit(0))
+    # states the intent explicitly instead of tripping WindowExec's
+    # no-partition-defined warning.
+    by_bal = W.partitionBy(F.lit(0)).orderBy(F.col("s_acctbal").desc())
+    total = W.partitionBy(F.lit(0)).orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
     return (
         supplier.select(
             "s_suppkey",
