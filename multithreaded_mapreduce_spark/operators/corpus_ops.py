@@ -1,0 +1,221 @@
+"""Corpus lifecycle operators: incremental dedup, representative
+selection, BPE merge mining, and a one-row dedup funnel report.
+
+The reference pipeline consumes a corpus once and emits word counts
+(reference ``1.cpp`` whole file — tokenize → clean → count); a
+production training-data pipeline additionally runs the corpus
+*lifecycle*: new crawl batches arrive and must dedup against the
+established corpus (incremental dedup), duplicate groups need a
+deterministic representative (keep-best selection), the tokenizer is
+trained from the corpus itself (BPE merge candidates = adjacent-pair
+frequencies), and every run publishes dedup-rate observability.
+
+Scale notes (local[32] today, 1000 executors tomorrow):
+
+* Incremental dedup keys the anti-join on an 8-byte-cheap content
+  hash projected in the scan — document text never shuffles. The
+  new-arrival side is a single crawl batch (tiny vs the corpus), so
+  at 100 TB the exchange carries only (hash, id) pairs partitioned by
+  hash; AQE broadcasts whichever side fits.
+* Keep-best collapses on a canonical bag key (sorted distinct token
+  hash). The groupBy is one shuffle of (key, doc_id, n_chars) slim
+  rows; the representative is picked with a min(struct(...)) single
+  aggregate, not a window — no second shuffle, no per-group sort.
+* BPE merge candidates never materialize per-position rows until the
+  pair strings are built inside the array (one transform per doc),
+  and the count groupBy partial-aggregates map-side, so the shuffle
+  carries one row per *distinct* pair per partition. Top-20 is a
+  TakeOrderedAndProject, not a global sort.
+* The funnel report is a single Expand-based multi-distinct aggregate
+  over one scan — at scale this is the same shape as Spark's own
+  count-distinct rewrite (partial per-key dedup before the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.tables import load_table
+from .textstats import _sql_tokens, _tokens
+
+#: the crawl batch playing "new arrivals" in the incremental dedup.
+NEW_BATCH_SOURCE = "src19"
+
+#: number of BPE merge candidates / top n-grams reported.
+TOP_PAIRS = 20
+
+
+def _bag_key() -> F.Column:
+    """Canonical bag-of-words key: md5 of the sorted distinct token
+    list — identical wording up to order/multiplicity collapses."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
+
+
+_SQL_BAG_KEY = (
+    f"md5(array_to_string(list_sort(list_distinct({_sql_tokens()})), ' '))"
+)
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, md5(text) AS content_hash FROM documents
+)
+SELECT n.doc_id, n.content_hash
+FROM h n
+WHERE n.source = '{NEW_BATCH_SOURCE}'
+  AND NOT EXISTS (
+    SELECT 1 FROM h c
+    WHERE c.source <> '{NEW_BATCH_SOURCE}'
+      AND c.content_hash = n.content_hash
+  )
+ORDER BY n.doc_id
+""",
+    description="Incremental dedup: documents of the newest crawl batch "
+    f"(source = {NEW_BATCH_SOURCE!r}) that are NOT exact-content "
+    "duplicates of the established corpus — a hash-keyed left-anti join "
+    "where text never shuffles, only (hash, id) pairs. The batch-vs-"
+    "corpus anti-join is the standard admission gate of a continuously "
+    "updated training corpus.",
+    tags=("dedup", "incremental", "pipeline"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("content_hash")
+    )
+    new = docs.filter(F.col("source") == NEW_BATCH_SOURCE).select(
+        "doc_id", "content_hash"
+    )
+    corpus = docs.filter(F.col("source") != NEW_BATCH_SOURCE).select("content_hash")
+    return new.join(corpus, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_bag_keep_best",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, n_chars, {_SQL_BAG_KEY} AS bag_key FROM documents
+), r AS (
+  SELECT doc_id, n_chars, bag_key,
+         row_number() OVER (PARTITION BY bag_key
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY bag_key) AS n_members
+  FROM k
+)
+SELECT doc_id AS rep_doc_id, CAST(n_members AS BIGINT) AS n_members, bag_key
+FROM r WHERE rn = 1
+ORDER BY rep_doc_id
+""",
+    description="Duplicate-group representative selection: documents "
+    "collapse on a canonical bag-of-words key and each group keeps its "
+    "best member (longest text, then lowest doc_id) via a single "
+    "min(struct) aggregate — one shuffle of slim rows, no per-group "
+    "window sort. This is the 'which copy survives' half of dedup that "
+    "dedup_exact's min-id policy simplifies away.",
+    tags=("dedup", "keep-best", "pipeline"),
+)
+def dedup_bag_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _bag_key().alias("bag_key")
+    )
+    # min over (−n_chars, doc_id) ≡ (n_chars DESC, doc_id ASC) winner:
+    # a single hash aggregate replaces the row_number window the oracle
+    # uses — same result, one shuffle, partial-aggregated map-side.
+    best = F.min(F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id")))
+    return (
+        docs.groupBy("bag_key")
+        .agg(best.alias("best"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            F.col("best.doc_id").alias("rep_doc_id"), "n_members", "bag_key"
+        )
+        .orderBy("rep_doc_id")
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+WITH t AS (
+  SELECT {_sql_tokens()} AS toks FROM documents
+), p AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS pair
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+)
+SELECT pair, count(*) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {TOP_PAIRS}
+""",
+    description=f"Tokenizer training step: top-{TOP_PAIRS} adjacent "
+    "token pairs by corpus frequency — exactly the first merge-candidate "
+    "scan of BPE training. Pairs are built inside the token array (one "
+    "transform per document, no per-position rows until the explode), "
+    "the count partial-aggregates map-side, and the top-k is a "
+    "TakeOrderedAndProject rather than a global sort.",
+    tags=("text", "tokenizer", "bpe", "pipeline"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    # sequence(1, n-1) COUNTS DOWN when n = 1 (sequence(1, 0) →
+    # [1, 0]) — guard short docs explicitly, same gotcha as _shingles.
+    pairs = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ts, i), F.element_at(ts, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(_tokens().alias("ts"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(TOP_PAIRS)
+    )
+
+
+@register(
+    "corpus_dedup_report",
+    oracle=f"""
+WITH t AS (
+  SELECT text, md5(text) AS content_hash, {_SQL_BAG_KEY} AS bag_key,
+         len({_sql_tokens()}) AS n_toks
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT content_hash) AS n_exact_unique,
+       count(DISTINCT bag_key) AS n_bag_unique,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens
+FROM t
+""",
+    description="One-row dedup observability report: document count, "
+    "exact-content unique count, bag-of-words unique count, and total "
+    "token volume — the per-run funnel a corpus pipeline publishes "
+    "after each ingest. One scan; the two count-distincts ride Spark's "
+    "Expand-based rewrite (per-key partial dedup before the exchange), "
+    "so no stage ever holds the full corpus in one task.",
+    tags=("dedup", "observability", "pipeline"),
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.md5("text").alias("content_hash"),
+        _bag_key().alias("bag_key"),
+        F.size(_tokens()).alias("n_toks"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("content_hash").alias("n_exact_unique"),
+        F.count_distinct("bag_key").alias("n_bag_unique"),
+        F.sum("n_toks").alias("total_tokens"),
+    )

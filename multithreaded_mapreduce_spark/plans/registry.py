@@ -71,6 +71,7 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.quality_repetition",
     "multithreaded_mapreduce_spark.operators.sketches",
     "multithreaded_mapreduce_spark.operators.tpch_bridge",
+    "multithreaded_mapreduce_spark.operators.corpus_ops",
 )
 
 
