@@ -11,11 +11,18 @@ Matching DuckDB oracle pattern::
 
     round(CAST(sum(CAST(expr AS DECIMAL(30,6))) AS DOUBLE), 2)
 
-Scale note: decimal aggregation stays inside whole-stage codegen
-(Spark's ``Sum`` over ``DecimalType`` uses long-backed Decimal128
-arithmetic) — the overhead vs double sums is small and it buys
-deterministic results, which a 1000-executor run needs even more than
-a local one.
+Scale note: a decimal accumulator wider than 18 digits leaves
+UnsafeRow's unscaled-long fast path and pays BigDecimal
+(de)serialization per row — measured ~5× slower than long/double sums
+on the Q1 shape at sf0.1. Where the grouping has LOW cardinality the
+engine therefore uses the two-stage fixed-point pattern
+(:func:`partial_cent_sums` + :func:`exact_dollars`): per-(group ×
+input-partition) LONG sums of integer fixed-point units (exact, fast,
+codegen-friendly), then a decimal finalization over the tiny partial
+relation. Results are bit-identical to the one-stage decimal sum —
+both compute the same exact integer — so the DuckDB oracles are
+unchanged. ``dsum``/``davg`` remain for high-cardinality groupings,
+where stage 1 would emit |groups × partitions| rows and erase the win.
 """
 
 from __future__ import annotations
@@ -56,3 +63,48 @@ def davg(col: Column | str, scale: int = 4) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), scale)
+
+
+# --------------------------------------------------------------------------
+# two-stage fixed-point money aggregation (low-cardinality groupings)
+# --------------------------------------------------------------------------
+
+DEC38 = "decimal(38,6)"
+
+
+def cents(col: Column | str, scale: int = 2) -> Column:
+    """Exact fixed-point reading of a money double: round(x·10^scale)
+    as LONG. Valid when the stored doubles are ``scale``-decimal values
+    (the driver data is 2-decimal money; the round removes the binary
+    representation error)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10**scale)).cast("long")
+
+
+def partial_cent_sums(df, keys, longs: dict[str, Column]):
+    """Stage 1 of the exact two-stage fixed-point aggregation: LONG
+    sums of integer fixed-point expressions per (group keys × input
+    partition), plus a ``_n`` row count.
+
+    The per-partition scope bounds each long accumulator: with ≤ ~10⁶
+    rows per split (``spark.sql.files.maxPartitionBytes``) and row
+    values ≤ ~10¹¹ units (max money value × 10⁶ fixed-point units),
+    partial sums stay ≤ ~10¹⁷ — an order of magnitude inside int64 at
+    ANY corpus scale, because the split size is capped regardless of
+    total data volume. The partial aggregate runs map-side; the
+    exchange carries |groups × partitions| slim long rows."""
+    pid = F.spark_partition_id().alias("_pid")
+    return df.groupBy(*keys, pid).agg(
+        *[F.sum(c).alias(a) for a, c in longs.items()],
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+
+def exact_dollars(partial_col: str, unit: int) -> Column:
+    """Stage 2 finalization: decimal sum of the stage-1 longs (exact —
+    the global total may exceed 2⁵³ but not decimal(38)), converted to
+    dollars and cast to double. Bit-identical to the one-stage
+    ``sum(CAST(x AS DECIMAL))`` the oracle computes, at a fraction of
+    the cost: the decimal arithmetic touches only the tiny partial
+    relation."""
+    return (F.sum(partial_col).cast(DEC38) / F.lit(unit)).cast("double")
