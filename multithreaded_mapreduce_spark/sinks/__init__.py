@@ -1,3 +1,15 @@
-from .writers import format_console, write_csv, write_parquet
+from .writers import (
+    compact_parquet,
+    format_console,
+    write_clustered_parquet,
+    write_csv,
+    write_parquet,
+)
 
-__all__ = ["format_console", "write_csv", "write_parquet"]
+__all__ = [
+    "compact_parquet",
+    "format_console",
+    "write_clustered_parquet",
+    "write_csv",
+    "write_parquet",
+]

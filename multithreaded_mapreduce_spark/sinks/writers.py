@@ -54,3 +54,47 @@ def write_csv(
 ) -> None:
     """CSV sink for interchange with non-columnar consumers."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: tuple[str, ...],
+    *,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink clustered on ``cluster_by``: range-repartition so
+    each output file owns a contiguous key range, then sort within
+    each file so row groups carry tight min/max statistics.
+
+    This is the layout half of data skipping: parquet footers record
+    per-column min/max per row group, and a reader's pushed-down
+    predicate on the cluster key then skips whole files/row groups
+    whose range can't match. On a 100 TB time-partitioned table this —
+    not the filter evaluation itself — is what turns a one-day query
+    into a one-partition scan. (Same idea as Delta/Iceberg OPTIMIZE
+    ZORDER restricted to one dimension, expressed with stock Spark.)
+    """
+    out = df.repartitionByRange(*(cluster_by if num_files is None else (num_files, *cluster_by)))
+    out.sortWithinPartitions(*cluster_by).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    target_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Small-file compaction: rewrite a (possibly thousand-file)
+    relation into ``target_files`` evenly sized parquet files.
+
+    Streaming sinks and over-parallel writers leave file counts that
+    make listing + task scheduling the dominant cost of every later
+    scan; periodic compaction is standard corpus-pipeline hygiene.
+    The round-robin ``repartition`` (not ``coalesce``) buys even file
+    sizes — coalesce would glue unbalanced input splits into unbalanced
+    outputs and can starve upstream parallelism by collapsing the
+    whole preceding stage to ``target_files`` tasks."""
+    df.repartition(target_files).write.mode(mode).parquet(path)

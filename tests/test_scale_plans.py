@@ -135,3 +135,66 @@ def test_incremental_rollup_equals_full_recompute(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in inc] == [tuple(r) for r in full]
+
+
+def test_compact_parquet_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
+    """Small-file compaction: a 64-file relation compacts to 4 evenly
+    sized files with identical content — the periodic hygiene pass that
+    keeps listing/scheduling costs off every later scan."""
+    from multithreaded_mapreduce_spark.sinks import compact_parquet
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    fragmented = os.path.join(str(tmp_path), "orders_fragmented")
+    orders.repartition(64).write.parquet(fragmented)
+    frag_files = [f for f in os.listdir(fragmented) if f.endswith(".parquet")]
+    assert len(frag_files) == 64
+
+    compacted = os.path.join(str(tmp_path), "orders_compacted")
+    compact_parquet(spark.read.parquet(fragmented), compacted, target_files=4)
+    out_files = [f for f in os.listdir(compacted) if f.endswith(".parquet")]
+    assert len(out_files) == 4
+    # round-robin repartition → sizes within 2x of each other
+    sizes = sorted(os.path.getsize(os.path.join(compacted, f)) for f in out_files)
+    assert sizes[-1] < 2 * sizes[0]
+    back = spark.read.parquet(compacted)
+    assert back.count() == orders.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+
+
+def test_clustered_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """write_clustered_parquet must produce files whose cluster-key
+    [min, max] ranges do not overlap (verified from the parquet footers
+    directly) — the property that lets a reader skip whole files on a
+    pushed-down range predicate."""
+    import pyarrow.parquet as pq
+
+    from multithreaded_mapreduce_spark.sinks import write_clustered_parquet
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = os.path.join(str(tmp_path), "events_clustered")
+    write_clustered_parquet(events, out, ("event_id",), num_files=8)
+
+    ranges = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        if md.num_rows == 0:
+            continue
+        col = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "event_id"
+        )
+        mins = [md.row_group(g).column(col).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(col).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # range partitioner actually split the keyspace
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # and the layout is transparent to readers: same rows come back
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
