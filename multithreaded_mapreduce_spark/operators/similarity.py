@@ -478,3 +478,107 @@ def knn_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("query_id", "rnk")
     )
+
+
+# ------------------------------------------------------------------
+# metadata-filtered search: top-k within the query's label group
+# ------------------------------------------------------------------
+
+FILTERED_TOP_K = 3
+
+
+@register(
+    "knn_cosine_filtered",
+    oracle=_DOT_CTE.format(n_queries=N_QUERIES).replace(
+        "SELECT vec_id, embedding FROM embeddings",
+        "SELECT vec_id, embedding, label FROM embeddings",
+    )
+    + f"""
+, dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(sum(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM queries q
+  JOIN embeddings e ON e.label = q.label AND e.vec_id != q.vec_id
+  CROSS JOIN dims
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(round(CAST(d.dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nn ON d.neighbor_id = nn.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {FILTERED_TOP_K}
+ORDER BY query_id, rnk
+""",
+    description=f"Metadata-filtered vector search: exact cosine top-"
+    f"{FILTERED_TOP_K} restricted to the query's own label group — the "
+    "'filtered ANN' shape every production vector store needs (RAG over "
+    "one tenant/language/domain). PRE-filtering: the label equality is "
+    "part of the join condition, so Spark plans a broadcast HASH join "
+    "on label (not the all-pairs nested loop) and only same-label pairs "
+    "are ever scored — at 1000x corpus the scored set shrinks by the "
+    "label selectivity, where post-filtering would score everything "
+    "and risk starving the top-k.",
+    tags=("similarity", "knn", "filtered"),
+)
+def knn_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        norm_sq_fast("embedding").alias("q_nsq"),
+    )
+    neighbors = spread(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            F.col("embedding").alias("n_emb"),
+            norm_sq_fast("embedding").alias("n_nsq"),
+        )
+    )
+    prelim = (
+        F.broadcast(queries)
+        .join(
+            neighbors,
+            (F.col("q_label") == F.col("n_label"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "neighbor_id",
+            "n_emb",
+            (
+                dot_fast("q_emb", "n_emb")
+                / F.sqrt(F.col("q_nsq") * F.col("n_nsq"))
+            ).alias("approx"),
+        )
+    )
+    # same two-phase ranking as knn_cosine_bruteforce: cheap double
+    # cosine ranks, the decimal-exact rescore runs only on the buffer
+    pw = W.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    buffer = (
+        prelim.withColumn("prnk", F.row_number().over(pw))
+        .filter(F.col("prnk") <= RESCORE_BUFFER)
+    )
+    scored = buffer.select(
+        "query_id",
+        "neighbor_id",
+        _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= FILTERED_TOP_K)
+        .orderBy("query_id", "rnk")
+    )
