@@ -72,6 +72,7 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.sketches",
     "multithreaded_mapreduce_spark.operators.tpch_bridge",
     "multithreaded_mapreduce_spark.operators.corpus_ops",
+    "multithreaded_mapreduce_spark.operators.audit",
 )
 
 
