@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.numeric import DEC
 from ..plans.registry import register
 from ..streaming.events import (
+    enriched_segment_stream,
     run_stream_to_memory,
     sessionized_stream,
     sliding_counts_stream,
@@ -76,6 +77,32 @@ ORDER BY window_start, event_type
 def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sliding_counts_stream(stream_events(spark, sf_dir))
     return run_stream_to_memory(stream, "q_streaming_sliding_windows")
+
+
+@register(
+    "streaming_enriched_segment_totals",
+    oracle=f"""
+SELECT date_trunc('hour', e.ts) AS window_start,
+       c.c_mktsegment,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(e.value AS {DEC})) AS DOUBLE), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY date_trunc('hour', e.ts), c.c_mktsegment
+ORDER BY window_start, c_mktsegment
+""",
+    description="Stream-STATIC dimension enrichment: the event stream "
+    "broadcast-joins the static customer dim per micro-batch (no join "
+    "state, unlike a stream-stream join), then hourly totals per market "
+    "segment. Checked against the equivalent batch join+aggregate "
+    "oracle in DuckDB.",
+    tags=("streaming", "events", "join", "enrichment"),
+)
+def streaming_enriched_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    stream = enriched_segment_stream(stream_events(spark, sf_dir), customer)
+    return run_stream_to_memory(stream, "q_streaming_enriched_segment_totals")
 
 
 @register(

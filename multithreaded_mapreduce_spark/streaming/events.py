@@ -122,6 +122,37 @@ def tumbling_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def enriched_segment_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-STATIC join: the event stream enriched with the customer
+    dimension, then hourly totals per market segment.
+
+    Unlike a stream-stream join this keeps NO join state — each
+    micro-batch hash-joins against the static (broadcast) dim exactly
+    as a batch query would, which is why it is the standard enrichment
+    shape for dimension lookups: at 100 TB/day of events the dim join
+    costs one broadcast per executor, not a watermark-bounded state
+    store. The windowed aggregate after it is the only stateful op.
+    """
+    enriched = events.join(
+        F.broadcast(customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+        "user_id",
+    )
+    return (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sliding_counts_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of the ``events_sliding_windows`` batch query:
     1-hour windows hopping every 30 minutes — each event feeds two

@@ -398,3 +398,36 @@ def test_watermark_drops_late_beyond_allowed_lateness(spark, tmp_path):
         # batch1's 13:00 event, flushed once 14:30 moved the watermark
         "2024-03-01 13:00:00": 1,
     }
+
+
+def test_multibatch_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment across multiple triggers: the dim join
+    holds no state, so an N-trigger replay must still converge to the
+    batch join+aggregate (complete mode re-emits the full result)."""
+    from multithreaded_mapreduce_spark.sources.tables import load_table
+    from multithreaded_mapreduce_spark.streaming.events import (
+        enriched_segment_stream,
+        stream_events_multibatch,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    stream = enriched_segment_stream(
+        stream_events_multibatch(spark, sf_dir, n_files=4), customer
+    )
+    got = run_stream_to_memory(stream, "stream_static_mb")
+    ev = load_table(spark, sf_dir, "events")
+    from multithreaded_mapreduce_spark.functions.numeric import DEC
+
+    want = (
+        ev.join(
+            customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            "user_id",
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
+        )
+    )
+    cols = ["window_start", "c_mktsegment", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
