@@ -73,6 +73,7 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.tpch_bridge",
     "multithreaded_mapreduce_spark.operators.corpus_ops",
     "multithreaded_mapreduce_spark.operators.audit",
+    "multithreaded_mapreduce_spark.operators.analytics_extra",
 )
 
 
