@@ -109,3 +109,112 @@ def priority_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("mom_change"),
         F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
     ).orderBy("o_orderpriority", "month")
+
+
+N_BUCKETS = 20
+HIST_LO, HIST_HI = 0.0, 1000.0
+
+
+@register(
+    "value_histogram",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN value < {HIST_LO} THEN 0
+              WHEN value >= {HIST_HI} THEN {N_BUCKETS + 1}
+              ELSE CAST(floor((value - {HIST_LO})
+                   / (({HIST_HI} - {HIST_LO}) / {N_BUCKETS})) AS BIGINT) + 1
+         END AS bucket
+  FROM events
+)
+SELECT bucket, count(*) AS n
+FROM b GROUP BY bucket
+ORDER BY bucket
+""",
+    description=f"Equi-width histogram of events.value over "
+    f"[{HIST_LO}, {HIST_HI}) in {N_BUCKETS} buckets plus under/overflow "
+    "bins (width_bucket semantics, spelled out so both engines agree on "
+    "edge ownership). Profiling primitive: one scan, partial-aggregated "
+    "counts, ≤22 result rows at any volume.",
+    tags=("analytics", "profiling", "histogram"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("value")
+    width = (HIST_HI - HIST_LO) / N_BUCKETS
+    v = F.col("value")
+    bucket = (
+        F.when(v < HIST_LO, F.lit(0))
+        .when(v >= HIST_HI, F.lit(N_BUCKETS + 1))
+        .otherwise(F.floor((v - HIST_LO) / width).cast("long") + 1)
+    )
+    return (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "customer_abc_classification",
+    oracle=f"""
+WITH c AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS {{DEC}})) AS revenue
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(revenue) OVER () AS total
+  FROM c
+), shared AS (
+  SELECT o_custkey,
+         CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+  FROM ranked
+)
+SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       count(*) AS n_customers
+FROM shared
+GROUP BY 1
+ORDER BY abc_class
+""".format(DEC=DEC),
+    description="ABC (Pareto) classification: customers ranked by total "
+    "revenue, classified by cumulative share (A ≤80%, B ≤95%, C rest), "
+    "reported as class sizes. The cumulative window runs over the per-"
+    "customer AGGREGATE (|customers| rows, not |orders|), with decimal-"
+    "exact sums so the share boundaries are bit-stable. The global "
+    "cumsum is the documented single-task stage; for a billion-customer "
+    "table swap in the distributed prefix-sum pattern from "
+    "pack_training_sequences.",
+    tags=("analytics", "window", "pareto"),
+)
+def customer_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue")
+    )
+    w_cum = (
+        W.partitionBy(F.lit(0))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_total = W.partitionBy(F.lit(0))
+    shared = c.select(
+        "o_custkey",
+        (
+            F.sum("revenue").over(w_cum).cast("double")
+            / F.sum("revenue").over(w_total).cast("double")
+        ).alias("cum_share"),
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        shared.select(abc.alias("abc_class"))
+        .groupBy("abc_class")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("abc_class")
+    )

@@ -30,7 +30,12 @@ import os
 from collections.abc import Iterator
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 #: bytes the C library's isspace() accepts — the reference's fscanf
@@ -121,8 +126,53 @@ class _TokenReader(DataSourceReader):
             yield (tok,)
 
 
+class _TokenSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the offset is a BYTE
+    position in the file, each micro-batch owns the tokens that START
+    in ``[offset, offset + chunk_bytes)`` — exactly the batch source's
+    split-file boundary rule, so replaying every micro-batch yields
+    every token exactly once regardless of where triggers landed.
+
+    ``readBetweenOffsets`` re-derives a batch purely from its two
+    offsets (the file is the log), which is what makes recovery after
+    a crash exactly-once: offsets are durable in the checkpoint, data
+    is re-read from the immutable file.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wstokens source requires a path")
+        if os.path.isdir(self.path):
+            raise ValueError("wstokens streaming reads a single file")
+        self.chunk_bytes = int(options.get("chunk_bytes", DEFAULT_CHUNK_BYTES))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        pos = int(start["pos"])
+        size = os.path.getsize(self.path)
+        end = min(size, pos + self.chunk_bytes)
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._rows(int(start["pos"]), int(end["pos"]))
+
+    def _rows(self, start: int, end: int) -> Iterator[tuple]:
+        # materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator for replay, which a generator can't
+        # survive — a micro-batch is chunk_bytes-bounded, so the list is
+        # small by construction
+        if end <= start:
+            return iter([])
+        return iter([(tok,) for tok in _iter_tokens(self.path, start, end)])
+
+
 class TokenDataSource(DataSource):
-    """``spark.read.format("wstokens").option("chunk_bytes", n).load(p)``"""
+    """``spark.read.format("wstokens").option("chunk_bytes", n).load(p)``
+    (batch) or ``spark.readStream.format("wstokens")...`` (streaming
+    replay in chunk_bytes-sized micro-batches)."""
 
     @classmethod
     def name(cls) -> str:
@@ -133,6 +183,9 @@ class TokenDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _TokenReader(dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _TokenSimpleStreamReader(dict(self.options))
 
 
 def register_token_source(spark) -> None:

@@ -107,3 +107,44 @@ def test_empty_file(spark):
         .load()
     )
     assert df.count() == 0
+
+
+def test_streaming_token_source_counts_equal_batch(spark):
+    """The streaming reader replays the file in chunk_bytes micro-
+    batches; complete-mode counts must equal the batch scan, and the
+    tiny chunk forces a genuinely multi-batch replay (offset advance
+    exercised, not just one trigger)."""
+    import os
+
+    path = f"{REF}/vlarge.txt"
+    register_token_source(spark)
+    stream = (
+        spark.readStream.format("wstokens")
+        .option("path", path)
+        .option("chunk_bytes", 1024)  # ~7 KiB file → several batches
+        .load()
+        .groupBy("token")
+        .count()
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wstokens_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+    finally:
+        q.stop()
+    assert n_batches >= 3, f"expected a multi-batch replay, got {n_batches}"
+    got = {
+        r.token: r["count"]
+        for r in spark.sql("SELECT * FROM wstokens_stream").collect()
+    }
+    want_df = (
+        spark.read.format("wstokens").option("path", path).load()
+        .groupBy("token").count()
+    )
+    want = {r.token: r["count"] for r in want_df.collect()}
+    assert got == want
