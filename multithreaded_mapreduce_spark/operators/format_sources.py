@@ -74,6 +74,32 @@ def json_source_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_source_customer_segments",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_acctbal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    description="Customer segment rollup read through Spark 4's NATIVE "
+    "XML connector (rowTag records, explicit schema + timestamp format) "
+    "from a staged XML copy — oracle computed on the original parquet, "
+    "so any parse/precision loss hash-mismatches. XML parses every tag "
+    "of every row: ingest-only at scale, like CSV/JSON.",
+    tags=("source", "xml", "connector"),
+)
+def xml_source_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_staged(spark, sf_dir, "customer", "xml")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "wordcount_custom_source",
     oracle="""
 WITH toks AS (

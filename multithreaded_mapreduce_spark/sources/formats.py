@@ -1,4 +1,4 @@
-"""Multi-format source connectors: CSV, JSON-lines, and ORC.
+"""Multi-format source connectors: CSV, JSON-lines, ORC, and XML.
 
 The reference reads exactly one format — whitespace-delimited text via
 ``fscanf`` (reference ``1.cpp:260``); the engine's native format is
@@ -51,6 +51,12 @@ def ensure_staged(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str
         writer.option("timestampFormat", TS_FMT).json(path)
     elif fmt == "orc":
         writer.orc(path)
+    elif fmt == "xml":
+        # Spark 4 native XML writer (no external package); timestamps
+        # carry the same explicit format as CSV/JSON
+        writer.option("rootTag", "rows").option("rowTag", "row").option(
+            "timestampFormat", TS_FMT
+        ).format("xml").save(path)
     else:  # pragma: no cover
         raise ValueError(f"unsupported format {fmt!r}")
     return path
@@ -67,4 +73,11 @@ def read_staged(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> DataF
         return reader.option("timestampFormat", TS_FMT).json(path)
     if fmt == "orc":
         return reader.orc(path)
+    if fmt == "xml":
+        return (
+            reader.option("rowTag", "row")
+            .option("timestampFormat", TS_FMT)
+            .format("xml")
+            .load(path)
+        )
     raise ValueError(f"unsupported format {fmt!r}")  # pragma: no cover
