@@ -413,3 +413,49 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "full_outer_nation_parties",
+    oracle="""
+WITH cn AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers
+  FROM customer GROUP BY 1
+), sn AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+  FROM supplier GROUP BY 1
+)
+SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+       coalesce(cn.n_customers, 0) AS n_customers,
+       coalesce(sn.n_suppliers, 0) AS n_suppliers
+FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+ORDER BY nationkey
+""",
+    description="FULL OUTER join: per-nation customer counts vs supplier "
+    "counts, keeping nations that have only one kind of party (the "
+    "null-extended side coalesces to 0). Joins two AGGREGATES — at any "
+    "volume the outer join sees |nations| rows per side, and full-outer "
+    "never broadcasts (both sides must null-extend), so the tiny "
+    "pre-aggregation is what keeps the mandatory shuffle trivial.",
+    tags=("relational", "join", "outer", "full"),
+)
+def full_outer_nation_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cn.join(sn, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
