@@ -64,3 +64,89 @@ def test_cleaning_is_idempotent(spark):
     once = _spark_counts(spark, text)
     again = _spark_counts(spark, " ".join(w for w, _ in once))
     assert sorted(w for w, _ in again) == sorted(w for w, _ in once)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "e9"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_pair_counts_match_python_model(spark, docs):
+    """bpe_merge_candidates' pair construction must agree with a direct
+    Python model (adjacent pairs, whitespace tokens, short docs empty)
+    on arbitrary corpora, including empty docs and one-token docs."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    model = Counter()
+    for toks in docs:
+        for a, b in zip(toks, toks[1:]):
+            model[f"{a} {b}"] += 1
+
+    df = spark.createDataFrame([(" ".join(t),) for t in docs], "text string")
+    ts = F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+    tok_df = df.select(ts.alias("ts"))
+    arr = F.col("ts")
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    got = Counter(
+        {
+            r.pair: r.cnt
+            for r in tok_df.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+    )
+    assert got == model
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    groups=st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 500), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_two_stage_fixed_point_sum_equals_decimal_sum(spark, groups):
+    """partial_cent_sums + exact_dollars must equal the one-stage
+    decimal sum bit-for-bit on arbitrary integer cent data — the
+    equivalence the q1 rewrite relies on."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_spark.functions.numeric import (
+        exact_dollars,
+        partial_cent_sums,
+    )
+
+    df = spark.createDataFrame(
+        [(k, c) for k, c, _ in groups], "k string, cents long"
+    ).repartition(4)
+    partial = partial_cent_sums(df, ["k"], {"_c": F.col("cents")})
+    got = {
+        r.k: r.total
+        for r in partial.groupBy("k")
+        .agg(F.round(exact_dollars("_c", 100), 2).alias("total"))
+        .collect()
+    }
+    want = {
+        r.k: r.total
+        for r in df.groupBy("k")
+        .agg(
+            F.round(
+                F.sum((F.col("cents") / 100.0).cast("decimal(30,6)")).cast("double"), 2
+            ).alias("total")
+        )
+        .collect()
+    }
+    assert got == want
