@@ -219,3 +219,92 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("bag_key").alias("n_bag_unique"),
         F.sum("n_toks").alias("total_tokens"),
     )
+
+
+TOP_NGRAMS_N = 3
+TOP_NGRAMS_K = 25
+
+
+@register(
+    "top_ngrams",
+    oracle=f"""
+WITH t AS (
+  SELECT {_sql_tokens()} AS toks FROM documents
+), g AS (
+  SELECT array_to_string(toks[i:i+{TOP_NGRAMS_N - 1}], ' ') AS ngram
+  FROM t, unnest(generate_series(1, len(toks) - {TOP_NGRAMS_N - 1})) AS u(i)
+  WHERE len(toks) >= {TOP_NGRAMS_N}
+)
+SELECT ngram, count(*) AS cnt
+FROM g GROUP BY ngram
+ORDER BY cnt DESC, ngram
+LIMIT {TOP_NGRAMS_K}
+""",
+    description=f"Global top-{TOP_NGRAMS_K} {TOP_NGRAMS_N}-grams by "
+    "corpus frequency — the scan that builds boilerplate blocklists and "
+    "contamination watchlists. N-grams are built inside the token array "
+    "(no per-position rows before the explode), counts partial-"
+    "aggregate map-side, and the top-k is a TakeOrderedAndProject.",
+    tags=("text", "ngram", "pipeline"),
+)
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    grams = F.when(
+        F.size(ts) >= TOP_NGRAMS_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (TOP_NGRAMS_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ts, i, TOP_NGRAMS_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(_tokens().alias("ts"))
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "ngram")
+        .limit(TOP_NGRAMS_K)
+    )
+
+
+LENGTH_GATE_LO = 0.05
+LENGTH_GATE_HI = 0.95
+
+
+@register(
+    "length_gate_survivors",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({_sql_tokens()}) AS n_toks FROM documents
+), cuts AS (
+  SELECT quantile_cont(n_toks, {LENGTH_GATE_LO}) AS lo,
+         quantile_cont(n_toks, {LENGTH_GATE_HI}) AS hi
+  FROM t
+)
+SELECT t.doc_id, CAST(t.n_toks AS BIGINT) AS n_toks
+FROM t, cuts
+WHERE t.n_toks >= cuts.lo AND t.n_toks <= cuts.hi
+ORDER BY t.doc_id
+""",
+    description="Percentile length gate: keep documents whose token "
+    f"count lies inside the [{LENGTH_GATE_LO:.0%}, {LENGTH_GATE_HI:.0%}] "
+    "corpus percentile band — the outlier-trimming step of corpus prep "
+    "(truncated shards at one end, concatenation bugs at the other). "
+    "The exact interpolated percentiles come from ONE tiny aggregate "
+    "broadcast back over the scan; two passes over a slim (id, count) "
+    "projection, no shuffle of document text.",
+    tags=("text", "quality", "percentile", "pipeline"),
+)
+def length_gate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(_tokens()).alias("n_toks"))
+    cuts = t.agg(
+        F.expr(f"percentile(n_toks, {LENGTH_GATE_LO})").alias("lo"),
+        F.expr(f"percentile(n_toks, {LENGTH_GATE_HI})").alias("hi"),
+    )
+    return (
+        t.crossJoin(F.broadcast(cuts))
+        .filter((F.col("n_toks") >= F.col("lo")) & (F.col("n_toks") <= F.col("hi")))
+        .select("doc_id", F.col("n_toks").cast("long").alias("n_toks"))
+        .orderBy("doc_id")
+    )
