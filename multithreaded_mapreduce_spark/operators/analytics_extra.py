@@ -218,3 +218,85 @@ def customer_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("abc_class")
     )
+
+
+@register(
+    "hourly_seasonality_profile",
+    oracle=f"""
+SELECT CAST(extract(hour FROM ts) AS INT) AS hour_of_day, event_type,
+       count(*) AS n_events,
+       CAST(round(CAST(CAST(sum(CAST(value AS {DEC})) AS DOUBLE) / count(*)
+                       AS DECIMAL(30,12)), 4) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_of_day, event_type
+""",
+    description="Seasonality profile: event volume and average value by "
+    "hour-of-day × type — the diurnal fingerprint dashboards and anomaly "
+    "baselines are built from. 24×|types| result rows at any volume; "
+    "average computed as exact-decimal sum / count so both engines "
+    "divide the same two numbers.",
+    tags=("timeseries", "seasonality", "analytics"),
+)
+def hourly_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour_of_day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
+        )
+        .orderBy("hour_of_day", "event_type")
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS {DEC})) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+""",
+    description="RFM segmentation: per-customer recency/frequency/"
+    "monetary quartiles (ntile over the per-customer AGGREGATE with "
+    "custkey tie-breaks so both engines bucket identically), reported "
+    "as segment sizes. The three global ntiles are the documented "
+    "single-task stage over |customers| slim rows; monetary stays "
+    "decimal so ordering is exact.",
+    tags=("analytics", "window", "rfm", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary"),
+    )
+    one = W.partitionBy(F.lit(0))
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(one.orderBy(F.desc("last_order"), F.col("o_custkey"))).alias("r_score"),
+        F.ntile(4).over(one.orderBy(F.desc("frequency"), F.col("o_custkey"))).alias("f_score"),
+        F.ntile(4).over(one.orderBy(F.desc("monetary"), F.col("o_custkey"))).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
