@@ -53,8 +53,11 @@ def _bag_key() -> F.Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
 
 
+# coalesce: DuckDB's array_to_string returns NULL on an empty list
+# where Spark's concat_ws returns '' — zero-token documents must land
+# in the same (md5 of empty string) group in both engines
 _SQL_BAG_KEY = (
-    f"md5(array_to_string(list_sort(list_distinct({_sql_tokens()})), ' '))"
+    f"md5(coalesce(array_to_string(list_sort(list_distinct({_sql_tokens()})), ' '), ''))"
 )
 
 

@@ -44,7 +44,7 @@ s AS (SELECT 1 AS stage_no, 'view' AS stage, count(*) AS users FROM v
       UNION ALL SELECT 2, 'click', count(*) FROM c
       UNION ALL SELECT 3, 'purchase', count(*) FROM p)
 SELECT stage_no, stage, users,
-       CAST(round(CAST(CAST(users AS DOUBLE) / max(users) OVER ()
+       CAST(round(CAST(CAST(users AS DOUBLE) / nullif(max(users) OVER (), 0)
                        AS DECIMAL(30,12)), 6) AS DOUBLE) AS conv_from_first
 FROM s ORDER BY stage_no
 """,
@@ -95,8 +95,11 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage_no",
             "stage",
             "users",
+            # nullif: an empty funnel (top stage = 0 users) yields NULL
+            # conversion rates in both engines instead of an ANSI
+            # divide-by-zero error
             _snap6(
-                F.col("users").cast("double") / F.col("top_users")
+                F.col("users").cast("double") / F.nullif(F.col("top_users"), F.lit(0))
             ).alias("conv_from_first"),
         )
         .orderBy("stage_no")

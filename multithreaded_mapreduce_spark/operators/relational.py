@@ -378,14 +378,29 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     tags=("relational", "groupingsets"),
 )
 def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL-standard conformance on EMPTY input: Spark's Expand-based
+    # rollup emits zero rows for an empty relation, but the standard
+    # (and DuckDB) still emit the grand-total row (count 0). Emit the
+    # grand total as a separate always-one-row global aggregate and
+    # drop rollup's own grand row (identified by grouping_id, so NULL
+    # data values are not confused with super-aggregate rows).
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    aggs = [dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows")]
+    rolled = (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
+        .agg(*aggs, F.grouping_id().alias("_gid"))
+        .filter(F.col("_gid") != 3)
+        .drop("_gid")
+    )
+    grand = li.agg(*aggs).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        "sum_qty",
+        "n_rows",
+    )
+    return rolled.unionByName(grand).orderBy(
+        F.col("l_returnflag").asc_nulls_first(),
+        F.col("l_linestatus").asc_nulls_first(),
     )
 
 
@@ -404,14 +419,24 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     tags=("relational", "groupingsets"),
 )
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same empty-input grand-row conformance as rollup_lineitem
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    aggs = [dsum("o_totalprice").alias("total"), F.count(F.lit(1)).alias("n_orders")]
+    cubed = (
         orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(dsum("o_totalprice").alias("total"), F.count(F.lit(1)).alias("n_orders"))
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
+        .agg(*aggs, F.grouping_id().alias("_gid"))
+        .filter(F.col("_gid") != 3)
+        .drop("_gid")
+    )
+    grand = orders.agg(*aggs).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "total",
+        "n_orders",
+    )
+    return cubed.unionByName(grand).orderBy(
+        F.col("o_orderstatus").asc_nulls_first(),
+        F.col("o_orderpriority").asc_nulls_first(),
     )
 
 

@@ -50,12 +50,12 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, lang, source, n_chars, n_tokens,
-       CAST(round(CAST(CAST(n_nonspace_chars AS DOUBLE) / n_tokens AS DECIMAL(30,12)), 4)
+       CAST(round(CAST(CAST(n_nonspace_chars AS DOUBLE) / nullif(n_tokens, 0) AS DECIMAL(30,12)), 4)
             AS DOUBLE) AS avg_token_len,
-       CAST(round(CAST(CAST(n_stopwords AS DOUBLE) / n_tokens AS DECIMAL(30,12)), 4)
+       CAST(round(CAST(CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0) AS DECIMAL(30,12)), 4)
             AS DOUBLE) AS stopword_ratio,
        CASE WHEN n_tokens >= 20
-             AND CAST(n_stopwords AS DOUBLE) / n_tokens BETWEEN 0.02 AND 0.6
+             AND CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0) BETWEEN 0.02 AND 0.6
             THEN 1 ELSE 0 END AS passes_quality
 FROM m
 ORDER BY doc_id
@@ -72,7 +72,10 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
     n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-    stop_ratio = n_stop.cast("double") / n_tokens
+    # nullif: a zero-token document yields NULL ratios (not an ANSI
+    # divide-by-zero error, not NaN) — identical to the oracle's nullif
+    safe_n = F.nullif(n_tokens, F.lit(0))
+    stop_ratio = n_stop.cast("double") / safe_n
     return (
         docs.select(
             "doc_id",
@@ -80,7 +83,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_chars",
             n_tokens.alias("n_tokens"),
-            F.round((n_nonspace.cast("double") / n_tokens).cast("decimal(30,12)"), 4)
+            F.round((n_nonspace.cast("double") / safe_n).cast("decimal(30,12)"), 4)
             .cast("double")
             .alias("avg_token_len"),
             F.round(stop_ratio.cast("decimal(30,12)"), 4).cast("double").alias("stopword_ratio"),
@@ -188,7 +191,7 @@ def token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT doc_id,
        md5(text) AS content_md5,
-       md5(array_to_string(list_sort(list_distinct({_sql_tokens()})), ' ')) AS vocab_md5,
+       md5(coalesce(array_to_string(list_sort(list_distinct({_sql_tokens()})), ' '), '')) AS vocab_md5,
        substring(md5(text), 1, 8) AS short_id
 FROM documents
 ORDER BY doc_id

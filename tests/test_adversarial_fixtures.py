@@ -1,0 +1,111 @@
+"""Adversarial-input parity: the SAME oracle comparison the driver
+runs, but over data built to hit the edges — degenerate documents
+(empty/whitespace/single-token/unicode text) and fully EMPTY tables.
+
+Both fixtures keep the production schemas, so every failure here is a
+real semantics divergence (a guard missing around ``sequence(1, 0)``,
+a division that returns NaN in one engine and NULL in the other, an
+aggregate that drops instead of returning an empty/zero row) — exactly
+the class of bug round-1 advice found latent in chunk_documents.
+
+Streaming queries are excluded (stream replay of a 0-row file exercises
+the sink harness, not edge semantics — their own suite covers them);
+so are the sketch/ANN rows-only queries (no oracle to diverge from,
+and k-means on an empty relation is undefined by contract).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from multithreaded_mapreduce_spark.plans.registry import all_queries
+from multithreaded_mapreduce_spark.sources.tables import TABLES, table_path
+
+from .conftest import SF_DIR
+from .oracle import compare_query
+
+_Q = all_queries()
+
+#: documents.text edge rows — every tokenize/shingle/chunk path must
+#: survive all of them with oracle-identical results.
+_EDGE_DOCS = [
+    # (doc_id, text, lang, source)
+    (1, "", "en", "src0"),                      # empty text
+    (2, "   ", "en", "src1"),                   # whitespace only
+    (3, "solo", "en", "src2"),                  # single token
+    (4, "a b", "fr", "src3"),                   # below shingle width
+    (5, "one two three", "es", "src4"),         # exactly shingle width
+    (6, "dup dup dup dup", "en", "src5"),       # repeated token
+    (7, "café naïve ↔ ☃", "de", "src6"),  # non-ASCII
+    (8, "x " * 100, "zh", "src7"),              # long, trailing space
+    (9, "shared exact duplicate text", "en", "src8"),
+    (10, "shared exact duplicate text", "en", "src19"),  # dup + new batch
+    (11, "tab\tand\nnewline separated", "en", "src19"),
+]
+
+
+def _doc_queries() -> list[str]:
+    wanted = {"text", "dedup", "chunking", "pipeline", "tokenizer", "ngram"}
+    return sorted(
+        n
+        for n, q in _Q.items()
+        if q.oracle and (set(q.tags) & wanted) and "streaming" not in q.tags
+    )
+
+
+def _all_oracle_queries() -> list[str]:
+    return sorted(
+        n for n, q in _Q.items() if q.oracle and "streaming" not in q.tags
+    )
+
+
+@pytest.fixture(scope="session")
+def edge_docs_dir(tmp_path_factory, spark) -> str:
+    """sf0.001 with documents replaced by the edge-case rows."""
+    d = str(tmp_path_factory.mktemp("edge_docs_sf"))
+    for t in TABLES:
+        if t != "documents":
+            shutil.copyfile(table_path(SF_DIR, t), table_path(d, t))
+    schema = spark.read.parquet(table_path(SF_DIR, "documents")).schema
+    rows = [(i, s, lang, src, len(s)) for i, s, lang, src in _EDGE_DOCS]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "_docs_tmp")
+    )
+    part = next(
+        f
+        for f in os.listdir(os.path.join(d, "_docs_tmp"))
+        if f.endswith(".parquet")
+    )
+    shutil.copyfile(os.path.join(d, "_docs_tmp", part), table_path(d, "documents"))
+    return d
+
+
+@pytest.fixture(scope="session")
+def empty_tables_dir(tmp_path_factory, spark) -> str:
+    """Every table present with its production schema and ZERO rows."""
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in TABLES:
+        schema = spark.read.parquet(table_path(SF_DIR, t)).schema
+        spark.createDataFrame([], schema).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"_{t}_tmp")
+        )
+        part = next(
+            f
+            for f in os.listdir(os.path.join(d, f"_{t}_tmp"))
+            if f.endswith(".parquet")
+        )
+        shutil.copyfile(os.path.join(d, f"_{t}_tmp", part), table_path(d, t))
+    return d
+
+
+@pytest.mark.parametrize("name", _doc_queries())
+def test_edge_documents_parity(spark, edge_docs_dir, name):
+    compare_query(spark, edge_docs_dir, _Q[name].builder, _Q[name].oracle)
+
+
+@pytest.mark.parametrize("name", _all_oracle_queries())
+def test_empty_tables_parity(spark, empty_tables_dir, name):
+    compare_query(spark, empty_tables_dir, _Q[name].builder, _Q[name].oracle)
