@@ -109,3 +109,47 @@ def test_edge_documents_parity(spark, edge_docs_dir, name):
 @pytest.mark.parametrize("name", _all_oracle_queries())
 def test_empty_tables_parity(spark, empty_tables_dir, name):
     compare_query(spark, empty_tables_dir, _Q[name].builder, _Q[name].oracle)
+
+
+@pytest.fixture(scope="session")
+def corrupted_orders_dir(tmp_path_factory, spark) -> str:
+    """sf0.001 with orders deliberately damaged: a duplicated order key,
+    a NULL customer key, and an orphan customer reference."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("corrupt_sf"))
+    for t in TABLES:
+        if t != "orders":
+            shutil.copyfile(table_path(SF_DIR, t), table_path(d, t))
+    orders = spark.read.parquet(table_path(SF_DIR, "orders"))
+    first = orders.limit(1)
+    dup_key = first  # duplicates an existing o_orderkey
+    null_cust = first.withColumn("o_orderkey", F.lit(999_999_001)).withColumn(
+        "o_custkey", F.lit(None).cast("long")
+    )
+    orphan = first.withColumn("o_orderkey", F.lit(999_999_002)).withColumn(
+        "o_custkey", F.lit(888_888_888)  # no such customer
+    )
+    damaged = orders.unionByName(dup_key).unionByName(null_cust).unionByName(orphan)
+    tmp = os.path.join(d, "_orders_tmp")
+    damaged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.copyfile(os.path.join(tmp, part), table_path(d, "orders"))
+    return d
+
+
+def test_quality_audit_catches_planted_violations(spark, corrupted_orders_dir):
+    """The audit must report exactly the planted damage — and still
+    hash-match the DuckDB oracle run over the same damaged data."""
+    q = _Q["data_quality_audit"]
+    compare_query(spark, corrupted_orders_dir, q.builder, q.oracle)
+    got = {r.check_name: r.violations for r in q.builder(spark, corrupted_orders_dir).collect()}
+    assert got["dup_o_orderkey"] == 1
+    assert got["null_o_custkey"] == 1
+    # 2 = the planted orphan key + the NULL key (a NULL FK can never
+    # match a parent, so it fails the referential check in BOTH engines
+    # — SQL NOT EXISTS and Spark left-anti agree)
+    assert got["orphan_orders_customer"] == 2
+    # lineitem orphans: the two synthetic orders have no lineitems, so
+    # the lineitem->orders direction stays clean
+    assert got["orphan_lineitem_orders"] == 0
