@@ -2,12 +2,15 @@
 
 The reference binary asks for a text file and prints ``word: count``
 lines in ascending byte order (reference ``1.cpp:248-264`` +
-``1.cpp:322-327``). ``count-file`` reproduces exactly that; ``run``
-executes any registered query; ``list`` shows the catalog.
+``1.cpp:322-327``). ``count-file`` reproduces exactly that;
+``count-manual`` is the reference's OTHER entry point (choice 1 —
+stdin tokens up to the literal ``END`` sentinel, ``1.cpp:239-247``);
+``run`` executes any registered query; ``list`` shows the catalog.
 
 Usage::
 
     python -m multithreaded_mapreduce_spark count-file input.txt
+    python -m multithreaded_mapreduce_spark count-manual  # stdin until END
     python -m multithreaded_mapreduce_spark run q1_pricing_summary [sf_dir]
     python -m multithreaded_mapreduce_spark list
 """
@@ -34,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
         "big file",
     )
 
+    sub.add_parser(
+        "count-manual",
+        help="word-count whitespace tokens from stdin up to the literal "
+        "END sentinel (reference manual-entry mode)",
+    )
+
     p_run = sub.add_parser("run", help="run a registered query and show its result")
     p_run.add_argument("name")
     p_run.add_argument("sf_dir", nargs="?", default=DEFAULT_SF_DIR)
@@ -53,8 +62,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}  [{kind}]  {', '.join(q.tags)}")
         return 0
 
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
 
+    # stop only a session this invocation created: when embedded (tests,
+    # notebooks) getOrCreate returns the caller's session, which is not
+    # ours to tear down
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark("cli")
     try:
         if args.cmd == "count-file":
@@ -80,13 +95,25 @@ def main(argv: list[str] | None = None) -> int:
                 counts = word_count(spark.read.text(args.path))
             for line in format_console(counts):
                 print(line)
+        elif args.cmd == "count-manual":
+            from .operators.wordcount import word_count
+            from .sinks.writers import format_console
+            from .sources.text import tokens_from_list
+
+            toks = sys.stdin.read().split()
+            lines_df = tokens_from_list(spark, toks).withColumnRenamed(
+                "token", "value"
+            )
+            for line in format_console(word_count(lines_df)):
+                print(line)
         else:
             if args.name not in queries:
                 print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
                 return 2
             queries[args.name].builder(spark, args.sf_dir).show(args.rows, truncate=False)
     finally:
-        spark.stop()
+        if not preexisting:
+            spark.stop()
     return 0
 
 

@@ -23,3 +23,15 @@ def test_list_prints_catalog(capsys):
 def test_requires_subcommand():
     with pytest.raises(SystemExit):
         main([])
+
+
+def test_count_manual_sentinel_semantics(monkeypatch, capsys, spark):
+    """Manual-entry mode: tokens after the literal END are ignored and
+    END itself is not counted (reference 1.cpp:239-247); output format
+    is the reference's `word: count` lines in ascending byte order."""
+    import io
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("B a 007 a END never"))
+    assert main(["count-manual"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["007: 1", "a: 2", "b: 1"]
