@@ -300,7 +300,14 @@ ORDER BY t.doc_id
 )
 def length_gate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.size(_tokens()).alias("n_toks"))
+    # coalesce: size() is null only for null text, and Catalyst infers
+    # an isnotnull(<whole tokenize chain>) constraint from the range
+    # filter below and pushes it into the single-task FileScan (the
+    # plan-lint failure mode) — coalesce makes the column provably
+    # non-null so the inferred constraint folds to TRUE and vanishes
+    t = docs.select(
+        "doc_id", F.coalesce(F.size(_tokens()), F.lit(0)).alias("n_toks")
+    )
     cuts = t.agg(
         F.expr(f"percentile(n_toks, {LENGTH_GATE_LO})").alias("lo"),
         F.expr(f"percentile(n_toks, {LENGTH_GATE_HI})").alias("hi"),
