@@ -582,3 +582,99 @@ def knn_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= FILTERED_TOP_K)
         .orderBy("query_id", "rnk")
     )
+
+
+# ------------------------------------------------------------------
+# kNN JOIN: every vector is a query (the dedup/clustering workhorse)
+# ------------------------------------------------------------------
+
+KNN_JOIN_K = 3
+
+
+@register(
+    "knn_join_bruteforce",
+    oracle=_DOT_CTE.format(n_queries=10**9).replace(
+        "WHERE vec_id < 1000000000", "WHERE TRUE"
+    )
+    + f"""
+, dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(sum(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM queries q
+  JOIN embeddings e ON e.vec_id != q.vec_id
+  CROSS JOIN dims
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(round(CAST(d.dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nn ON d.neighbor_id = nn.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {KNN_JOIN_K}
+ORDER BY query_id, rnk
+""",
+    description=f"kNN JOIN: exact cosine top-{KNN_JOIN_K} for EVERY "
+    "vector (not a fixed query set) — the all-corpus neighbor join that "
+    "embedding dedup and clustering consume. O(n²) exactness baseline: "
+    "the corpus self-joins through a broadcast of its (id, vector, "
+    "norm) projection, WindowGroupLimit prunes to the rescore buffer "
+    "per query before the shuffle, and the decimal-exact rescore runs "
+    "only on the buffer. The sketch/IVF/quantized ANN variants are the "
+    "100 TB path; this query is their recall ground truth.",
+    tags=("similarity", "knn", "join", "bruteforce"),
+)
+def knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = spread(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            norm_sq_fast("embedding").alias("q_nsq"),
+        )
+    )
+    neighbors = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        norm_sq_fast("embedding").alias("n_nsq"),
+    )
+    prelim = (
+        queries.join(
+            F.broadcast(neighbors),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "neighbor_id",
+            "n_emb",
+            (
+                dot_fast("q_emb", "n_emb")
+                / F.sqrt(F.col("q_nsq") * F.col("n_nsq"))
+            ).alias("approx"),
+        )
+    )
+    pw = W.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    buffer = (
+        prelim.withColumn("prnk", F.row_number().over(pw))
+        .filter(F.col("prnk") <= RESCORE_BUFFER)
+    )
+    scored = buffer.select(
+        "query_id",
+        "neighbor_id",
+        _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_JOIN_K)
+        .orderBy("query_id", "rnk")
+    )
