@@ -96,3 +96,37 @@ ORDER BY custkey
 def sql_recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(RECURSIVE_ORDER_CHAINS)
+
+
+#: runs unmodified in Spark SQL (lateral correlated subquery, 3.2+) and
+#: DuckDB. Top-2-per-key expressed the SQL-standard way: a correlated
+#: LATERAL subquery with its own ORDER BY + LIMIT. Catalyst rewrites it
+#: to a per-key window/limit — the same plan the row_number idiom gets,
+#: but written as the ANSI construct.
+LATERAL_TOP_ORDERS = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+WHERE c.c_custkey <= 200
+ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@register(
+    "sql_lateral_top_orders",
+    oracle=LATERAL_TOP_ORDERS,
+    description="Correlated LATERAL subquery as raw SQL: each customer's "
+    "top-2 orders by price via a per-row subquery with ORDER BY + LIMIT "
+    "— the ANSI spelling of top-k-per-group. The identical string is "
+    "the DuckDB oracle; Catalyst decorrelates it into the same windowed "
+    "per-key limit the DataFrame idiom produces (no per-row re-scan).",
+    tags=("sql", "lateral", "subquery", "topk"),
+)
+def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(LATERAL_TOP_ORDERS)
