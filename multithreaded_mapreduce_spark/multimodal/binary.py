@@ -234,3 +234,58 @@ def resize_images(
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(resize, out_schema)
+
+
+AUDIO_FRAME_BYTES = 32
+AUDIO_HOP_BYTES = 16
+
+
+def window_audio_frames(
+    media: DataFrame,
+    frame_bytes: int = AUDIO_FRAME_BYTES,
+    hop_bytes: int = AUDIO_HOP_BYTES,
+) -> DataFrame:
+    """'Audio' analysis windows: overlapped fixed-size byte frames over
+    the payload (the PCM frame/hop chunking every audio featurizer
+    starts with) with a per-frame byte-level energy statistic.
+
+    Unlike the decode stub, the energy math is REAL — mean of squared
+    centered byte values over the frame — because it needs no codec;
+    only the interpretation of bytes as samples is the stand-in. Frames
+    start every ``hop_bytes`` while a full ``frame_bytes`` window fits,
+    so frame count = 1 + (len - frame_bytes) // hop_bytes (0 for
+    payloads shorter than one frame) — asserted in tests.
+    """
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("start_byte", T.LongType(), False),
+            T.StructField("energy", T.DoubleType(), False),
+        ]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, energies = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0
+                k = 0
+                for start in range(0, len(buf) - frame_bytes + 1, hop_bytes):
+                    frame = buf[start : start + frame_bytes]
+                    ids.append(mid)
+                    idxs.append(k)
+                    starts.append(start)
+                    energies.append(float(np.mean(frame * frame)))
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "start_byte": pd.array(starts, dtype="int64"),
+                    "energy": pd.array(energies, dtype="float64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(frames, out_schema)

@@ -131,3 +131,23 @@ def media_text_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(synthesize_media(spark, n=_N_MEDIA), fake_codec=True)
+
+
+@register(
+    "media_audio_frames",
+    oracle=None,
+    description="Audio frame/hop windowing via mapInPandas: overlapped "
+    "32-byte frames every 16 bytes over the payload (the PCM chunking "
+    "every audio featurizer starts with) with REAL per-frame byte-level "
+    "energy (mean squared centered byte value) — only the bytes-as-"
+    "samples interpretation is a stand-in; frame-count/offset invariants "
+    "are asserted in tests/test_multimodal.py. Rows-only check (binary "
+    "synth input).",
+    tags=("multimodal", "audio", "windowing", "pandas-udf"),
+)
+def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary import window_audio_frames
+
+    return window_audio_frames(synthesize_media(spark, n=_N_MEDIA)).orderBy(
+        "media_id", "frame_idx"
+    )

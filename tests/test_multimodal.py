@@ -131,3 +131,30 @@ def test_binaryfile_ingest_feeds_media_pipeline(spark, tmp_path):
     feats = extract_features(media.withColumnRenamed("payload", "payload"))
     rows = feats.collect()
     assert len(rows) == 8
+
+
+def test_audio_frame_windowing_invariants(spark):
+    """Overlapped frame/hop chunking: frame count formula holds, frames
+    advance by hop_bytes, energies are deterministic and non-negative."""
+    from multithreaded_mapreduce_spark.multimodal.binary import (
+        AUDIO_FRAME_BYTES,
+        AUDIO_HOP_BYTES,
+        synthesize_media,
+        window_audio_frames,
+    )
+
+    media = synthesize_media(spark, n=30)
+    audio = media.filter(media.kind == "audio")
+    frames = window_audio_frames(media).collect()
+    lens = {r.media_id: r.n_bytes for r in audio.collect()}
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+        assert r.energy >= 0.0
+        assert r.start_byte == r.frame_idx * AUDIO_HOP_BYTES
+    for mid, n in lens.items():
+        expect = max(0, 1 + (n - AUDIO_FRAME_BYTES) // AUDIO_HOP_BYTES)
+        assert len(by_media.get(mid, [])) == expect, mid
+    # deterministic across runs
+    again = window_audio_frames(media).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
