@@ -150,3 +150,35 @@ def test_chunk_documents_survives_empty_token_docs(spark, tmp_path):
     rows = Q["chunk_documents"].builder(spark, str(d)).collect()
     assert {r.doc_id for r in rows} == {1}
     assert all(r.n_chunk_tokens > 0 for r in rows)
+
+
+def test_approx_count_distinct_within_sketch_tolerance(spark, sf_dir):
+    """The HLL++ estimates (rsd=0.01) must sit within 5x the configured
+    relative error of the exact distinct counts per group — the accuracy
+    contract behind the rows-only driver check."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_spark.plans.registry import all_queries
+    from multithreaded_mapreduce_spark.sources.tables import load_table
+
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.approx_supps)
+        for r in all_queries()["approx_count_distinct_parts"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: (r.parts, r.supps)
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("parts"),
+            F.count_distinct("l_suppkey").alias("supps"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (ap, asup) in approx.items():
+        ep, esup = exact[flag]
+        assert abs(ap - ep) <= max(1, 0.05 * ep), (flag, ap, ep)
+        assert abs(asup - esup) <= max(1, 0.05 * esup), (flag, asup, esup)
