@@ -198,3 +198,44 @@ def test_clustered_write_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
     # and the layout is transparent to readers: same rows come back
     back = spark.read.parquet(out)
     assert back.count() == events.count()
+
+
+def test_salted_join_correct_under_adversarial_hot_key(spark):
+    """Pathological skew: 95% of fact rows share ONE key. The salted
+    join must (a) return exactly the plain join's rows and (b) actually
+    spread the hot key across all salt buckets — the property that
+    bounds any single reducer's share at scale."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    fact = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        # 95% of rows hit key 7, the rest spread over 100 keys
+        F.when(F.col("id") % 20 != 0, F.lit(7))
+        .otherwise((F.col("id") % 100) + 100)
+        .alias("k"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    dim = spark.range(300).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+    salted = salted_join(fact, dim, "k", salt_source=F.col("row_id"))
+    plain = fact.join(dim, "k")
+    cols = ["row_id", "k", "payload", "label"]
+    got = sorted(tuple(r[c] for c in cols) for r in salted.select(cols).collect())
+    want = sorted(tuple(r[c] for c in cols) for r in plain.select(cols).collect())
+    assert got == want and len(got) == n
+
+    # the hot key's rows must occupy every salt bucket ~evenly
+    from multithreaded_mapreduce_spark.operators.skew import N_SALTS
+
+    hot = (
+        fact.filter(F.col("k") == 7)
+        .withColumn("_salt", F.pmod(F.col("row_id"), F.lit(N_SALTS)).cast("int"))
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(hot) == N_SALTS
+    counts = [r["count"] for r in hot]
+    assert max(counts) < 2 * min(counts), counts
