@@ -83,18 +83,23 @@ def cents(col: Column | str, scale: int = 2) -> Column:
 
 def partial_cent_sums(df, keys, longs: dict[str, Column]):
     """Stage 1 of the exact two-stage fixed-point aggregation: LONG
-    sums of integer fixed-point expressions per (group keys × input
-    partition), plus a ``_n`` row count.
+    sums of integer fixed-point expressions per (group keys × bounded
+    row bucket), plus a ``_n`` row count.
 
-    The per-partition scope bounds each long accumulator: with ≤ ~10⁶
-    rows per split (``spark.sql.files.maxPartitionBytes``) and row
-    values ≤ ~10¹¹ units (max money value × 10⁶ fixed-point units),
-    partial sums stay ≤ ~10¹⁷ — an order of magnitude inside int64 at
-    ANY corpus scale, because the split size is capped regardless of
-    total data volume. The partial aggregate runs map-side; the
-    exchange carries |groups × partitions| slim long rows."""
-    pid = F.spark_partition_id().alias("_pid")
-    return df.groupBy(*keys, pid).agg(
+    The bucket key is ``monotonically_increasing_id() >> 20`` — the id
+    is partition-prefixed (upper bits task partition, lower bits a
+    per-partition counter), so each bucket holds ≤ 2²⁰ CONSECUTIVE rows
+    of one input partition and buckets never collide across partitions.
+    That bounds every long accumulator at ~10¹¹ units/row × 2²⁰ rows ≈
+    10¹⁷ < int64 even when an input partition is unboundedly large —
+    e.g. a single-row-group parquet file, which is unsplittable and so
+    NOT capped by ``spark.sql.files.maxPartitionBytes`` (ADVICE r2: the
+    earlier spark_partition_id() bucketing overflowed there around
+    ~8·10⁷ rows). The partial aggregate still runs map-side (bucket ids
+    are partition-local runs); the exchange carries |groups × buckets|
+    slim long rows."""
+    bucket = F.shiftright(F.monotonically_increasing_id(), 20).alias("_pid")
+    return df.groupBy(*keys, bucket).agg(
         *[F.sum(c).alias(a) for a, c in longs.items()],
         F.count(F.lit(1)).alias("_n"),
     )

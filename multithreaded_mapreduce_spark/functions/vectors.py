@@ -43,8 +43,14 @@ def norm_sq_exact(a: Column | str) -> Column:
 
 def cosine_exact(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity with exact-sum dot/norms; the final divide and
-    sqrt are single IEEE ops, identical across engines."""
-    return dot_exact(a, b) / (F.sqrt(norm_sq_exact(a)) * F.sqrt(norm_sq_exact(b)))
+    sqrt are single IEEE ops, identical across engines.
+
+    ``try_divide`` so a ZERO vector yields NULL (undefined direction)
+    instead of an ANSI DIVIDE_BY_ZERO crash — DuckDB's double division
+    by zero also returns NULL, so both engines agree."""
+    return F.try_divide(
+        dot_exact(a, b), F.sqrt(norm_sq_exact(a)) * F.sqrt(norm_sq_exact(b))
+    )
 
 
 VECTOR_DIM = 64  # the embeddings table's fixed dimensionality
@@ -114,4 +120,6 @@ def cosine_fast(a: Column | str, b: Column | str, dim: int = VECTOR_DIM) -> Colu
     everything exactly. When both sides join repeatedly, precompute
     ``norm_sq_fast`` per vector instead and divide by the stored norms.
     """
-    return dot_fast(a, b, dim) / (F.sqrt(norm_sq_fast(a, dim)) * F.sqrt(norm_sq_fast(b, dim)))
+    return F.try_divide(
+        dot_fast(a, b, dim), F.sqrt(norm_sq_fast(a, dim)) * F.sqrt(norm_sq_fast(b, dim))
+    )

@@ -182,7 +182,7 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boolean_bitwise_aggs",
     oracle="""
 SELECT l_returnflag,
-       sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big_qty,
+       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_qty,
        bool_and(l_discount <= 0.1) AS all_low_discount,
        bool_or(l_tax > 0.07) AS any_high_tax,
        bit_and(l_linenumber) AS line_bit_and,

@@ -470,6 +470,177 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# MinHash + LSH, oracle-checkable variant: the hash family is plain
+# modular arithmetic, so DuckDB reproduces the BANDING DECISION itself
+# (VERDICT r2 task 6) — both engines generate the identical candidate
+# set and therefore the identical verified output, even though LSH
+# recall is < 100%: the misses are the same on both sides.
+# ------------------------------------------------------------------
+
+MINHASH_P = 2_147_483_647  # Mersenne prime 2³¹−1; token ids ≪ P
+#: 16 fixed (a, b) pairs for hᵢ(x) = (a·x + b) mod P — a < 10⁵ keeps
+#: a·tid + b far inside int64 for any realistic vocabulary size.
+MINHASH_COEFFS = (
+    (2971, 433), (4621, 829), (6007, 1259), (7919, 2111),
+    (9241, 2699), (11093, 3319), (13007, 4201), (15077, 4943),
+    (17183, 5639), (19319, 6337), (21319, 7109), (23531, 7879),
+    (25303, 8599), (27449, 9341), (29443, 10061), (31627, 10799),
+)
+MINHASH_BANDS = 8  # 8 bands × 2 rows: P(candidate | J=0.8) ≈ 0.9997
+
+
+def _minhash_verified_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"min((tid*{a}+{b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_pred = "\n        OR ".join(
+        f"(x.s{2 * b} = y.s{2 * b} AND x.s{2 * b + 1} = y.s{2 * b + 1})"
+        for b in range(MINHASH_BANDS)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
+  FROM documents
+), tc AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), vocab AS (
+  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
+  FROM (SELECT DISTINCT token FROM tc)
+), dt AS (
+  SELECT t.doc_id, v.tid FROM tc t JOIN vocab v USING (token)
+), sig AS (
+  SELECT doc_id, count(*) AS n,
+         {sig_cols}
+  FROM dt GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+   AND ({band_pred})
+), inter AS (
+  SELECT c.da, c.db, count(*) AS cnt
+  FROM cand c
+  JOIN dt a ON a.doc_id = c.da
+  JOIN dt b ON b.doc_id = c.db AND b.tid = a.tid
+  GROUP BY c.da, c.db
+)
+SELECT i.da AS doc_a, i.db AS doc_b,
+       CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt) AS jaccard
+FROM inter i
+JOIN sig sa ON i.da = sa.doc_id
+JOIN sig sb ON i.db = sb.doc_id
+WHERE CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=_minhash_verified_oracle(),
+    description="MinHash(16)+LSH(8 bands × 2 rows) with a cross-engine "
+    "hash family: tokens get deterministic ids (dense_rank over the "
+    "sorted distinct vocabulary), signatures are min((a·tid+b) mod P) "
+    "with fixed published coefficients, candidates form only inside "
+    "equal band buckets, and candidates are verified by exact Jaccard "
+    ">= 0.8. Because the signature arithmetic is plain SQL, the DuckDB "
+    "oracle reproduces the banding decision bit-for-bit — both engines "
+    "miss the same sub-recall pairs, so the verified output hash-matches "
+    "(unlike dedup_minhash_lsh, whose xxhash64 family is Spark-only). "
+    "Scale notes: the Spark side bands via one posexplode + struct "
+    "equi-join (no OR-join), prunes candidates by the size-ratio bound "
+    "before verify, and never shuffles strings past the vocab join; the "
+    "global dense_rank makes this variant vocabulary-bound — it exists "
+    "as the checkable auditor, dedup_minhash_lsh (hash-once, no vocab) "
+    "is the unbounded production path.",
+    tags=("dedup", "neardup", "minhash", "lsh"),
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").rlike(r"\S"))
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
+        ).alias("token"),
+    )
+    # deterministic token ids shared with the oracle: dense_rank over the
+    # sorted distinct vocabulary (single-partition window, but only over
+    # DISTINCT tokens — vocabulary-sized, not corpus-sized)
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .withColumn("tid", F.dense_rank().over(W.orderBy("token")).cast("bigint"))
+    )
+    dt = toks.join(F.broadcast(vocab), "token").select("doc_id", "tid")
+    # one shuffle to per-doc id sets; signatures fold over the array —
+    # no per-hash re-shuffle, stays in codegen
+    dsets = dt.groupBy("doc_id").agg(F.collect_list("tid").alias("tids"))
+    def _mh(a: int, b: int):
+        return F.array_min(
+            F.transform("tids", lambda t: (t * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+        )
+
+    sig_cols = [_mh(a, b).alias(f"s{i}") for i, (a, b) in enumerate(MINHASH_COEFFS)]
+    sigs = dsets.select(
+        "doc_id", "tids", F.size("tids").alias("n"), *sig_cols
+    ).persist()
+    # band key = (band index, the band's 2 signature values) as a struct —
+    # exact equality, no re-hash, so the candidate set is literally the
+    # oracle's OR-of-band-equalities, generated by ONE equi-join
+    bands = sigs.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"s{2 * b}").alias("lo"), F.col(f"s{2 * b + 1}").alias("hi")
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            # size-ratio prune (Spark-only; removes only sub-threshold
+            # pairs, so the verified output is unchanged vs the oracle)
+            & (F.col("x.n") <= F.floor(F.col("y.n") / JACCARD_THRESHOLD))
+            & (F.col("y.n") <= F.floor(F.col("x.n") / JACCARD_THRESHOLD)),
+        )
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("da"), F.col("tids").alias("ta"), F.col("n").alias("na"))
+    sb = sigs.select(F.col("doc_id").alias("db"), F.col("tids").alias("tb"), F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .select("da", "db", "na", "nb", inter.alias("cnt"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            (F.col("cnt").cast("double") / (F.col("na") + F.col("nb") - F.col("cnt"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------------
 # near-dup clustering: connected components over the pair graph
 # ------------------------------------------------------------------
 
@@ -712,8 +883,11 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double cosine, so prefilter every blocked pair with the fast one
     # at a 1e-6 safety margin (fast/exact disagreement ~1e-15) and pay
     # the decimal fold only on near-threshold survivors
-    fast = dot_fast("a.embedding", "b.embedding") / (
-        F.sqrt(F.col("a.nsq")) * F.sqrt(F.col("b.nsq"))
+    # try_divide: a zero vector in the block gives NULL (not an ANSI
+    # crash); NULL >= t is false on both engines, so the pair drops
+    fast = F.try_divide(
+        dot_fast("a.embedding", "b.embedding"),
+        F.sqrt(F.col("a.nsq")) * F.sqrt(F.col("b.nsq")),
     )
     cos = (
         F.round(

@@ -104,6 +104,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ["l_returnflag", "l_linestatus"]
     qty_c, price_c = cents("l_quantity"), cents("l_extendedprice")
     disc_c, tax_c = cents("l_discount"), cents("l_tax")
+
+    def nn(col: str):  # per-measure non-null counter (long 0/1)
+        return F.when(F.col(col).isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("long")
+
     partial = partial_cent_sums(
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
         keys,
@@ -113,6 +117,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_dp": price_c * (100 - disc_c),          # 1e-4 dollars
             "_ch": price_c * (100 - disc_c) * (100 + tax_c),  # 1e-6 dollars
             "_d": disc_c,                             # cents (1e-2)
+            # avg denominators are count(col), not count(*): a NULL
+            # measure is skipped by sum() on BOTH engines, so dividing
+            # by count(*) would diverge from the oracle the moment a
+            # NULL appears (ADVICE r2) — count non-nulls per measure
+            "_nq": nn("l_quantity"),
+            "_np": nn("l_extendedprice"),
+            "_nd": nn("l_discount"),
         },
     )
     n = F.sum("_n")
@@ -123,9 +134,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(exact_dollars("_p", 100), 2).alias("sum_base_price"),
             F.round(exact_dollars("_dp", 10_000), 2).alias("sum_disc_price"),
             F.round(exact_dollars("_ch", 1_000_000), 2).alias("sum_charge"),
-            F.round(exact_dollars("_q", 100) / n, 4).alias("avg_qty"),
-            F.round(exact_dollars("_p", 100) / n, 4).alias("avg_price"),
-            F.round(exact_dollars("_d", 100) / n, 4).alias("avg_disc"),
+            F.round(exact_dollars("_q", 100) / F.sum("_nq"), 4).alias("avg_qty"),
+            F.round(exact_dollars("_p", 100) / F.sum("_np"), 4).alias("avg_price"),
+            F.round(exact_dollars("_d", 100) / F.sum("_nd"), 4).alias("avg_disc"),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -195,7 +195,7 @@ WITH pt AS (
 )
 SELECT p.user_id,
        count(*) AS n_types,
-       sum(p.c) AS total_events,
+       CAST(sum(p.c) AS BIGINT) AS total_events,
        min(p.event_type) FILTER (WHERE p.c = m.mc) AS top_type,
        min(m.mc) AS top_count
 FROM pt p JOIN mx m ON p.user_id = m.user_id

@@ -123,9 +123,11 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_emb",
             "neighbor_id",
             "n_emb",
-            (
-                dot_fast("q_emb", "n_emb")
-                / F.sqrt(F.col("q_nsq") * F.col("n_nsq"))
+            # try_divide: a zero vector's norm product is 0 — NULL approx
+            # (ranked NULLS LAST) on both engines, never an ANSI crash
+            F.try_divide(
+                dot_fast("q_emb", "n_emb"),
+                F.sqrt(F.col("q_nsq") * F.col("n_nsq")),
             ).alias("approx"),
         )
     )
@@ -424,8 +426,12 @@ def knn_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import norm_sq_exact
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    scale = F.lit(127.0) / F.array_max(
-        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    # try_divide: a zero vector has max|x| = 0 → NULL scale (and NULL
+    # quantized values / approx downstream), matching DuckDB's NULL on
+    # double division by zero instead of an ANSI crash
+    scale = F.try_divide(
+        F.lit(127.0),
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
     )
     sides = emb.select(
         "vec_id",
@@ -452,9 +458,12 @@ def knn_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idot = _int_dot_unrolled("q_q", "n_q")
     # parenthesization mirrors the oracle exactly: (idot/(sa*sb)) /
-    # (sqrt(nsqa)*sqrt(nsqb)) — identical IEEE trees → identical ranks
-    approx = (idot.cast("double") / (F.col("q_scale") * F.col("n_scale"))) / (
-        F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("n_nsq"))
+    # (sqrt(nsqa)*sqrt(nsqb)) — identical IEEE trees → identical ranks.
+    # try_divide for the zero-vector edge (NULL scale/norm → NULL approx
+    # on both engines, ranked NULLS LAST)
+    approx = F.try_divide(
+        F.try_divide(idot.cast("double"), F.col("q_scale") * F.col("n_scale")),
+        F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("n_nsq")),
     )
     prelim = (
         F.broadcast(queries)
@@ -558,9 +567,11 @@ def knn_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_emb",
             "neighbor_id",
             "n_emb",
-            (
-                dot_fast("q_emb", "n_emb")
-                / F.sqrt(F.col("q_nsq") * F.col("n_nsq"))
+            # try_divide: a zero vector's norm product is 0 — NULL approx
+            # (ranked NULLS LAST) on both engines, never an ANSI crash
+            F.try_divide(
+                dot_fast("q_emb", "n_emb"),
+                F.sqrt(F.col("q_nsq") * F.col("n_nsq")),
             ).alias("approx"),
         )
     )
@@ -656,9 +667,11 @@ def knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_emb",
             "neighbor_id",
             "n_emb",
-            (
-                dot_fast("q_emb", "n_emb")
-                / F.sqrt(F.col("q_nsq") * F.col("n_nsq"))
+            # try_divide: a zero vector's norm product is 0 — NULL approx
+            # (ranked NULLS LAST) on both engines, never an ANSI crash
+            F.try_divide(
+                dot_fast("q_emb", "n_emb"),
+                F.sqrt(F.col("q_nsq") * F.col("n_nsq")),
             ).alias("approx"),
         )
     )

@@ -225,7 +225,7 @@ WITH t AS (
 SELECT source,
        count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars,
        CAST(round(CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DECIMAL(30,12)), 4)
@@ -274,7 +274,7 @@ WITH q AS (
 )
 SELECT source, lang,
        count(*) AS n_docs,
-       sum(n_toks) AS n_tokens,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
        round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
 FROM kept WHERE rn = 1
 GROUP BY source, lang
@@ -317,13 +317,13 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents_profile",
     oracle="""
 SELECT count(*) AS n_docs,
-       sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS n_empty,
+       CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
        count(DISTINCT lang) AS n_langs,
        count(DISTINCT source) AS n_sources,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars,
        round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
-       sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short,
+       CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
        count(DISTINCT md5(text)) AS n_unique_texts
 FROM documents
 """,

@@ -120,11 +120,11 @@ WITH minute AS (
   FROM events GROUP BY 1, 2
 ), hour AS (
   SELECT date_trunc('hour', slot) AS slot, event_type,
-         sum(n_events) AS n_events, sum(sdec) AS sdec
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(sdec) AS sdec
   FROM minute GROUP BY 1, 2
 ), day AS (
   SELECT date_trunc('day', slot) AS slot, event_type,
-         sum(n_events) AS n_events, sum(sdec) AS sdec
+         CAST(sum(n_events) AS BIGINT) AS n_events, sum(sdec) AS sdec
   FROM hour GROUP BY 1, 2
 )
 SELECT level, slot, event_type, n_events,

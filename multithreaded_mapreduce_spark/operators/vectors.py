@@ -124,8 +124,14 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     mean = F.col("sx") / nd
-    std = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / nd) / (nd - 1))
-    z = F.round(((v - mean) / std).cast("decimal(30,12)"), 4).cast("double")
+    # try_divide twice: n=1 makes the variance denominator 0, and a
+    # constant dimension makes std 0 — DuckDB returns NULL for double
+    # division by zero in both spots, so NULL z (not an ANSI crash)
+    # keeps the engines identical on degenerate input
+    std = F.sqrt(
+        F.try_divide(F.col("sxx") - F.col("sx") * F.col("sx") / nd, nd - 1)
+    )
+    z = F.round(F.try_divide(v - mean, std).cast("decimal(30,12)"), 4).cast("double")
     return (
         dims.join(F.broadcast(stats), "dim")
         .select("vec_id", "dim", z.alias("z"))

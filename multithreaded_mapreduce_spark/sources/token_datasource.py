@@ -148,13 +148,39 @@ class _TokenSimpleStreamReader(SimpleDataSourceStreamReader):
         self.chunk_bytes = int(options.get("chunk_bytes", DEFAULT_CHUNK_BYTES))
 
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        return {"pos": 0, "size": -1}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         pos = int(start["pos"])
+        prev_size = int(start.get("size", -1))
         size = os.path.getsize(self.path)
-        end = min(size, pos + self.chunk_bytes)
-        return self._rows(pos, end), {"pos": end}
+        raw_end = min(size, pos + self.chunk_bytes)
+        # Growing-file safety (ADVICE r2): a token touching the current
+        # EOF may be mid-append, and a boundary token extended past the
+        # snapshot could consume appended bytes — so each batch ends at
+        # the last whitespace byte inside its window (every emitted token
+        # is fully delimited WITHIN the snapshot). Once the size is stable
+        # across two triggers the file is quiescent and the undelimited
+        # tail token is flushed; appending again after that point starts a
+        # new token (documented limitation — the file is the log).
+        if size == prev_size:
+            end = raw_end
+        else:
+            end = self._cap_at_whitespace(pos, raw_end)
+        return self._rows(pos, end), {"pos": end, "size": size}
+
+    def _cap_at_whitespace(self, pos: int, raw_end: int) -> int:
+        """Largest offset in (pos, raw_end] directly after a whitespace
+        byte, or ``pos`` (empty batch) if the window has none."""
+        if raw_end <= pos:
+            return pos
+        with open(self.path, "rb") as f:
+            f.seek(pos)
+            window = f.read(raw_end - pos)
+        for i in range(len(window) - 1, -1, -1):
+            if window[i : i + 1] in _WHITESPACE:
+                return pos + i + 1
+        return pos
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         return self._rows(int(start["pos"]), int(end["pos"]))
@@ -200,7 +226,9 @@ def ensure_staged_text(spark, sf_dir: str) -> str:
     The single big text file is exactly the shape this source exists
     for: no row groups, no line-based splits Spark can use — only the
     byte-range partitioner makes the scan parallel."""
+    import glob
     import hashlib
+    import shutil
     import tempfile
 
     from .tables import load_table
@@ -209,16 +237,23 @@ def ensure_staged_text(spark, sf_dir: str) -> str:
     path = os.path.join(tempfile.gettempdir(), f"mmr_spark_txt_{tag}.txt")
     if os.path.exists(path) and os.path.getsize(path) > 0:
         return path
-    rows = (
+    # Distributed staging: executors write the file; the driver never
+    # materializes the corpus (a full-table .collect() here was a
+    # driver-memory bottleneck at sf0.1+ — VERDICT r2 task 4).
+    # coalesce(1) because the source's whole point is ONE unsplittable
+    # text file; the write is a single executor task, not a driver loop.
+    out_dir = path + ".staging"
+    (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .orderBy("doc_id")
-        .collect()
+        .coalesce(1)
+        .select("text")
+        .write.mode("overwrite")
+        .text(out_dir)
     )
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        for r in rows:
-            f.write(r.text)
-            f.write("\n")
-    os.replace(tmp, path)
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*")))
+    assert len(parts) == 1, f"expected one staged part file, got {parts}"
+    os.replace(parts[0], path)
+    shutil.rmtree(out_dir, ignore_errors=True)
     return path

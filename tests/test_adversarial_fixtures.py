@@ -111,6 +111,75 @@ def test_empty_tables_parity(spark, empty_tables_dir, name):
     compare_query(spark, empty_tables_dir, _Q[name].builder, _Q[name].oracle)
 
 
+#: degenerate embeddings — zero vectors (undefined cosine), exact
+#: duplicates and scaled copies (cosine-1 ties), orthogonal basis
+#: vectors (cosine-0 ties), so ANN tie-breaks and the zero-norm
+#: division path are exercised under the oracle hash (VERDICT r2
+#: task 7: "ANN tie-breaks are where cross-engine drift hides").
+def _edge_vectors() -> list[tuple[int, list[float], int]]:
+    dim = 64
+    zero = [0.0] * dim
+    ones = [1.0] * dim
+    alt = [1.0 if i % 2 == 0 else -1.0 for i in range(dim)]
+
+    def basis(i: int, scale: float = 1.0) -> list[float]:
+        v = [0.0] * dim
+        v[i] = scale
+        return v
+
+    def step(k: int) -> list[float]:
+        return [1.0 if i < k else 0.0 for i in range(dim)]
+
+    rows: list[tuple[int, list[float], int]] = [
+        (0, zero, 0),                 # zero-vector QUERY
+        (1, ones, 1),
+        (2, list(ones), 1),           # exact duplicate of 1 → cosine-1 tie
+        (3, basis(0), 2),
+        (4, basis(1), 2),             # orthogonal to 3 → cosine-0 ties
+        (5, [2.0] * dim, 1),          # scaled copy of 1 → cosine 1, other norm
+        (6, alt, 3),
+        (7, [-1.0] * dim, 3),         # antipode of 1 → cosine −1
+        (8, basis(0, 3.0), 2),        # scaled copy of 3
+        (9, list(zero), 0),           # second zero vector (dup of 0)
+    ]
+    rows += [(10 + i, list(ones), 1) for i in range(4)]          # more cosine-1 ties
+    rows += [(14 + i, basis(2 + i), 2) for i in range(4)]        # more orthogonals
+    rows.append((18, list(zero), 0))                             # zero-vector NEIGHBOR
+    rows.append((19, list(alt), 3))                              # duplicate of 6
+    rows += [(20 + i, step(4 + 8 * i), 4 + i % 6) for i in range(8)]
+    return rows
+
+
+def _similarity_queries() -> list[str]:
+    wanted = {"similarity", "vectors", "embedding", "vector"}
+    return sorted(
+        n for n, q in _Q.items() if q.oracle and (set(q.tags) & wanted)
+    )
+
+
+@pytest.fixture(scope="session")
+def edge_embeddings_dir(tmp_path_factory, spark) -> str:
+    """sf0.001 with embeddings replaced by the degenerate vectors."""
+    d = str(tmp_path_factory.mktemp("edge_emb_sf"))
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copyfile(table_path(SF_DIR, t), table_path(d, t))
+    schema = spark.read.parquet(table_path(SF_DIR, "embeddings")).schema
+    spark.createDataFrame(_edge_vectors(), schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "_emb_tmp"))
+    part = next(
+        f for f in os.listdir(os.path.join(d, "_emb_tmp")) if f.endswith(".parquet")
+    )
+    shutil.copyfile(os.path.join(d, "_emb_tmp", part), table_path(d, "embeddings"))
+    return d
+
+
+@pytest.mark.parametrize("name", _similarity_queries())
+def test_edge_embeddings_parity(spark, edge_embeddings_dir, name):
+    compare_query(spark, edge_embeddings_dir, _Q[name].builder, _Q[name].oracle)
+
+
 @pytest.fixture(scope="session")
 def corrupted_orders_dir(tmp_path_factory, spark) -> str:
     """sf0.001 with orders deliberately damaged: a duplicated order key,

@@ -109,6 +109,39 @@ def test_empty_file(spark):
     assert df.count() == 0
 
 
+def test_streaming_reader_growing_file_never_splits_tokens():
+    """Append-in-progress safety (ADVICE r2): a token touching the
+    current EOF must not be emitted until the file is quiescent, so an
+    append arriving between triggers extends it instead of splitting it."""
+    import os
+    import tempfile
+
+    from multithreaded_mapreduce_spark.sources.token_datasource import (
+        _TokenSimpleStreamReader,
+    )
+
+    fd, path = tempfile.mkstemp(prefix="wstok_grow_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(b"alpha beta gam")  # 'gam' is mid-append
+        r = _TokenSimpleStreamReader({"path": path, "chunk_bytes": 1 << 20})
+        off = r.initialOffset()
+        rows, off = r.read(off)
+        assert [t for (t,) in rows] == ["alpha", "beta"]  # tail held back
+        with open(path, "ab") as f:
+            f.write(b"ma delta")  # the append completes the token
+        rows, off = r.read(off)
+        # growth detected: 'gamma' is whitespace-delimited now (safe),
+        # 'delta' touches EOF and is held back
+        assert [t for (t,) in rows] == ["gamma"]
+        rows, off = r.read(off)  # size stable → quiescent tail flush
+        assert [t for (t,) in rows] == ["delta"]
+        rows, off = r.read(off)
+        assert [t for (t,) in rows] == []  # fully drained
+    finally:
+        os.unlink(path)
+
+
 def test_streaming_token_source_counts_equal_batch(spark):
     """The streaming reader replays the file in chunk_bytes micro-
     batches; complete-mode counts must equal the batch scan, and the
