@@ -351,3 +351,79 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(short).alias("n_short"),
         F.countDistinct(F.md5("text")).alias("n_unique_texts"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII pattern audit — the scrub/compliance pass before releasing a corpus
+# --------------------------------------------------------------------------
+
+#: ASCII-explicit patterns valid in BOTH Java regex (Spark) and RE2
+#: (DuckDB): no lookarounds, no backreferences, no unicode classes.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+@register(
+    "pii_pattern_audit",
+    oracle="""
+WITH m AS (
+  SELECT source,
+"""
+    + ",\n".join(
+        f"         len(regexp_extract_all(text, '{p}')) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    + """
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+"""
+    + ",\n".join(
+        f"       CAST(sum(n_{k}) AS BIGINT) AS {k}_matches" for k in PII_PATTERNS
+    )
+    + """,
+       CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 + n_ssn > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+FROM m
+GROUP BY source
+ORDER BY source
+""",
+    description="PII-pattern audit per source: per-document regexp_count "
+    "of email/phone/IPv4/SSN shapes, rolled up to match totals and a "
+    "docs-with-any-PII count — the compliance scan a corpus release "
+    "runs before publication. Patterns are ASCII-explicit and live in "
+    "the common Java-regex/RE2 dialect subset so both engines count "
+    "identically. One scan, no shuffle beyond the per-source "
+    "partial+final aggregate; at 100 TB the regex work is "
+    "embarrassingly parallel and the shuffle carries |sources| rows. "
+    "Degenerate inputs (unicode, empty text) are parity-swept in "
+    "tests/test_adversarial_fixtures.py, which plants real-looking "
+    "PII strings.",
+    tags=("text", "pii", "audit", "quality"),
+)
+def pii_pattern_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "source",
+        *[
+            F.regexp_count("text", F.lit(p)).alias(f"n_{k}")
+            for k, p in PII_PATTERNS.items()
+        ],
+    )
+    any_pii = F.when(
+        sum(F.col(f"n_{k}") for k in PII_PATTERNS) > 0, 1
+    ).otherwise(0)
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.sum(f"n_{k}").alias(f"{k}_matches") for k in PII_PATTERNS],
+            F.sum(any_pii).alias("docs_with_pii"),
+        )
+        .orderBy("source")
+    )

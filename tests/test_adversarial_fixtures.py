@@ -44,6 +44,9 @@ _EDGE_DOCS = [
     (9, "shared exact duplicate text", "en", "src8"),
     (10, "shared exact duplicate text", "en", "src19"),  # dup + new batch
     (11, "tab\tand\nnewline separated", "en", "src19"),
+    # PII-looking strings so pii_pattern_audit counts real matches
+    (12, "contact jane.doe@example.com or 555-123-4567 today", "en", "src9"),
+    (13, "server 192.168.1.1 ssn 123-45-6789 email a@b.io", "en", "src9"),
 ]
 
 
