@@ -20,6 +20,8 @@ document text.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -315,6 +317,67 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_HASHES = 16
 N_BANDS = 4  # bands of 4 signatures each
+LSH_CHUNK = 128  # hot-bucket chunk size: caps one task's pair fan-out at C²
+
+
+def _lsh_chunked_candidates(bands: DataFrame, hot_threshold: int) -> DataFrame:
+    """Two-path LSH candidate generation for boilerplate-hot corpora
+    (enabled via MMR_LSH_HOT_BUCKET; see the caller's comment).
+
+    Buckets <= hot_threshold use the plain self-join; bigger buckets
+    split into gid-ordered chunks of LSH_CHUNK so the pair fan-out
+    distributes. A bucket is wholly small or wholly hot, so the union
+    loses no pairs; chunks are gid-ordered, so cx < cy already implies
+    a.gid < b.gid and only same-chunk pairs need the id inequality."""
+    from pyspark.sql import Window as W
+
+    sized = bands.withColumn(
+        "bn", F.count(F.lit(1)).over(W.partitionBy("band", "band_hash"))
+    )
+    small = sized.filter(F.col("bn") <= hot_threshold)
+    hot = sized.filter(F.col("bn") > hot_threshold)
+    cand_small = (
+        small.alias("x")
+        .join(
+            small.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.gid") < F.col("y.gid"))
+            & (F.col("x.n") <= F.floor(F.col("y.n") / JACCARD_THRESHOLD))
+            & (F.col("y.n") <= F.floor(F.col("x.n") / JACCARD_THRESHOLD)),
+        )
+        .select(F.col("x.gid").alias("ga"), F.col("y.gid").alias("gb"))
+    )
+    chunk_w = W.partitionBy("band", "band_hash").orderBy("gid")
+    chunks = (
+        hot.withColumn("ck", ((F.row_number().over(chunk_w) - 1) / LSH_CHUNK).cast("int"))
+        .groupBy("band", "band_hash", "ck")
+        .agg(F.collect_list(F.struct("gid", "n")).alias("ms"))
+    )
+    chunk_pairs = (
+        chunks.select("band", "band_hash", F.col("ck").alias("cx"), F.col("ms").alias("ma"))
+        .join(
+            chunks.select(
+                "band", "band_hash", F.col("ck").alias("cy"), F.col("ms").alias("mb")
+            ),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("cx") <= F.col("cy"))
+        # the exchange that actually spreads the fan-out: without it the
+        # explode below runs in the (skewed) join output partitioning
+        .repartition("band", "band_hash", "cx", "cy")
+    )
+    cand_hot = (
+        chunk_pairs.select("cx", "cy", F.explode("ma").alias("a"), "mb")
+        .select("cx", "cy", "a", F.explode("mb").alias("b"))
+        .filter((F.col("cx") < F.col("cy")) | (F.col("a.gid") < F.col("b.gid")))
+        .filter(
+            (F.col("a.n") <= F.floor(F.col("b.n") / JACCARD_THRESHOLD))
+            & (F.col("b.n") <= F.floor(F.col("a.n") / JACCARD_THRESHOLD))
+        )
+        .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+    )
+    return cand_small.unionByName(cand_hot).distinct()
 
 
 @register(
@@ -388,24 +451,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
-    # candidate pairs stay slim (two longs) through the bucket self-join
-    # and the distinct; the size-ratio prune (jaccard >= t requires the
-    # smaller set to be >= t × the larger) drops hopeless pairs before
-    # they even reach the distinct, and a pair colliding in several bands
-    # deduplicates BEFORE any array work happens
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.gid") < F.col("y.gid"))
-            & (F.col("x.n") <= F.floor(F.col("y.n") / JACCARD_THRESHOLD))
-            & (F.col("y.n") <= F.floor(F.col("x.n") / JACCARD_THRESHOLD)),
+    # Candidate generation. Candidate pairs stay slim (two longs)
+    # through the bucket self-join and the distinct; the size-ratio
+    # prune (jaccard >= t requires the smaller set to be >= t x the
+    # larger) drops hopeless pairs before the distinct, and a pair
+    # colliding in several bands deduplicates BEFORE any array work.
+    #
+    # Hot-bucket escape hatch: one boilerplate band_hash capturing 1e6
+    # groups would put that bucket's 5e11 pairs on ONE core (a single
+    # join key cannot be split by AQE), so MMR_LSH_HOT_BUCKET > 0
+    # switches to a two-path plan — buckets above the threshold split
+    # into gid-ordered chunks of LSH_CHUNK, the self-join runs at CHUNK
+    # level, and the C^2 pair fan-out happens AFTER a repartition,
+    # spreading a hot bucket over (|m|/C)^2/2 tasks. The knob defaults
+    # OFF because it was A/B-measured here: the sizing window + chunk
+    # machinery costs ~2x at sf0.1, where the largest bucket (1.6k
+    # members -> 1.3M pairs) is far below one task's comfortable
+    # fan-out; flip it when a corpus has boilerplate-dominated buckets
+    # (equivalence of the two paths is pytest-asserted).
+    hot_threshold = int(os.environ.get("MMR_LSH_HOT_BUCKET", "0"))
+    if hot_threshold <= 0:
+        cand = (
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.gid") < F.col("y.gid"))
+                & (F.col("x.n") <= F.floor(F.col("y.n") / JACCARD_THRESHOLD))
+                & (F.col("y.n") <= F.floor(F.col("x.n") / JACCARD_THRESHOLD)),
+            )
+            .select(F.col("x.gid").alias("ga"), F.col("y.gid").alias("gb"))
+            .distinct()
         )
-        .select(F.col("x.gid").alias("ga"), F.col("y.gid").alias("gb"))
-        .distinct()
-    )
+    else:
+        cand = _lsh_chunked_candidates(bands, hot_threshold)
     # exact Jaccard verification on candidate group pairs: intersect/union
     # over fixed-width long arrays is O(|a|+|b|) integer compares in
     # codegen — no shuffle of exploded tokens, no string comparisons. The

@@ -23,6 +23,28 @@ def test_minhash_lsh_is_sound_and_recalls(spark, sf_dir):
         assert recall >= 0.5, f"LSH recall too low: {recall:.2f} ({len(lsh)}/{len(exact)})"
 
 
+def test_minhash_hot_bucket_path_is_equivalent(spark, sf_dir, monkeypatch):
+    """The MMR_LSH_HOT_BUCKET chunked candidate route (the escape hatch
+    for boilerplate-dominated band buckets) must produce EXACTLY the
+    default plan's output — threshold 2 forces every bucket hot."""
+    plain = _pairs(Q["dedup_minhash_lsh"].builder(spark, sf_dir))
+    monkeypatch.setenv("MMR_LSH_HOT_BUCKET", "2")
+    forced = _pairs(Q["dedup_minhash_lsh"].builder(spark, sf_dir))
+    assert plain == forced
+
+
+def test_minhash_verified_subset_of_exact_with_high_recall(spark, sf_dir):
+    """dedup_minhash_verified verifies exact Jaccard on its candidates,
+    so its pairs ⊆ the exact pairs; 8 bands × 2 rows recalls nearly all
+    j>=0.8 pairs (VERDICT r2 task 6: candidate superset + verify parity)."""
+    exact = _pairs(Q["dedup_jaccard_pairs"].builder(spark, sf_dir))
+    verified = _pairs(Q["dedup_minhash_verified"].builder(spark, sf_dir))
+    assert verified <= exact, f"non-near-dup pairs: {sorted(verified - exact)[:5]}"
+    if exact:
+        recall = len(verified) / len(exact)
+        assert recall >= 0.9, f"recall too low: {recall:.2f}"
+
+
 def test_simhash_catches_identical_token_sets(spark, sf_dir):
     """Docs with identical distinct-token sets (jaccard == 1.0) have equal
     SimHash fingerprints → Hamming 0 → must be reported."""
