@@ -985,3 +985,173 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ------------------------------------------------------------------
+# SimHash, oracle-checkable variant: per-token bit votes come from a
+# modular-arithmetic hash family over deterministic vocabulary ids, so
+# DuckDB reproduces the 64-bit fingerprints (and therefore the Hamming
+# pairs) bit-for-bit — the cross-engine twin of dedup_simhash, exactly
+# as dedup_minhash_verified twins dedup_minhash_lsh.
+# ------------------------------------------------------------------
+
+#: 64 (a, b) pairs: vote bit k of a token = parity of (a_k·tid + b_k)
+#: mod P. Constants are generated by a fixed LCG-style formula so the
+#: Spark plan and the oracle SQL are built from the SAME numbers;
+#: a < 10⁶ keeps a·tid + b far inside int64 for any vocabulary.
+SIMHASH_COEFFS = tuple(
+    (
+        (1103515245 * (k + 1) + 12345) % 1_000_003 or 7,
+        (214013 * (k + 7) + 2531011) % 1_000_033,
+    )
+    for k in range(SIMHASH_BITS)
+)
+
+
+def _simhash_verified_oracle() -> str:
+    vbit_cols = ",\n         ".join(
+        f"(((tid*{a}+{b}) % {MINHASH_P}) % 2) * 2 - 1 AS b{k}"
+        for k, (a, b) in enumerate(SIMHASH_COEFFS)
+    )
+    vote_cols = ",\n         ".join(
+        f"sum(b{k}) AS v{k}" for k in range(SIMHASH_BITS)
+    )
+
+    def bit_literal(k: int) -> str:
+        return str(1 << k) if k < 63 else "(-9223372036854775807 - 1)"
+
+    fp_expr = "\n        + ".join(
+        f"(CASE WHEN v{k} > 0 THEN {bit_literal(k)} ELSE 0 END)"
+        for k in range(SIMHASH_BITS)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
+  FROM documents
+), tc AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), vocab AS (
+  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
+  FROM (SELECT DISTINCT token FROM tc)
+), vbits AS (
+  SELECT token,
+         {vbit_cols}
+  FROM vocab
+), votes AS (
+  SELECT t.doc_id,
+         {vote_cols}
+  FROM tc t JOIN vbits v USING (token)
+  GROUP BY t.doc_id
+), fp AS (
+  SELECT doc_id,
+         CAST({fp_expr} AS BIGINT) AS f
+  FROM votes
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b
+  ON a.doc_id < b.doc_id AND bit_count(xor(a.f, b.f)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_simhash_verified",
+    oracle=_simhash_verified_oracle(),
+    description="SimHash near-dup with a cross-engine hash family: "
+    "tokens get deterministic vocabulary ids (dense_rank over the "
+    "sorted distinct tokens), vote bit k of a token is the parity of "
+    "(a_k·tid + b_k) mod P with 64 fixed published coefficient pairs, "
+    "fingerprints are the per-bit vote signs, and pairs report when "
+    "Hamming(f_a, f_b) <= 3. Because the bit votes are plain modular "
+    "arithmetic, DuckDB rebuilds the identical fingerprints and the "
+    "pair set hash-matches (unlike dedup_simhash, whose xxhash64 votes "
+    "are Spark-only). The Spark side still BLOCKS: fingerprints band "
+    "into 4×16-bit chunks and only chunk-equal pairs are verified — "
+    "pigeonhole makes that lossless for Hamming <= 3, so the blocked "
+    "result equals the oracle's all-pairs formulation. The vocabulary "
+    "id step is vocabulary-bound (see dedup_minhash_verified); "
+    "dedup_simhash is the unbounded production path.",
+    tags=("dedup", "neardup", "simhash"),
+)
+def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").rlike(r"\S"))
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
+        ).alias("token"),
+    )
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .withColumn("tid", F.dense_rank().over(W.orderBy("token")).cast("bigint"))
+    )
+    # one ±1 column per fingerprint bit, computed ONCE per vocab entry
+    # and broadcast — per-document work is then 64 integer sums
+    tid = F.col("tid")
+    vbits = vocab.select(
+        "token",
+        *[
+            ((((tid * a + b) % MINHASH_P) % 2) * 2 - 1).cast("int").alias(f"b{k}")
+            for k, (a, b) in enumerate(SIMHASH_COEFFS)
+        ],
+    )
+    votes = (
+        toks.join(F.broadcast(vbits), "token")
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"b{k}").alias(f"v{k}") for k in range(SIMHASH_BITS)])
+    )
+
+    def _bit_literal(k: int) -> str:
+        return f"{1 << k}L" if k < 63 else "(-9223372036854775807L - 1L)"
+
+    fingerprint = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{k} > 0 THEN {_bit_literal(k)} ELSE 0L END)"
+            for k in range(SIMHASH_BITS)
+        )
+    )
+    fp = votes.select("doc_id", fingerprint.alias("simhash"))
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+                    for i in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    pairs = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -55,6 +55,16 @@ def test_simhash_catches_identical_token_sets(spark, sf_dir):
     assert not missed, f"SimHash missed identical-token-set pairs: {sorted(missed)[:5]}"
 
 
+def test_simhash_verified_catches_identical_token_sets(spark, sf_dir):
+    """Identical distinct-token sets get identical arithmetic-hash
+    fingerprints → Hamming 0 → must be reported by the verified variant."""
+    jac = Q["dedup_jaccard_pairs"].builder(spark, sf_dir)
+    identical = {(r.doc_a, r.doc_b) for r in jac.collect() if r.jaccard == 1.0}
+    sim = _pairs(Q["dedup_simhash_verified"].builder(spark, sf_dir))
+    missed = identical - sim
+    assert not missed, f"missed identical-token-set pairs: {sorted(missed)[:5]}"
+
+
 def test_exact_dedup_covers_all_docs(spark, sf_dir):
     """Σ n_copies over dup groups == total docs; keep ids are distinct."""
     df = Q["dedup_exact"].builder(spark, sf_dir)
