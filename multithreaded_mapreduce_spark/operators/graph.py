@@ -141,6 +141,11 @@ def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     nodes = edges.select(F.col("src").alias("token")).distinct().persist()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty corpus → empty graph → empty ranks (the oracle's chained
+        # CTEs propagate emptiness the same way); guards the Python-side
+        # 1/N from a ZeroDivisionError
+        return spark.createDataFrame([], "token string, rank double")
     ranks = nodes.select("token", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - DAMPING) / n_nodes
     for it in range(N_ITER):
