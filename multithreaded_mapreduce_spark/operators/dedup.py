@@ -1155,3 +1155,106 @@ def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------------------------
+# semantic dedup clustering: connected components over the embedding
+# cosine pair graph (the composition a semantic-dedup pipeline runs:
+# ANN/blocked pairs → clusters → keep one representative per cluster)
+# ------------------------------------------------------------------
+
+_EMB_CC_ORACLE = f"""
+WITH RECURSIVE dims AS (SELECT unnest(range(1, 65)) AS i),
+prods AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(sum(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  CROSS JOIN dims
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT vec_id,
+         CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS nsq
+  FROM embeddings CROSS JOIN dims
+  GROUP BY 1
+),
+pairs AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT p.vec_a, p.vec_b,
+           CAST(round(CAST(p.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) AS DECIMAL(30,12)), 6)
+                AS DOUBLE) AS cosine
+    FROM prods p
+    JOIN norms na ON p.vec_a = na.vec_id
+    JOIN norms nb ON p.vec_b = nb.vec_id
+  ) WHERE cosine >= {COSINE_THRESHOLD}
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS vec_id, min(r) AS cluster_id
+FROM reach
+GROUP BY node
+ORDER BY vec_id
+"""
+
+
+@register(
+    "dedup_embedding_components",
+    oracle=_EMB_CC_ORACLE,
+    description="Semantic dedup clustering: connected components over "
+    "the embedding-cosine near-dup pair graph (cosine >= 0.4 within "
+    "label blocks, from dedup_embedding_pairs) via the same iterative "
+    "min-label propagation as dedup_components. cluster_id = smallest "
+    "vec_id in the component — the canonical vector a semantic-dedup "
+    "pipeline keeps per duplicate cluster. One slim (long, long) edge "
+    "relation; each round is one shuffle of |nodes| rows with the "
+    "lineage cut per round. Oracle: DuckDB recursive CTE min over the "
+    "transitive closure of the identical pair set.",
+    tags=("dedup", "embedding", "components", "iterative"),
+)
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_embedding_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("vec_a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges.vec_b == labels.node)
+            .groupBy(edges.vec_a.alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
+    ).orderBy("vec_id")
