@@ -289,3 +289,197 @@ def window_audio_frames(
             )
 
     return media.filter(F.col("kind") == "audio").mapInPandas(frames, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path (pure numpy — see multimodal/codecs.py): Netpbm images
+# and WAV PCM16 audio need no external library, so decode / resize /
+# sample-frame math below is genuine, not a stand-in. Only exotic
+# codecs (JPEG/MP3/MP4) remain behind the NotImplementedError stub.
+# ---------------------------------------------------------------------------
+
+
+def _det_bytes(tag: str, n: int) -> bytes:
+    """Deterministic byte stream (sha256 counter mode) — every run and
+    engine sees identical media content."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{tag}-{i}".encode()).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+def synthesize_netpbm_media(
+    spark: SparkSession, n: int = 64, partitions: int = 4
+) -> DataFrame:
+    """Media table whose payloads are REAL files: binary PPM (P6, RGB)
+    and PGM (P5, gray) images with deterministic pixel rasters, and
+    RIFF/WAVE PCM16 audio with deterministic waveforms. The decode /
+    resize / frame operators parse these with the pure-numpy codecs —
+    actual pixels and samples, not digests."""
+    from .codecs import encode_netpbm, encode_wav_pcm16
+
+    rows = []
+    for i in range(n):
+        if i % 3 == 2:  # audio
+            n_samples = 64 + 8 * i
+            raw = _det_bytes(f"wav-{i}", n_samples * 2)
+            samples = np.frombuffer(raw, dtype="<i2")
+            payload = encode_wav_pcm16(samples, sample_rate=8000)
+            rows.append((i, "audio", payload, len(payload), "audio/wav"))
+        else:  # image: alternate RGB PPM and gray PGM
+            w = 8 + (i * 3) % 25
+            h = 6 + (i * 5) % 19
+            c = 3 if i % 2 == 0 else 1
+            raw = _det_bytes(f"img-{i}", w * h * c)
+            px = np.frombuffer(raw, dtype=np.uint8)
+            px = px.reshape((h, w, 3)) if c == 3 else px.reshape((h, w))
+            payload = encode_netpbm(px)
+            mime = "image/x-portable-pixmap" if c == 3 else "image/x-portable-graymap"
+            rows.append((i, "image", payload, len(payload), mime))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions, "media_id")
+
+
+def decode_netpbm_images(media: DataFrame) -> DataFrame:
+    """REAL image decode via mapInPandas: parse the Netpbm header and
+    raster, return true (width, height, channels) plus a mean-luminance
+    statistic computed from the actual pixels."""
+    from .codecs import decode_netpbm
+
+    out_schema = T.StructType(
+        DECODED_SCHEMA.fields
+        + [T.StructField("mean_luma", T.DoubleType(), True)]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, ws, hs, cs, lumas = [], [], [], [], [], []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                px = decode_netpbm(bytes(payload))
+                h, w = px.shape[:2]
+                c = px.shape[2] if px.ndim == 3 else 1
+                ids.append(mid)
+                kinds.append(kind)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                lumas.append(float(px.astype(np.float64).mean()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "kind": kinds,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "n_channels": pd.array(cs, dtype="int32"),
+                    "mean_luma": pd.array(lumas, dtype="float64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(decode, out_schema)
+
+
+def resize_netpbm_images(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """REAL aspect-preserving thumbnail: decode the Netpbm raster,
+    nearest-neighbor resample the longest edge to ``target``, re-encode,
+    and emit the RESIZED FILE's digest + size (the buffer itself goes to
+    object storage at scale, never through the plan)."""
+    from .codecs import decode_netpbm, encode_netpbm, resize_nearest
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("orig_width", T.IntegerType(), False),
+            T.StructField("orig_height", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_channels", T.IntegerType(), False),
+            T.StructField("resized_md5", T.StringType(), False),
+            T.StructField("resized_bytes", T.LongType(), False),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in out_schema.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_netpbm(bytes(payload))
+                h, w = px.shape[:2]
+                c = px.shape[2] if px.ndim == 3 else 1
+                scale = target / max(w, h)
+                nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+                out = encode_netpbm(resize_nearest(px, nw, nh))
+                cols["media_id"].append(mid)
+                cols["orig_width"].append(w)
+                cols["orig_height"].append(h)
+                cols["width"].append(nw)
+                cols["height"].append(nh)
+                cols["n_channels"].append(c)
+                cols["resized_md5"].append(hashlib.md5(out).hexdigest())
+                cols["resized_bytes"].append(len(out))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(cols["media_id"], dtype="int64"),
+                    "orig_width": pd.array(cols["orig_width"], dtype="int32"),
+                    "orig_height": pd.array(cols["orig_height"], dtype="int32"),
+                    "width": pd.array(cols["width"], dtype="int32"),
+                    "height": pd.array(cols["height"], dtype="int32"),
+                    "n_channels": pd.array(cols["n_channels"], dtype="int32"),
+                    "resized_md5": cols["resized_md5"],
+                    "resized_bytes": pd.array(cols["resized_bytes"], dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(resize, out_schema)
+
+
+WAV_FRAME_SAMPLES = 64
+WAV_HOP_SAMPLES = 32
+
+
+def wav_frame_energy(
+    media: DataFrame,
+    frame_samples: int = WAV_FRAME_SAMPLES,
+    hop_samples: int = WAV_HOP_SAMPLES,
+) -> DataFrame:
+    """REAL audio featurization: decode WAV PCM16 (RIFF chunk walk),
+    window the int16 samples with frame/hop overlap, and emit each
+    frame's RMS energy — actual sample math over an actual decode."""
+    from .codecs import decode_wav_pcm16
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("start_sample", T.LongType(), False),
+            T.StructField("rms", T.DoubleType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+        ]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, rmss, rates = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav_pcm16(bytes(payload))
+                x = samples.astype(np.float64)
+                k = 0
+                for start in range(0, len(x) - frame_samples + 1, hop_samples):
+                    fr = x[start : start + frame_samples]
+                    ids.append(mid)
+                    idxs.append(k)
+                    starts.append(start)
+                    rmss.append(float(np.sqrt(np.mean(fr * fr))))
+                    rates.append(rate)
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "start_sample": pd.array(starts, dtype="int64"),
+                    "rms": pd.array(rmss, dtype="float64"),
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(frames, out_schema)

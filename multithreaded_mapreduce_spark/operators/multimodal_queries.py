@@ -151,3 +151,65 @@ def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_audio_frames(synthesize_media(spark, n=_N_MEDIA)).orderBy(
         "media_id", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL-codec queries (pure-numpy Netpbm + WAV — multimodal/codecs.py):
+# unlike the *_fake twins above, decode/resize/energy below operate on
+# actual pixels and samples. Still rows-only for the driver (the media
+# table is synthesized in-engine, not a parquet input), but the codec
+# itself is golden-tested: encode→decode round-trips, known-raster
+# resizes, and RMS parity vs numpy in tests/test_multimodal_codecs.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_netpbm_decode",
+    oracle=None,
+    description="REAL image decode via mapInPandas: binary PPM/PGM "
+    "payloads parsed with the pure-numpy Netpbm codec — true width/"
+    "height/channels from the header plus mean luminance from the "
+    "actual raster. No external image library involved; only exotic "
+    "codecs (JPEG etc.) remain stubbed.",
+    tags=("multimodal", "image", "pandas-udf", "real-codec"),
+)
+def media_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary import decode_netpbm_images, synthesize_netpbm_media
+
+    return decode_netpbm_images(synthesize_netpbm_media(spark, n=_N_MEDIA)).orderBy(
+        "media_id"
+    )
+
+
+@register(
+    "media_netpbm_resize",
+    oracle=None,
+    description="REAL aspect-preserving thumbnails: decode the Netpbm "
+    "raster, nearest-neighbor resample the longest edge to 64, re-encode "
+    "and emit the resized file's digest + size — actual pixel resampling "
+    "(deterministic integer index map), not a digest stand-in.",
+    tags=("multimodal", "image", "resize", "pandas-udf", "real-codec"),
+)
+def media_netpbm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary import resize_netpbm_images, synthesize_netpbm_media
+
+    return resize_netpbm_images(synthesize_netpbm_media(spark, n=_N_MEDIA)).orderBy(
+        "media_id"
+    )
+
+
+@register(
+    "media_wav_energy",
+    oracle=None,
+    description="REAL audio featurization: RIFF/WAVE PCM16 payloads "
+    "decoded with a chunk-walking parser, int16 samples windowed with "
+    "64-sample frames every 32, per-frame RMS energy — actual sample "
+    "math over an actual decode (pure numpy, no audio library).",
+    tags=("multimodal", "audio", "windowing", "pandas-udf", "real-codec"),
+)
+def media_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary import synthesize_netpbm_media, wav_frame_energy
+
+    return wav_frame_energy(synthesize_netpbm_media(spark, n=_N_MEDIA)).orderBy(
+        "media_id", "frame_idx"
+    )
