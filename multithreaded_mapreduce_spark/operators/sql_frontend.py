@@ -130,3 +130,35 @@ ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
 def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(LATERAL_TOP_ORDERS)
+
+
+#: runs unmodified in Spark SQL (GROUP BY ALL: 3.4+, ORDER BY ALL: 4.x)
+#: and DuckDB — the modern-SQL ergonomics DuckDB pioneered and Spark
+#: adopted; grouping keys are inferred as every non-aggregate select
+#: expression, ordering covers the whole select list.
+GROUP_BY_ALL_PRIORITY_MIX = f"""
+SELECT o_orderpriority,
+       o_orderstatus,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE), 2) AS total_value
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "sql_group_by_all",
+    oracle=GROUP_BY_ALL_PRIORITY_MIX,
+    description="Modern SQL ergonomics as raw SQL: GROUP BY ALL infers "
+    "the grouping keys from the non-aggregate select expressions and "
+    "ORDER BY ALL sorts by the whole select list — the DuckDB-pioneered "
+    "shorthand Spark adopted, so the identical string runs in both "
+    "engines. Semantically the plain 2-key aggregate (partial+final, "
+    "date filter pushed to the scan).",
+    tags=("sql", "aggregate", "spark4"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(GROUP_BY_ALL_PRIORITY_MIX)
