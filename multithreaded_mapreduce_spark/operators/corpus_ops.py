@@ -129,7 +129,14 @@ def dedup_bag_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min over (−n_chars, doc_id) ≡ (n_chars DESC, doc_id ASC) winner:
     # a single hash aggregate replaces the row_number window the oracle
     # uses — same result, one shuffle, partial-aggregated map-side.
-    best = F.min(F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id")))
+    # NULL n_chars must lose to every real length (the oracle's DESC
+    # default is NULLS LAST), but min(struct) would rank a NULL field
+    # FIRST — map it to long-max so NULL-length docs win only all-NULL
+    # groups (then the doc_id tiebreak decides, same as the oracle).
+    neg = F.coalesce(
+        (-F.col("n_chars")).cast("long"), F.lit((1 << 63) - 1)
+    )
+    best = F.min(F.struct(neg.alias("neg"), F.col("doc_id")))
     return (
         docs.groupBy("bag_key")
         .agg(best.alias("best"), F.count(F.lit(1)).alias("n_members"))
@@ -278,7 +285,10 @@ LENGTH_GATE_HI = 0.95
     "length_gate_survivors",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, len({_sql_tokens()}) AS n_toks FROM documents
+  -- coalesce: NULL text counts as 0 tokens (matching the Spark side),
+  -- so a NULL-text doc is gated like an empty one instead of silently
+  -- vanishing from both the quantiles and the output
+  SELECT doc_id, coalesce(len({_sql_tokens()}), 0) AS n_toks FROM documents
 ), cuts AS (
   SELECT quantile_cont(n_toks, {LENGTH_GATE_LO}) AS lo,
          quantile_cont(n_toks, {LENGTH_GATE_HI}) AS hi

@@ -47,6 +47,9 @@ _EDGE_DOCS = [
     # PII-looking strings so pii_pattern_audit counts real matches
     (12, "contact jane.doe@example.com or 555-123-4567 today", "en", "src9"),
     (13, "server 192.168.1.1 ssn 123-45-6789 email a@b.io", "en", "src9"),
+    # NULL text — crawl pipelines see these; every text path must agree
+    # with the oracle on NULL propagation, not crash
+    (14, None, "en", "src9"),
 ]
 
 
@@ -73,7 +76,10 @@ def edge_docs_dir(tmp_path_factory, spark) -> str:
         if t != "documents":
             shutil.copyfile(table_path(SF_DIR, t), table_path(d, t))
     schema = spark.read.parquet(table_path(SF_DIR, "documents")).schema
-    rows = [(i, s, lang, src, len(s)) for i, s, lang, src in _EDGE_DOCS]
+    rows = [
+        (i, s, lang, src, len(s) if s is not None else None)
+        for i, s, lang, src in _EDGE_DOCS
+    ]
     spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(d, "_docs_tmp")
     )
