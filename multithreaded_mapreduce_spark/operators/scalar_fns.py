@@ -146,16 +146,24 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_functions",
     oracle="""
-SELECT vec_id, label,
-       len(embedding) AS dim,
-       CAST(round(CAST(sqrt(CAST(sum(CAST(x * x AS DECIMAL(30,20))) AS DOUBLE))
-                       AS DECIMAL(30,10)), 6) AS DOUBLE) AS l2_norm
-FROM (
-  SELECT vec_id, label, embedding, CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings
+WITH norms AS (
+  SELECT vec_id,
+         CAST(round(CAST(sqrt(CAST(sum(CAST(x * x AS DECIMAL(30,20))) AS DOUBLE))
+                         AS DECIMAL(30,10)), 6) AS DOUBLE) AS l2
+  FROM (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+  )
+  GROUP BY vec_id
 )
-GROUP BY vec_id, label, embedding
-ORDER BY vec_id
+SELECT e.vec_id, e.label,
+       len(e.embedding) AS dim,
+       -- LEFT JOIN (not grouping over unnest) so a NULL embedding keeps
+       -- its row with NULL dim/norm, exactly as Spark's per-row fold
+       -- does; an empty (but non-NULL) array norms to 0 on both sides
+       coalesce(n.l2, CASE WHEN e.embedding IS NOT NULL
+                           THEN CAST(0.0 AS DOUBLE) END) AS l2_norm
+FROM embeddings e LEFT JOIN norms n ON e.vec_id = n.vec_id
+ORDER BY e.vec_id
 """,
     description="Higher-order array functions over 64-dim embeddings: "
     "size + L2 norm via transform/aggregate with a decimal-exact fold "

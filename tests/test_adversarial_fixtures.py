@@ -156,6 +156,7 @@ def _edge_vectors() -> list[tuple[int, list[float], int]]:
     rows.append((18, list(zero), 0))                             # zero-vector NEIGHBOR
     rows.append((19, list(alt), 3))                              # duplicate of 6
     rows += [(20 + i, step(4 + 8 * i), 4 + i % 6) for i in range(8)]
+    rows.append((28, None, 5))  # NULL embedding — must propagate, not crash
     return rows
 
 
