@@ -185,8 +185,13 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_events",
+            # try_divide: a type whose events all share ONE timestamp has
+            # total_s = 0 — DuckDB's double division yields NULL there,
+            # ANSI Spark would throw
             F.round(
-                (F.col("c").cast("double") / F.col("total_s")).cast("decimal(30,12)"),
+                F.try_divide(F.col("c").cast("double"), F.col("total_s")).cast(
+                    "decimal(30,12)"
+                ),
                 6,
             )
             .cast("double")

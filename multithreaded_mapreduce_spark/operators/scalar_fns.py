@@ -114,9 +114,12 @@ def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       min(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS min_k,
-       max(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS max_k,
-       round(CAST(sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS DOUBLE)
+       -- nullif + TRY_CAST: DuckDB's regexp_extract returns '' (not
+       -- NULL) on a non-match, and CAST('' AS BIGINT) errors — NULL
+       -- here matches Spark's get_json_object on malformed/missing JSON
+       min(TRY_CAST(nullif(regexp_extract(props, '"k": (-?\\d+)', 1), '') AS BIGINT)) AS min_k,
+       max(TRY_CAST(nullif(regexp_extract(props, '"k": (-?\\d+)', 1), '') AS BIGINT)) AS max_k,
+       round(CAST(sum(TRY_CAST(nullif(regexp_extract(props, '"k": (-?\\d+)', 1), '') AS BIGINT)) AS DOUBLE)
              / count(*), 4) AS avg_k
 FROM events
 GROUP BY event_type
@@ -196,8 +199,13 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_functions",
     oracle="""
 WITH pt AS (
+  -- NULL event_type rows are excluded: a map key cannot be NULL
+  -- (Spark raises NULL_MAP_KEY), so the per-type map is defined over
+  -- typed events only — spelled out identically on both sides
   SELECT user_id, event_type, count(*) AS c
-  FROM events GROUP BY user_id, event_type
+  FROM events
+  WHERE event_type IS NOT NULL
+  GROUP BY user_id, event_type
 ), mx AS (
   SELECT user_id, max(c) AS mc FROM pt GROUP BY user_id
 )
@@ -222,8 +230,12 @@ ORDER BY p.user_id
 )
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("c")
+    # a map key cannot be NULL (NULL_MAP_KEY): untyped events are out of
+    # the per-type map by contract, filtered identically in the oracle
+    per_type = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     m = F.map_from_entries(
         F.array_sort(F.collect_list(F.struct("event_type", "c")))

@@ -190,6 +190,78 @@ def test_edge_embeddings_parity(spark, edge_embeddings_dir, name):
     compare_query(spark, edge_embeddings_dir, _Q[name].builder, _Q[name].oracle)
 
 
+#: degenerate events — exact-timestamp ties (window tie-breaks), rows
+#: landing exactly ON hour/window boundaries, events exactly AT the
+#: session gap, NULL value / NULL props / malformed JSON / NULL
+#: event_type — the drift surface of every window/session/funnel query.
+def _edge_events() -> list[tuple]:
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    m = timedelta(minutes=1)
+    rows = [
+        # user 1: three events at the IDENTICAL timestamp (tie-break),
+        # one exactly on the hour boundary
+        (0, t0, 1, "view", 10.0, '{"k": 1}'),
+        (1, t0, 1, "click", 20.0, '{"k": 2}'),
+        (2, t0, 1, "view", 30.0, '{"k": 3}'),
+        (3, datetime(2024, 1, 1, 1, 0, 0), 1, "purchase", 40.0, '{"k": 4}'),
+        # user 2: session-gap edges — consecutive events exactly 30 min
+        # apart (the classic <= vs < sessionization boundary)
+        (4, t0, 2, "view", 1.0, '{"k": 5}'),
+        (5, t0 + 30 * m, 2, "click", 2.0, '{"k": 6}'),
+        (6, t0 + 60 * m, 2, "purchase", 3.0, '{"k": 7}'),
+        # user 3: NULL value, NULL props, malformed/empty JSON, NULL type
+        (7, t0 + 5 * m, 3, "view", None, '{"k": 8}'),
+        (8, t0 + 6 * m, 3, "click", 5.0, None),
+        (9, t0 + 7 * m, 3, "purchase", 6.0, "not json"),
+        (10, t0 + 8 * m, 3, "error", 7.0, ""),
+        (11, t0 + 9 * m, 3, None, 8.0, '{"k": 9}'),
+        # user 4: identical duplicate rows except event_id
+        (12, t0 + 90 * m, 4, "signup", 9.0, '{"k": 10}'),
+        (13, t0 + 90 * m, 4, "signup", 9.0, '{"k": 10}'),
+        # user 5: a lone event (single-row windows/sessions)
+        (14, t0 + 120 * m, 5, "error", 11.5, '{"k": 11}'),
+        # user 6: equal values at distinct ts (value-order ties),
+        # sub-second microsecond offsets
+        (15, t0 + 10 * m, 6, "view", 42.0, '{"k": 12}'),
+        (16, t0 + 10 * m + timedelta(microseconds=1), 6, "view", 42.0, '{"k": 13}'),
+        (17, t0 + 11 * m, 6, "click", 42.0, '{"k": 14}'),
+    ]
+    return rows
+
+
+def _event_queries() -> list[str]:
+    return sorted(
+        n
+        for n, q in _Q.items()
+        if q.oracle and "events" in q.oracle and "streaming" not in q.tags
+    )
+
+
+@pytest.fixture(scope="session")
+def edge_events_dir(tmp_path_factory, spark) -> str:
+    """sf0.001 with events replaced by the edge rows."""
+    d = str(tmp_path_factory.mktemp("edge_events_sf"))
+    for t in TABLES:
+        if t != "events":
+            shutil.copyfile(table_path(SF_DIR, t), table_path(d, t))
+    schema = spark.read.parquet(table_path(SF_DIR, "events")).schema
+    spark.createDataFrame(_edge_events(), schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "_ev_tmp"))
+    part = next(
+        f for f in os.listdir(os.path.join(d, "_ev_tmp")) if f.endswith(".parquet")
+    )
+    shutil.copyfile(os.path.join(d, "_ev_tmp", part), table_path(d, "events"))
+    return d
+
+
+@pytest.mark.parametrize("name", _event_queries())
+def test_edge_events_parity(spark, edge_events_dir, name):
+    compare_query(spark, edge_events_dir, _Q[name].builder, _Q[name].oracle)
+
+
 @pytest.fixture(scope="session")
 def corrupted_orders_dir(tmp_path_factory, spark) -> str:
     """sf0.001 with orders deliberately damaged: a duplicated order key,
