@@ -289,6 +289,22 @@ def corrupted_orders_dir(tmp_path_factory, spark) -> str:
     return d
 
 
+def _orders_queries() -> list[str]:
+    return sorted(
+        n
+        for n, q in _Q.items()
+        if q.oracle and "orders" in q.oracle and "streaming" not in q.tags
+    )
+
+
+@pytest.mark.parametrize("name", _orders_queries())
+def test_corrupted_orders_parity(spark, corrupted_orders_dir, name):
+    """Every orders-touching oracle query must stay engine-identical on
+    damaged data too — duplicate keys, NULL FKs, and orphan references
+    flow through joins, windows, and aggregates on both engines."""
+    compare_query(spark, corrupted_orders_dir, _Q[name].builder, _Q[name].oracle)
+
+
 def test_quality_audit_catches_planted_violations(spark, corrupted_orders_dir):
     """The audit must report exactly the planted damage — and still
     hash-match the DuckDB oracle run over the same damaged data."""
