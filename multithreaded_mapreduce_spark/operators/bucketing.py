@@ -31,16 +31,25 @@ N_BUCKETS = 8
 
 
 def _sf_tag(sf_dir: str) -> str:
+    """Table-name tag for a source directory: the sf token for
+    readability plus a digest of the FULL path — two different dirs
+    must never share bucketed tables (an `sf…` substring alone collided
+    across test fixture dirs like `corrupt_sf0`/`edge_docs_sf0`, making
+    one query silently read another fixture's data)."""
+    import hashlib
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    return (m.group(1) if m else "x").replace(".", "_")
+    sf = (m.group(1) if m else "x").replace(".", "_")
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"{sf}_{digest}"
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write lineitem and orders bucketed by order key (idempotent).
 
     ``bucketBy`` requires the session catalog (``saveAsTable``); the
-    warehouse lives under the system temp dir, keyed by scale factor so
-    different SF runs don't collide.
+    warehouse lives under the system temp dir, keyed by source dir so
+    different SF runs (and test fixtures) never collide.
     """
     tag = _sf_tag(sf_dir)
     li_tbl, ord_tbl = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
