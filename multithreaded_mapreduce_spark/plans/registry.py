@@ -74,6 +74,7 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.corpus_ops",
     "multithreaded_mapreduce_spark.operators.audit",
     "multithreaded_mapreduce_spark.operators.analytics_extra",
+    "multithreaded_mapreduce_spark.operators.warehouse",
 )
 
 
