@@ -4,6 +4,8 @@ from .writers import (
     write_clustered_parquet,
     write_csv,
     write_parquet,
+    write_zordered_parquet,
+    zorder_value,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "write_clustered_parquet",
     "write_csv",
     "write_parquet",
+    "write_zordered_parquet",
+    "zorder_value",
 ]
