@@ -80,6 +80,83 @@ def write_clustered_parquet(
     out.sortWithinPartitions(*cluster_by).write.mode(mode).parquet(path)
 
 
+def zorder_value(
+    df: DataFrame,
+    cols: tuple[str, str],
+    *,
+    bits: int = 8,
+    rel_error: float = 0.001,
+) -> F.Column:
+    """Z-order (Morton) key over two numeric columns: each column is
+    quantile-bucketed into ``2**bits`` ranks, and the rank bits are
+    interleaved so nearby z-values are nearby in BOTH dimensions.
+
+    Quantile boundaries come from one distributed ``approxQuantile``
+    pass (driver receives ``2**bits - 1`` doubles per column — tiny);
+    the per-row bucket index and the bit interleave are pure codegen
+    expressions (a fold over the boundary array + unrolled bitwise
+    ops), so the hot path never leaves the JVM. NULLs rank first
+    (bucket 0), matching NULLS FIRST sort order.
+    """
+    n_bounds = (1 << bits) - 1
+    probs = [i / (n_bounds + 1) for i in range(1, n_bounds + 1)]
+    ranks = []
+    for c in cols:
+        bounds = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+            c, probs, rel_error
+        )
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        v = F.col(c).cast("double")
+        # bucket = #boundaries <= v; NULL comparisons yield false → 0
+        ranks.append(
+            F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(v >= b, 1).otherwise(0),
+            )
+        )
+    x, y = (r.cast("long") for r in ranks)
+    one = F.lit(1).cast("long")
+    # Column.bitwiseOR/AND: Python's &/| on Columns are BOOLEAN ops
+    z = F.lit(0).cast("long")
+    for i in range(bits):  # statically unrolled interleave
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(one), 2 * i + 1))
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_by: tuple[str, str],
+    *,
+    num_files: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink clustered on a Z-ORDER of two columns — the
+    multi-dimensional completion of :func:`write_clustered_parquet`.
+
+    Linear clustering gives tight per-file min/max on ONE key and the
+    full value range on every other; z-ordering makes each file a
+    small rectangle in (a, b) space, so footer-stats skipping works
+    for predicates on EITHER dimension (the Delta/Iceberg ``OPTIMIZE
+    ZORDER BY`` layout, expressed with stock Spark: quantile-rank →
+    bit-interleave → range-repartition → in-file sort). At 100 TB the
+    cost is one approxQuantile pass plus the same shuffle the linear
+    cluster writer already pays; the win is every ad-hoc query that
+    filters on the second dimension."""
+    z = zorder_value(df, zorder_by, bits=bits).alias("_z")
+    out = df.withColumn("_z", z).repartitionByRange(num_files, "_z")
+    (
+        out.sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     df: DataFrame,
     path: str,

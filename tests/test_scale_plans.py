@@ -239,3 +239,119 @@ def test_salted_join_correct_under_adversarial_hot_key(spark):
     assert len(hot) == N_SALTS
     counts = [r["count"] for r in hot]
     assert max(counts) < 2 * min(counts), counts
+
+
+def _file_dim_ranges(out_dir: str, col_name: str) -> list[tuple]:
+    """Per-file (min, max) of ``col_name`` read straight from the
+    parquet footers — what a stats-based reader skips on."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in os.listdir(out_dir):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out_dir, f)).metadata
+        if md.num_rows == 0:
+            continue
+        col = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == col_name
+        )
+        mins = [
+            md.row_group(g).column(col).statistics.min for g in range(md.num_row_groups)
+        ]
+        maxs = [
+            md.row_group(g).column(col).statistics.max for g in range(md.num_row_groups)
+        ]
+        ranges.append((min(mins), max(maxs)))
+    return ranges
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """write_zordered_parquet must make every file a small rectangle in
+    (user_id, value) space: mean per-file footer coverage well under the
+    full range on BOTH dimensions — whereas linear clustering on user_id
+    leaves the value dimension unskippable (full-range footers)."""
+    from multithreaded_mapreduce_spark.sinks import (
+        write_clustered_parquet,
+        write_zordered_parquet,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zdir = os.path.join(str(tmp_path), "events_zorder")
+    ldir = os.path.join(str(tmp_path), "events_linear")
+    write_zordered_parquet(events, zdir, ("user_id", "value"), num_files=16)
+    write_clustered_parquet(events, ldir, ("user_id",), num_files=16)
+
+    lo_u, hi_u, lo_v, hi_v = events.select(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+
+    def mean_coverage(out_dir: str, col: str, lo, hi) -> float:
+        spans = [
+            (mx - mn) / (hi - lo) for mn, mx in _file_dim_ranges(out_dir, col)
+        ]
+        assert len(spans) >= 6  # the z-range partitioner actually split
+        return sum(spans) / len(spans)
+
+    z_u = mean_coverage(zdir, "user_id", lo_u, hi_u)
+    z_v = mean_coverage(zdir, "value", lo_v, hi_v)
+    l_u = mean_coverage(ldir, "user_id", lo_u, hi_u)
+    l_v = mean_coverage(ldir, "value", lo_v, hi_v)
+
+    # z-order: BOTH dimensions skippable (small rectangles)
+    assert z_u < 0.6, f"user_id coverage {z_u}"
+    assert z_v < 0.6, f"value coverage {z_v}"
+    # linear clustering: tight on the cluster key, wide on the other
+    # (62-row files under-sample the tails, so "wide" is ~0.7, not 1.0)
+    assert l_u < 0.3
+    assert l_v > 0.55
+    # and z-order strictly beats linear on the non-cluster dimension
+    assert z_v < l_v * 0.6, f"z={z_v} linear={l_v}"
+
+    # layout is transparent to readers: same rows come back
+    back = spark.read.parquet(zdir)
+    assert back.count() == events.count()
+    assert sorted(map(tuple, back.select("event_id").collect())) == sorted(
+        map(tuple, events.select("event_id").collect())
+    )
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
+    """When a shuffle join's build side carries a selective filter,
+    Spark's runtime row-level filtering must inject a bloom filter on
+    the probe side (`might_contain` in the final plan) — at 100 TB this
+    prunes the fact scan's shuffle input before the exchange, which is
+    the whole cost of a selective fact⋈dim join that outgrew broadcast.
+    Thresholds are lowered because the testdata is tiny; production
+    defaults (10 MB creation / 10 GB application side) fire on real
+    volumes."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = _plan(joined)
+        assert "might_contain" in plan.lower(), plan
+        assert joined.count() == 1  # and it still computes
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
