@@ -102,3 +102,90 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token_a", "token_b", "c_ab", "c_a", "c_b", _snap6(pmi).alias("pmi"))
         .orderBy("token_a", "token_b")
     )
+
+
+MIN_PAIR_ORDERS = 20
+
+
+@register(
+    "brand_basket_lift",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), marg AS (
+  SELECT p_brand, count(*) AS c FROM baskets GROUP BY p_brand
+), n AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS c_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, p.c_ab, ma.c AS c_a, mb.c AS c_b,
+       CAST(round(CAST(CAST(p.c_ab AS DOUBLE) / n.n_orders
+                       AS DECIMAL(30,12)), 6) AS DOUBLE) AS support,
+       CAST(round(CAST((CAST(p.c_ab AS DOUBLE) * n.n_orders) / (ma.c * mb.c)
+                       AS DECIMAL(30,12)), 6) AS DOUBLE) AS lift
+FROM pairs p
+JOIN marg ma ON p.brand_a = ma.p_brand
+JOIN marg mb ON p.brand_b = mb.p_brand
+CROSS JOIN n
+WHERE p.c_ab >= {MIN_PAIR_ORDERS}
+ORDER BY brand_a, brand_b
+""",
+    description="Market-basket association over orders: for every "
+    "unordered brand pair co-purchased in ≥20 orders, its support and "
+    "lift (observed co-purchase rate over the independence prediction). "
+    "The pair aggregate is brand-bounded (≤|brands|²/2 rows out "
+    "regardless of order count); marginals and the basket count are "
+    "broadcast; support/lift are identical IEEE expressions in both "
+    "engines, snapped to 6 decimals.",
+    tags=("analytics", "association", "basket", "join"),
+)
+def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-level market-basket lift — the order-basket twin of
+    :func:`token_cooccurrence_pmi`.
+
+    Scale notes: the per-basket self-join's fan-out is basket-size-
+    bounded (an order holds ≤7 lineitems in this schema; real baskets
+    are human-bounded) — the shuffle is keyed on the order key, so AQE
+    splits any hot key and the output aggregate folds to the tiny
+    brand-pair space map-side. The part dimension joins in broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    marg = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    n = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    a = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, (a["l_orderkey"] == b["ok_b"]) & (a["brand_a"] < b["brand_b"]))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= MIN_PAIR_ORDERS)
+    )
+    ma = marg.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("c_a"))
+    mb = marg.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("c_b"))
+    support = F.col("c_ab").cast("double") / F.col("n_orders")
+    lift = (F.col("c_ab").cast("double") * F.col("n_orders")) / (
+        F.col("c_a") * F.col("c_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a", "brand_b", "c_ab", "c_a", "c_b",
+            _snap6(support).alias("support"),
+            _snap6(lift).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

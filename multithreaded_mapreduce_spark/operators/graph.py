@@ -37,8 +37,8 @@ N_ITER = 10
 DEC25 = "decimal(38,25)"
 
 
-def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected co-occurrence edges (both directions materialized)
+def cooccurrence_half_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-ordered (``src < dst``) undirected co-occurrence edges
     between tokens appearing in the same document, weighted by the
     number of such documents."""
     docs = load_table(spark, sf_dir, "documents")
@@ -52,11 +52,16 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     a = toks.select("doc_id", F.col("token").alias("src"))
     b = toks.select(F.col("doc_id").alias("d2"), F.col("token").alias("dst"))
-    half = (
+    return (
         a.join(b, (a["doc_id"] == b["d2"]) & (a["src"] < b["dst"]))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-occurrence edges (both directions materialized)."""
+    half = cooccurrence_half_edges(spark, sf_dir)
     return half.unionByName(
         half.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
@@ -182,3 +187,134 @@ def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "token", F.round(F.col("rank").cast("decimal(30,12)"), 9).cast("double").alias("rank")
     ).orderBy(F.desc("rank"), "token")
+
+
+# --------------------------------------------------------------------------
+# triangle counting / local clustering coefficient (degree-ordered)
+# --------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(
+    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0))) AS token
+  FROM documents
+), half AS (
+  SELECT a.token AS src, b.token AS dst
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+), deg AS (
+  SELECT token, count(*) AS degree FROM (
+    SELECT src AS token FROM half UNION ALL SELECT dst AS token FROM half
+  ) GROUP BY token
+), oriented AS (
+  -- orient every edge from the lower-(degree, name) endpoint to the
+  -- higher one; src < dst by name already, so a degree tie keeps src
+  SELECT CASE WHEN ds.degree <= dd.degree THEN h.src ELSE h.dst END AS u,
+         CASE WHEN ds.degree <= dd.degree THEN h.dst ELSE h.src END AS v
+  FROM half h
+  JOIN deg ds ON h.src = ds.token
+  JOIN deg dd ON h.dst = dd.token
+), tri AS (
+  -- each triangle has exactly one vertex with BOTH out-edges (the
+  -- (degree, name)-minimum); v < w picks the wedge once; the closing
+  -- edge is looked up in the name-ordered half table
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN half h ON h.src = e1.v AND h.dst = e2.v
+), per_node AS (
+  SELECT token, count(*) AS triangles FROM (
+    SELECT a AS token FROM tri
+    UNION ALL SELECT b AS token FROM tri
+    UNION ALL SELECT c AS token FROM tri
+  ) GROUP BY token
+)
+SELECT d.token, d.degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2 THEN
+         CAST(round(CAST(
+           (CAST(2 AS DOUBLE) * COALESCE(p.triangles, 0))
+           / (d.degree * (d.degree - 1))
+         AS DECIMAL(30,12)), 6) AS DOUBLE)
+       ELSE CAST(0 AS DOUBLE) END AS clustering
+FROM deg d LEFT JOIN per_node p ON d.token = p.token
+ORDER BY triangles DESC, d.token
+"""
+
+
+@register(
+    "token_triangle_counts",
+    oracle=_TRIANGLE_ORACLE,
+    description="Per-token triangle count and local clustering "
+    "coefficient over the co-occurrence graph, via degree-ordered "
+    "edge orientation: every edge points from its lower-(degree, name) "
+    "endpoint to the higher, so each triangle is found exactly once at "
+    "its minimum vertex and the wedge join's fan-out per node is the "
+    "ORIENTED out-degree — O(√m) on any graph — instead of the raw "
+    "degree. Hot boilerplate tokens (the skew risk) have high degree, "
+    "therefore mostly IN-edges, therefore near-zero wedge fan-out.",
+    tags=("graph", "triangles", "clustering-coefficient", "join"),
+)
+def token_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the token co-occurrence graph.
+
+    Scale notes: the naive wedge join (each node pairs its full
+    neighbor list) is quadratic in the hottest degree — a boilerplate
+    token in every document yields |vocab|² wedges. Degree-ordered
+    orientation is the standard fix (classic MapReduce triangle
+    counting): after orienting edges low→high, every node's out-degree
+    is ≤ O(√m), so Σ outdeg² — the wedge join's total fan-out — is
+    bounded by O(m^1.5) regardless of skew. Both the wedge self-join
+    (on u) and the closing-edge lookup (on (v, w)) are plain equi-join
+    shuffles; nothing is broadcast-sized except the degree table,
+    which Spark handles via its own stats."""
+    half = cooccurrence_half_edges(spark, sf_dir).select("src", "dst").persist()
+    deg = (
+        half.select(F.col("src").alias("token"))
+        .unionAll(half.select(F.col("dst").alias("token")))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ds = deg.select(F.col("token").alias("src"), F.col("degree").alias("_ds"))
+    dd = deg.select(F.col("token").alias("dst"), F.col("degree").alias("_dd"))
+    keep = F.col("_ds") <= F.col("_dd")  # src < dst by name breaks ties
+    oriented = (
+        half.join(ds, "src")
+        .join(dd, "dst")
+        .select(
+            F.when(keep, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(keep, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")))
+        .join(
+            half,
+            (F.col("src") == F.col("e1.v")) & (F.col("dst") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0).cast("long"))
+    d = F.col("degree")
+    clustering = F.when(
+        d >= 2,
+        F.round(
+            ((F.lit(2).cast("double") * t) / (d * (d - 1))).cast("decimal(30,12)"),
+            6,
+        ).cast("double"),
+    ).otherwise(F.lit(0).cast("double"))
+    return (
+        deg.join(per_node, "token", "left")
+        .select("token", "degree", t.alias("triangles"), clustering.alias("clustering"))
+        .orderBy(F.desc("triangles"), "token")
+    )
