@@ -12,6 +12,7 @@ Usage::
     python -m multithreaded_mapreduce_spark count-file input.txt
     python -m multithreaded_mapreduce_spark count-manual  # stdin until END
     python -m multithreaded_mapreduce_spark run q1_pricing_summary [sf_dir]
+    python -m multithreaded_mapreduce_spark explain q1_pricing_summary [sf_dir]
     python -m multithreaded_mapreduce_spark list
 """
 
@@ -47,6 +48,19 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("name")
     p_run.add_argument("sf_dir", nargs="?", default=DEFAULT_SF_DIR)
     p_run.add_argument("--rows", type=int, default=20, help="rows to display")
+
+    p_explain = sub.add_parser(
+        "explain",
+        help="print a registered query's physical plan and shuffle count "
+        "without executing it",
+    )
+    p_explain.add_argument("name")
+    p_explain.add_argument("sf_dir", nargs="?", default=DEFAULT_SF_DIR)
+    p_explain.add_argument(
+        "--mode",
+        default="formatted",
+        choices=("simple", "extended", "formatted", "cost", "codegen"),
+    )
 
     sub.add_parser("list", help="list registered queries")
 
@@ -106,6 +120,28 @@ def main(argv: list[str] | None = None) -> int:
             )
             for line in format_console(word_count(lines_df)):
                 print(line)
+        elif args.cmd == "explain":
+            if args.name not in queries:
+                print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+                return 2
+            df = queries[args.name].builder(spark, args.sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    args.mode
+                )
+            )
+            print(plan)
+            # formatted mode prints each operator once as "(N) Op"; other
+            # modes print tree nodes like "+- Exchange hashpartitioning(...)"
+            import re as _re
+
+            n_bcast = len(_re.findall(r"^\(\d+\) BroadcastExchange\b", plan, _re.M))
+            n_exchanges = len(_re.findall(r"^\(\d+\) Exchange\b", plan, _re.M))
+            if n_exchanges == 0 and n_bcast == 0:  # non-formatted modes
+                n_bcast = len(_re.findall(r"[+:]- BroadcastExchange\b", plan))
+                n_exchanges = len(_re.findall(r"[+:]- Exchange\b", plan))
+            print(f"-- shuffles (hash/range exchanges): {n_exchanges}")
+            print(f"-- broadcast exchanges: {n_bcast}")
         else:
             if args.name not in queries:
                 print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)

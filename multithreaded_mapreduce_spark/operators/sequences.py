@@ -110,3 +110,84 @@ def user_purchase_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "user_active_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), anch AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, anchor, count(*) AS len,
+         min(day) AS streak_start, max(day) AS streak_end
+  FROM anch GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS active_days,
+       min(streak_start) AS first_active,
+       max(streak_end) AS last_active
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+""",
+    description="Gaps-and-islands: each user's maximal runs of "
+    "consecutive active calendar days, via the row_number-difference "
+    "trick (day minus per-user day rank is constant within a run). "
+    "ONE data shuffle end-to-end: an explicit repartition on user_id "
+    "satisfies the clustered-distribution requirement of every "
+    "downstream stage — the (user, day) distinct, the window, and "
+    "both aggregates; the only other exchange is the final "
+    "result-ordering range sort.",
+    tags=("events", "sequence", "islands", "window"),
+)
+def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-day activity streak statistics.
+
+    Scale notes: the classic islands formulation needs no self-join —
+    one window pass over (user, day) distinct rows assigns each run a
+    constant anchor date (``day - row_number()``), after which runs
+    are a plain aggregate. The whole pipeline reuses a SINGLE
+    partitioning: hash(user_id) satisfies ClusteredDistribution for
+    the (user_id, day) dedup, the user_id window, the (user_id,
+    anchor) run aggregate, and the final per-user rollup — written
+    naively each stage re-shuffles on its own key (one hash exchange
+    + the output range sort, plan-asserted in
+    tests/test_scale_plans.py). Per-user day counts are calendar-bounded
+    (≤ days in the dataset's span), so no user can skew a partition
+    beyond ~10³ rows per year of data."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    days = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .repartition("user_id")
+        .dropDuplicates(["user_id", "day"])
+    )
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    anch = days.select("user_id", "day", F.date_sub("day", rn).alias("anchor"))
+    streaks = anch.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+            F.sum("len").alias("active_days"),
+            F.min("streak_start").alias("first_active"),
+            F.max("streak_end").alias("last_active"),
+        )
+        .orderBy("user_id")
+    )

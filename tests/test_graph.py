@@ -63,3 +63,33 @@ def test_rolling_median_is_robust_center(spark, sf_dir):
     rows = Q["events_rolling_median"].builder(spark, sf_dir).limit(500).collect()
     for r in rows:
         assert r.roll_median is not None
+
+
+def test_triangle_counts_match_bruteforce(spark, sf_dir):
+    """Independent check of the degree-ordered triangle census: a
+    Python brute force over all vertex triples of the (tiny at
+    sf0.001) co-occurrence graph."""
+    from itertools import combinations
+
+    edges = cooccurrence_edges(spark, sf_dir).collect()  # symmetric
+    adj: dict[str, set[str]] = {}
+    for r in edges:
+        adj.setdefault(r.src, set()).add(r.dst)
+    tokens = sorted(adj)
+    tri = dict.fromkeys(tokens, 0)
+    for u, v, w in combinations(tokens, 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for x in (u, v, w):
+                tri[x] += 1
+
+    got = {
+        r.token: (r.degree, r.triangles, r.clustering)
+        for r in Q["token_triangle_counts"].builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(tokens)
+    for t in tokens:
+        d = len(adj[t])
+        assert got[t][0] == d, (t, "degree")
+        assert got[t][1] == tri[t], (t, "triangles")
+        expect = 2 * tri[t] / (d * (d - 1)) if d >= 2 else 0.0
+        assert math.isclose(got[t][2], expect, abs_tol=5e-7), (t, "clustering")

@@ -355,3 +355,12 @@ def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_active_streaks_reuses_one_partitioning(spark, sf_dir):
+    """user_active_streaks pins hash(user_id) up front; every later
+    stage's clustered-distribution requirement is satisfied by it, so
+    the plan has exactly one hash exchange (plus the output sort)."""
+    plan = _plan(Q["user_active_streaks"].builder(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
