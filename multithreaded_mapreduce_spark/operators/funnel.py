@@ -5,11 +5,16 @@ The reference has no users, time, or sequences (its input is a bag of
 words — SURVEY.md §1.1); these are the event-analytics staples a
 product events table exists for.
 
-Scale notes: the funnel is a chain of per-user MIN aggregates, each a
-map-side-combinable groupBy on user_id — every stage reduces to one
-row per surviving user before the next join, and all three stage
-tables share the user_id partitioning so AQE coalesces the joins onto
-one exchange. Cohort retention shuffles events once by user_id (first
+Scale notes: the funnel is computed in ONE pass — a single scan of
+events, one hash(user_id) exchange, three stacked whole-partition
+window expressions (each stage's first-qualifying-timestamp condition
+references the previous stage's window output), then a per-user
+collapse and a scalar count. The naive formulation (each stage a
+groupBy joined to the previous stage, stage counts unioned) plans 24
+parquet scans and 10 exchanges of the same table because column
+pruning defeats ReuseExchange across the branches — measured here
+before the rewrite, and the reason the one-pass shape is the 100 TB
+design. Cohort retention shuffles events once by user_id (first
 touch), once by (cohort, offset) — both partial-aggregated; the cohort
 size table is |weeks| rows and broadcasts.
 """
@@ -50,60 +55,104 @@ FROM s ORDER BY stage_no
 """,
     description="Ordered 3-stage funnel (view → click → purchase): a "
     "user converts a stage only with an event strictly after their "
-    "previous stage's first event. Each stage is a per-user MIN "
-    "aggregate joined to the previous stage — map-side combinable, one "
-    "row per surviving user, all stages co-partitioned on user_id.",
+    "previous stage's first event. One scan, one hash(user_id) "
+    "exchange: stage timestamps are stacked whole-partition window "
+    "mins (each condition referencing the previous stage's column), "
+    "collapsed per user and counted — the join-chain formulation this "
+    "replaces re-scanned events 24 times (see module docstring).",
     tags=("events", "funnel", "behavior"),
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    """One-pass funnel. Semantics mirror the oracle's join chain
+    exactly, including its NULL edges: a NULL-user_id group counts in
+    stage 1 (GROUP BY keeps the NULL group) but can never convert
+    (the oracle's equi-join drops NULL keys), hence the isNotNull
+    guard on t2; a stage-1 user whose views all have NULL ts stays a
+    stage-1 member (the oracle's v row exists, count(*) counts it)
+    but never converts (NULL t1 fails every ts > t1), hence hv
+    tracking membership separately from t1."""
+    from pyspark.sql import Window as W
 
-    def first_after(etype: str, prev: DataFrame, prev_ts: str, out: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .join(prev, "user_id")
-            .filter(F.col("ts") > F.col(prev_ts))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out))
-        )
-
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    # only the three funnel types participate in any stage condition —
+    # the IN filter pushes to the parquet scan and shrinks the window
+    # input before the one exchange
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
     )
-    c = first_after("click", v, "t1", "t2")
-    p = first_after("purchase", c, "t2", "t3")
-
-    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(no).alias("stage_no"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("users"),
-        )
-
-    stages = stage(1, "view", v).unionByName(stage(2, "click", c)).unionByName(
-        stage(3, "purchase", p)
+    w = W.partitionBy("user_id")
+    is_view = F.col("event_type") == "view"
+    user_nn = F.col("user_id").isNotNull()
+    d1 = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(is_view, F.col("ts"))).over(w).alias("t1"),
+        F.max(F.when(is_view, F.lit(1))).over(w).alias("hv"),
     )
-    # Scalar aggregate + broadcast, not an unpartitioned window: the
-    # global max is computed by a parallel partial+final agg and joined
-    # back as a 1-row broadcast, so no stage ever single-partitions.
-    top = F.broadcast(stages.agg(F.max("users").alias("top_users")))
-    return (
-        stages.crossJoin(top)
-        .select(
-            "stage_no",
-            "stage",
-            "users",
-            # nullif: an empty funnel (top stage = 0 users) yields NULL
-            # conversion rates in both engines instead of an ANSI
-            # divide-by-zero error
-            _snap6(
-                F.col("users").cast("double") / F.nullif(F.col("top_users"), F.lit(0))
-            ).alias("conv_from_first"),
-        )
-        .orderBy("stage_no")
+    d2 = d1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & user_nn & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
+    d3 = d2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = d3.groupBy("user_id").agg(
+        F.max("hv").alias("hv"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count(F.when(F.col("hv") == 1, F.lit(1))).alias("u1"),
+        F.count("t2").alias("u2"),
+        F.count("t3").alias("u3"),
+    )
+    # u1 >= u2 >= u3 by construction, but the oracle divides by
+    # max-over-stages, so say exactly that
+    top = F.greatest("u1", "u2", "u3")
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_no"),
+                    F.lit("view").alias("stage"),
+                    F.col("u1").alias("users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_no"),
+                    F.lit("click").alias("stage"),
+                    F.col("u2").alias("users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_no"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("u3").alias("users"),
+                ),
+            )
+        ).alias("s"),
+        top.alias("top_users"),
+    )
+    return stages.select(
+        F.col("s.stage_no").alias("stage_no"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.users").alias("users"),
+        # nullif: an empty funnel (top stage = 0 users) yields NULL
+        # conversion rates in both engines instead of an ANSI
+        # divide-by-zero error
+        _snap6(
+            F.col("s.users").cast("double") / F.nullif(F.col("top_users"), F.lit(0))
+        ).alias("conv_from_first"),
+    ).orderBy("stage_no")
 
 
 @register(
