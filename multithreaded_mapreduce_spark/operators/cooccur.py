@@ -155,12 +155,16 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand-pair space map-side. The part dimension joins in broadcast."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # baskets feeds four branches (marginals, the basket count, both
+    # self-join sides) and marg two — persist both so the fact scan and
+    # the distinct run once, not per branch
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .persist()
     )
-    marg = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    marg = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c")).persist()
     n = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     a = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
     b = baskets.select(

@@ -268,12 +268,19 @@ def token_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (on u) and the closing-edge lookup (on (v, w)) are plain equi-join
     shuffles; nothing is broadcast-sized except the degree table,
     which Spark handles via its own stats."""
+    # persist all three shared relations: half feeds the degree count,
+    # the orientation join, and the closing-edge lookup; deg feeds the
+    # orientation (both sides) and the final join; oriented self-joins.
+    # Without the persists the plan recomputes the edge derivation per
+    # branch — 26 parquet scans / 53 exchanges, measured (the same
+    # ReuseExchange-defeated-by-pruning pathology the funnel had).
     half = cooccurrence_half_edges(spark, sf_dir).select("src", "dst").persist()
     deg = (
         half.select(F.col("src").alias("token"))
         .unionAll(half.select(F.col("dst").alias("token")))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
     )
     ds = deg.select(F.col("token").alias("src"), F.col("degree").alias("_ds"))
     dd = deg.select(F.col("token").alias("dst"), F.col("degree").alias("_dd"))
@@ -285,6 +292,7 @@ def token_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(keep, F.col("src")).otherwise(F.col("dst")).alias("u"),
             F.when(keep, F.col("dst")).otherwise(F.col("src")).alias("v"),
         )
+        .persist()
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     tri = (
