@@ -78,6 +78,10 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token"),
         )
         .distinct()
+        # four branches (marginals, doc count, both pair-join sides)
+        # consume this; unpersisted, each re-runs the scan + explode +
+        # distinct shuffle (4 extra exchanges, measured in the plan sweep)
+        .persist()
     )
     marg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     n = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
