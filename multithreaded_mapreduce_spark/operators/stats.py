@@ -153,3 +153,98 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# exact per-group quantiles via distributed rank selection
+# --------------------------------------------------------------------------
+
+N_RANK_CHUNKS = 32
+
+
+@register(
+    "part_price_deciles_exact",
+    oracle="""
+WITH ranked AS (
+  SELECT p_brand, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS rn,
+         count(*)     OVER (PARTITION BY p_brand) AS n
+  FROM part WHERE p_retailprice IS NOT NULL
+), deciles AS (
+  SELECT unnest([1,2,3,4,5,6,7,8,9]) AS decile
+)
+SELECT r.p_brand, d.decile, r.p_retailprice AS price
+FROM ranked r
+JOIN deciles d ON r.rn = greatest(1, (d.decile * r.n + 9) // 10)
+ORDER BY p_brand, decile
+""",
+    description="EXACT per-brand price deciles by distributed "
+    "rank selection: global per-group ranks are assembled from a range "
+    "partitioning on (group, value) plus a two-level prefix sum of "
+    "per-chunk counts — no per-group single-task window, no sketch "
+    "approximation. The rank-to-decile mapping is pure integer "
+    "arithmetic ((d·n+9) div 10), identical in both engines.",
+    tags=("aggregate", "percentile", "exact", "scale-pattern", "prefix-sum"),
+)
+def part_price_deciles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles without a per-group global sort task.
+
+    Scale notes: the textbook window (``row_number() OVER (PARTITION
+    BY group ORDER BY value)``) caps parallelism at |groups| — 25
+    brands means 25 tasks sorting 4% of the table each. This
+    builder instead:
+
+    1. range-partitions on (group, value) into N_RANK_CHUNKS chunks —
+       within a group, chunk ids ascend with value;
+    2. local ``row_number`` per (chunk, group) — parallelism is
+       chunks × groups;
+    3. prefix-sums the tiny per-(chunk, group) count relation with a
+       window over the CHUNK ID (|chunks × groups| rows, trivially
+       small) and broadcasts it back: global rank = chunk offset +
+       local rank.
+
+    Same two-level prefix-sum pattern as ``pack_training_sequences``
+    (pipeline_prep.py) — the general answer whenever a global
+    per-group order is needed at scale. Rank ties (equal prices) land
+    arbitrarily but select the same VALUE, so results are engine- and
+    partitioning-independent."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .select("p_brand", "p_retailprice")
+        .filter(F.col("p_retailprice").isNotNull())
+    )
+    from pyspark.sql import Window as W
+
+    chunked = part.repartitionByRange(
+        N_RANK_CHUNKS, "p_brand", "p_retailprice"
+    ).withColumn("chunk", F.spark_partition_id())
+    # local ranks within (chunk, group): chunks × groups concurrent sorts
+    wl = W.partitionBy("chunk", "p_brand").orderBy("p_retailprice")
+    local = chunked.withColumn("lrn", F.row_number().over(wl))
+    # per-(chunk, group) counts → running offsets; this relation is
+    # |chunks × groups| rows, so the single-partition window is free
+    counts = chunked.groupBy("chunk", "p_brand").agg(F.count(F.lit(1)).alias("c"))
+    wo = W.partitionBy("p_brand").orderBy("chunk")
+    offsets = counts.select(
+        "chunk",
+        "p_brand",
+        (F.sum("c").over(wo) - F.col("c")).alias("offset"),
+        F.sum("c").over(W.partitionBy("p_brand")).alias("n"),
+    )
+    ranked = local.join(F.broadcast(offsets), ["chunk", "p_brand"]).select(
+        "p_brand",
+        "p_retailprice",
+        (F.col("offset") + F.col("lrn")).alias("rn"),
+        "n",
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    # `div` is INTEGER division — (d·n+9)/10 through doubles would lose
+    # exactness once n approaches 2^53
+    target = F.greatest(
+        F.lit(1).cast("long"), F.expr("(decile * n + 9) div 10")
+    )
+    return (
+        ranked.join(F.broadcast(deciles), F.col("rn") == target)
+        .select("p_brand", "decile", F.col("p_retailprice").alias("price"))
+        .orderBy("p_brand", "decile")
+    )
