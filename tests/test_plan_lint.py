@@ -79,3 +79,35 @@ def test_no_heavy_expression_pushed_into_scan(spark, sf_dir, name):
                     f"{name}: heavy expression {bad!r} pushed into FileScan — "
                     "filter on the raw column instead (see dedup_jaccard_pairs)"
                 )
+
+
+def test_shared_relations_are_cached_or_single_pass(spark, sf_dir):
+    """Regression guard for the branch-recomputation pathology
+    (scripts/plan_audit.py): queries whose shared derived relation is
+    consumed by several branches must either persist it (the branches
+    show InMemoryTableScan) or be written as one pass. The funnel
+    planned 24 parquet scans before its one-pass rewrite; triangles,
+    PMI, and basket lift re-derived their edge/token/basket relations
+    per branch before their persists."""
+    from multithreaded_mapreduce_spark.plans.registry import all_queries
+
+    qs = all_queries()
+
+    def counts(name):
+        df = qs[name].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        return plan.count("FileScan"), plan.count("InMemoryTableScan")
+
+    scans, cache = counts("funnel_view_click_purchase")
+    assert scans <= 2 and cache == 0, (scans, cache)  # one-pass, no persist needed
+    for name in (
+        "token_triangle_counts",
+        "token_cooccurrence_pmi",
+        "brand_basket_lift",
+    ):
+        scans, cache = counts(name)
+        assert cache >= 2, f"{name}: shared relation no longer persisted"
