@@ -206,3 +206,115 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_token_logprob"),
     ).orderBy("doc_id")
+
+
+#: CCNet-style bucketing: per-language LM-score terciles assign each
+#: document to head / middle / tail (Wenzek et al., "CCNet: Extracting
+#: High Quality Monolingual Datasets from Web Crawl Data", 2020 — the
+#: standard recipe for perplexity-stratified corpus curation). The
+#: tercile positions as IEEE doubles, shared verbatim with the oracle.
+TERCILE_1 = 1 / 3
+TERCILE_2 = 2 / 3
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {_sql_tokens()} AS ts FROM documents
+), tok AS (
+  SELECT doc_id, lang, unnest(ts) AS token FROM t
+), v AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), tot AS (
+  SELECT sum(c) AS total FROM v
+), scored AS (
+  SELECT tok.doc_id, tok.lang,
+         CAST(round(CAST(
+           sum(ln(CAST(v.c AS DOUBLE) / tot.total)) / count(*)
+         AS DECIMAL(30,12)), 6) AS DOUBLE) AS score
+  FROM tok JOIN v USING (token) CROSS JOIN tot
+  GROUP BY tok.doc_id, tok.lang
+), cuts AS (
+  SELECT lang,
+         CAST(round(CAST(quantile_cont(score, {TERCILE_1!r}) AS DECIMAL(30,12)), 4)
+              AS DOUBLE) AS t1,
+         CAST(round(CAST(quantile_cont(score, {TERCILE_2!r}) AS DECIMAL(30,12)), 4)
+              AS DOUBLE) AS t2
+  FROM scored GROUP BY lang
+)
+SELECT s.lang,
+       CASE WHEN s.score >= c.t2 THEN 'head'
+            WHEN s.score >= c.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       CAST(round(CAST(avg(s.score) AS DECIMAL(30,12)), 4) AS DOUBLE) AS avg_score
+FROM scored s JOIN cuts c USING (lang)
+GROUP BY s.lang, bucket
+ORDER BY lang, bucket
+""",
+    description="CCNet-style corpus stratification: score every document "
+    "under the corpus unigram LM (mean token ln-probability), cut each "
+    "language's score distribution at its own terciles, and report "
+    "head / middle / tail membership counts per language. The adaptive "
+    "per-language threshold is the point — an absolute score gate "
+    "misclassifies whole languages whose LM is better or worse fit. "
+    "Two-pass shape: the scoring pass shuffles tokens into per-doc "
+    "means once; the tercile relation is |langs| rows, broadcast back "
+    "onto the persisted per-doc scores. Scores and cuts snap to fixed "
+    "decimals in BOTH engines so the bucket decision is deterministic "
+    "cross-engine (no raw-double boundary comparisons).",
+    tags=("text", "quality", "lm", "pipeline", "percentile"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # the exploded token stream feeds both the vocabulary aggregate and
+    # the scoring join; it is NOT persisted on purpose — at 100 TB the
+    # token stream dwarfs memory, and re-running a columnar scan +
+    # explode is cheaper than caching it (same call as
+    # unigram_logprob_scores above)
+    tok = docs.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+    v = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = v.agg(F.sum("c").alias("total"))
+    vocab = F.broadcast(v.crossJoin(F.broadcast(tot)))
+    scored = (
+        tok.join(vocab, "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.log(F.col("c").cast("double") / F.col("total"))).alias("lp"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round((F.col("lp") / F.col("n")).cast("decimal(30,12)"), 6)
+            .cast("double")
+            .alias("score"),
+        )
+        # one row per document; consumed by the tercile aggregate AND
+        # the bucket assignment — persist or the whole scoring join
+        # (the expensive pass) runs twice
+        .persist()
+    )
+
+    def snap4(c):
+        return F.round(c.cast("decimal(30,12)"), 4).cast("double")
+
+    cuts = scored.groupBy("lang").agg(
+        snap4(F.percentile("score", F.lit(TERCILE_1))).alias("t1"),
+        snap4(F.percentile("score", F.lit(TERCILE_2))).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("score") >= F.col("t2"), "head")
+        .when(F.col("score") >= F.col("t1"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            snap4(F.avg("score")).alias("avg_score"),
+        )
+        .orderBy("lang", "bucket")
+    )

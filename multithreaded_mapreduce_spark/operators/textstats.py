@@ -427,3 +427,92 @@ def pii_pattern_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Zipf fit window: rank-frequency regression runs over the top-K
+#: vocabulary only (the head is where Zipf's law binds; the long tail
+#: of hapaxes flattens any fit and costs a full-vocab sort).
+ZIPF_TOP_K = 500
+
+
+@register(
+    "zipf_vocab_fit",
+    oracle=f"""
+WITH t AS (
+  SELECT {_sql_tokens()} AS ts FROM documents
+), tok AS (
+  SELECT unnest(ts) AS token FROM t
+), v AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), w AS (
+  SELECT token, c FROM v ORDER BY c DESC, token LIMIT {ZIPF_TOP_K}
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r FROM w
+), fit AS (
+  SELECT count(*) AS k_used,
+         CAST(round(CAST(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE)))
+              AS DECIMAL(30,12)), 4) AS DOUBLE) AS zipf_slope,
+         CAST(round(CAST(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE)))
+              AS DECIMAL(30,12)), 4) AS DOUBLE) AS zipf_intercept,
+         CAST(round(CAST(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE)))
+              AS DECIMAL(30,12)), 4) AS DOUBLE) AS fit_r2
+  FROM ranked
+), corpus AS (
+  SELECT count(*) AS vocab_size, CAST(sum(c) AS BIGINT) AS total_tokens FROM v
+)
+SELECT corpus.vocab_size, corpus.total_tokens, fit.k_used,
+       fit.zipf_slope, fit.zipf_intercept, fit.fit_r2
+FROM fit CROSS JOIN corpus
+""",
+    description="Corpus vocabulary profile: Zipf's-law fit over the "
+    "top-K token frequencies — OLS slope / intercept / R² of "
+    "ln(frequency) on ln(rank) — plus vocabulary size and total token "
+    "count. A natural corpus fits slope ≈ −1; synthetic or heavily "
+    "deduplicated text departs visibly, so the fit is a cheap whole-"
+    "corpus health check. The token shuffle aggregates to the "
+    "vocabulary once (persisted: the fit and the corpus totals both "
+    "consume it); the rank window runs on K rows via "
+    "TakeOrderedAndProject, never a full-vocab global sort.",
+    tags=("text", "corpus", "stats", "pipeline"),
+)
+def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(_tokens()).alias("token"))
+    # vocabulary feeds two branches (top-K fit + corpus totals);
+    # persist so the token-stream shuffle runs once. |vocab| is
+    # MB-scale even at 100 TB corpus size (same argument as the
+    # unigram-LM broadcast in quality_repetition.py).
+    v = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    # top-K via orderBy+limit → TakeOrderedAndProject: each partition
+    # keeps its local K, the driver merges K·partitions rows — no
+    # global sort. The rank window then runs on K rows (single task
+    # by construction, which is exactly right for K=500).
+    w = v.orderBy(F.desc("c"), "token").limit(ZIPF_TOP_K)
+    ranked = w.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("token")))
+        .alias("r"),
+    )
+    ln_c = F.log(F.col("c").cast("double"))
+    ln_r = F.log(F.col("r").cast("double"))
+
+    def snap4(c):
+        return F.round(c.cast("decimal(30,12)"), 4).cast("double")
+
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        snap4(F.regr_slope(ln_c, ln_r)).alias("zipf_slope"),
+        snap4(F.regr_intercept(ln_c, ln_r)).alias("zipf_intercept"),
+        snap4(F.regr_r2(ln_c, ln_r)).alias("fit_r2"),
+    )
+    corpus = v.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("total_tokens"),
+    )
+    return fit.crossJoin(F.broadcast(corpus)).select(
+        "vocab_size", "total_tokens", "k_used",
+        "zipf_slope", "zipf_intercept", "fit_r2",
+    )
