@@ -144,3 +144,176 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Lloyd's k-means (fixed-iteration, oracle-exact)
+# --------------------------------------------------------------------------
+
+#: k-means configuration: K seeds (the K smallest vec_ids), ITERS
+#: assignment rounds (ITERS − 1 centroid updates between them). Small
+#: fixed constants keep the unrolled oracle readable; the Spark loop
+#: is generic in both.
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+#: distance/centroid sums use a finer decimal than the money DEC:
+#: squared embedding deltas are ~1e-2, so 12 fractional digits keep
+#: ~10 significant digits per term while the decimal addition stays
+#: exact and order-independent in both engines.
+DECV = "DECIMAL(38,12)"
+
+
+def _km_dist_sql(xrel: str, crel: str) -> str:
+    """Squared-L2 distance per (vec, centroid) as an exact decimal sum."""
+    return f"""
+  SELECT {xrel}.vec_id, {crel}.k,
+         CAST(sum(CAST(({xrel}.x - {crel}.c) * ({xrel}.x - {crel}.c) AS {DECV}))
+              AS DOUBLE) AS d
+  FROM {xrel} JOIN {crel} USING (dim)
+  GROUP BY {xrel}.vec_id, {crel}.k
+"""
+
+
+def _km_assign_sql(drel: str) -> str:
+    """Nearest centroid per vec, ties broken by smallest cluster id."""
+    return f"""
+  SELECT vec_id, k, d FROM (
+    SELECT vec_id, k, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+    FROM {drel}
+  ) WHERE rn = 1
+"""
+
+
+@register(
+    "kmeans_lloyd",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+), x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM e
+), seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, vec_id
+  FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+), c0 AS (
+  SELECT seed.k, x.dim, x.x AS c FROM seed JOIN x USING (vec_id)
+), d1 AS ({_km_dist_sql("x", "c0")}
+), a1 AS ({_km_assign_sql("d1")}
+), c1m AS (
+  SELECT a1.k, x.dim,
+         CAST(round(CAST(CAST(sum(CAST(x.x AS {DECV})) AS DOUBLE) / count(*)
+              AS DECIMAL(30,12)), 6) AS DOUBLE) AS c
+  FROM a1 JOIN x USING (vec_id)
+  GROUP BY a1.k, x.dim
+), c1 AS (
+  SELECT c0.k, c0.dim, coalesce(c1m.c, c0.c) AS c
+  FROM c0 LEFT JOIN c1m ON c0.k = c1m.k AND c0.dim = c1m.dim
+), d2 AS ({_km_dist_sql("x", "c1")}
+), a2 AS ({_km_assign_sql("d2")}
+)
+SELECT CAST(k AS BIGINT) AS cluster,
+       count(*) AS n_members,
+       CAST(round(CAST(CAST(sum(CAST(d AS {DECV})) AS DOUBLE) / count(*)
+            AS DECIMAL(30,12)), 4) AS DOUBLE) AS avg_sq_dist
+FROM a2
+GROUP BY k
+ORDER BY cluster
+""",
+    description="Fixed-iteration Lloyd's k-means over the embedding "
+    "column: K deterministic seeds (the K smallest vec_ids), squared-L2 "
+    "assignment with ties to the smallest cluster id, dimension-wise "
+    "mean update, final assignment reported as per-cluster sizes and "
+    "mean squared distance. Every cross-engine float hazard is closed: "
+    "distance terms and centroid sums go through exact decimal "
+    "addition (order-independent), so the iteration trajectory is "
+    "bit-identical to the unrolled DuckDB oracle. Spark-side the "
+    "centroids round-trip through the driver between iterations "
+    "(K×dim doubles — the MLlib pattern), so each assignment pass is "
+    "one scan with literal centroid arrays folded per row: no join, "
+    "no shuffle before the final K-row aggregate. Empty clusters keep "
+    "their previous centroid in both engines.",
+    tags=("ml", "vectors", "embedding", "clustering", "pipeline"),
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda v: v.cast("double")).alias("v"),
+        )
+    )
+    # seeds: bounded K-row collect (TakeOrderedAndProject, never a full
+    # table) — the driver holds K×dim doubles, exactly like MLlib's
+    # KMeans driver state
+    seeds = emb.orderBy("vec_id").limit(KMEANS_K).collect()
+    cents: dict[int, list[float]] = {i: list(r.v) for i, r in enumerate(seeds)}
+    if not cents:
+        return spark.createDataFrame(
+            [], "cluster BIGINT, n_members BIGINT, avg_sq_dist DOUBLE"
+        )
+
+    def assign(df: DataFrame) -> DataFrame:
+        # per-candidate distance: (a-b)^2 terms cast to exact decimal and
+        # folded sequentially — identical to the oracle's decimal SUM for
+        # any partitioning or summation order
+        cands = []
+        for k in sorted(cents):
+            carr = F.array(*[F.lit(float(c)) for c in cents[k]])
+            d = F.aggregate(
+                F.zip_with("v", carr, lambda a, b: ((a - b) * (a - b)).cast(DECV)),
+                F.lit(0).cast(DECV),
+                # decimal + widens precision; cast back so the fold
+                # accumulator keeps a fixed type (values are ≪ 1e26,
+                # so the narrowing cast is always exact)
+                lambda acc, y: (acc + y).cast(DECV),
+            ).cast("double")
+            cands.append(F.struct(d.alias("d"), F.lit(k).alias("k")))
+        best = F.array_min(F.array(*cands))
+        return df.select(
+            "vec_id", "v", best["k"].alias("k"), best["d"].alias("d")
+        )
+
+    for _ in range(KMEANS_ITERS - 1):
+        updates = (
+            assign(emb)
+            .select("k", F.posexplode("v").alias("dim", "x"))
+            .groupBy("k", "dim")
+            .agg(
+                F.round(
+                    (F.sum(F.col("x").cast(DECV)).cast("double") / F.count(F.lit(1)))
+                    .cast("decimal(30,12)"),
+                    6,
+                )
+                .cast("double")
+                .alias("c")
+            )
+            .collect()  # bounded: ≤ K×dim rows
+        )
+        newc: dict[int, dict[int, float]] = {}
+        for r in updates:
+            newc.setdefault(r.k, {})[r.dim] = r.c
+        for k in cents:
+            if k in newc:  # empty cluster keeps its previous centroid
+                cents[k] = [newc[k][i] for i in range(len(cents[k]))]
+
+    return (
+        assign(emb)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                (F.sum(F.col("d").cast(DECV)).cast("double") / F.count(F.lit(1)))
+                .cast("decimal(30,12)"),
+                4,
+            )
+            .cast("double")
+            .alias("avg_sq_dist"),
+        )
+        .select(F.col("k").cast("bigint").alias("cluster"), "n_members", "avg_sq_dist")
+        .orderBy("cluster")
+    )
