@@ -1,0 +1,117 @@
+"""Semantic invariants for the corpus-curation / ML-prep operators
+added in round 3 (all three are also oracle-hash-checked in
+test_oracle_parity.py — these tests pin properties a value hash
+can't express, like partition-of-the-corpus and inertia descent)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_spark.operators.vectors import (
+    KMEANS_ITERS,
+    KMEANS_K,
+)
+from multithreaded_mapreduce_spark.plans.registry import all_queries
+from multithreaded_mapreduce_spark.sources.tables import load_table
+
+Q = all_queries()
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_dir):
+    """Cluster sizes sum to the non-null vector count, ids ⊂ [0, K)."""
+    out = Q["kmeans_lloyd"].builder(spark, sf_dir).collect()
+    n_vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .count()
+    )
+    assert sum(r.n_members for r in out) == n_vecs
+    assert all(0 <= r.cluster < KMEANS_K for r in out)
+    assert all(r.avg_sq_dist >= 0 for r in out)
+
+
+def test_kmeans_update_does_not_increase_inertia(spark, sf_dir):
+    """Lloyd's step is monotone: mean squared distance after the
+    centroid update (ITERS=2 report) must not exceed the seed
+    assignment's (a one-iteration run). Exact-decimal sums make this
+    hold without a float tolerance; the tiny slack covers the 6-dp
+    centroid snapping between iterations."""
+    import multithreaded_mapreduce_spark.operators.vectors as vx
+
+    def total_inertia() -> float:
+        rows = vx.kmeans_lloyd(spark, sf_dir).collect()
+        return sum(r.avg_sq_dist * r.n_members for r in rows)
+
+    after = total_inertia()
+    orig = vx.KMEANS_ITERS
+    vx.KMEANS_ITERS = 1
+    try:
+        before = total_inertia()
+    finally:
+        vx.KMEANS_ITERS = orig
+    assert KMEANS_ITERS == 2  # the registered config this test assumes
+    assert after <= before + 1e-6, (after, before)
+
+
+def test_ccnet_buckets_partition_each_language(spark, sf_dir):
+    """head+middle+tail counts per language equal that language's
+    tokenized-document count, and tercile buckets are balanced up to
+    score ties (each bucket within ±25% of n/3 on this corpus)."""
+    out = Q["ccnet_perplexity_buckets"].builder(spark, sf_dir).collect()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike(r"\S"))
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    expected = {r.lang: r["count"] for r in docs}
+    got: dict[str, dict[str, int]] = {}
+    for r in out:
+        got.setdefault(r.lang, {})[r.bucket] = r.n_docs
+    assert {k: sum(v.values()) for k, v in got.items()} == expected
+    for lang, buckets in got.items():
+        assert set(buckets) == {"head", "middle", "tail"}, (lang, buckets)
+        third = expected[lang] / 3
+        for b, n in buckets.items():
+            assert abs(n - third) <= max(2.0, 0.25 * third), (lang, b, n, third)
+    # head scores strictly above tail scores on average
+    for lang, buckets in got.items():
+        scores = {r.bucket: r.avg_score for r in out if r.lang == lang}
+        assert scores["head"] >= scores["middle"] >= scores["tail"], (lang, scores)
+
+
+def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
+    """The regr_slope/intercept/r2 triple equals an independent OLS on
+    the same (ln rank, ln freq) points — guards against swapped x/y
+    arguments, off-by-one ranks, and tie-order drift."""
+    from multithreaded_mapreduce_spark.operators.textstats import ZIPF_TOP_K
+
+    row = Q["zipf_vocab_fit"].builder(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("token")
+    )
+    v = tok.groupBy("token").count().orderBy(F.desc("count"), "token").collect()
+    top = v[:ZIPF_TOP_K]
+    assert row.k_used == len(top)
+    assert row.vocab_size == len(v)
+    assert row.total_tokens == sum(r["count"] for r in v)
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(r["count"]) for r in top]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    slope = sxy / sxx
+    intercept = my - slope * mx
+    syy = sum((y - my) ** 2 for y in ys)
+    r2 = (sxy * sxy) / (sxx * syy) if syy > 0 else None
+    assert abs(row.zipf_slope - slope) < 1e-3, (row.zipf_slope, slope)
+    assert abs(row.zipf_intercept - intercept) < 1e-3
+    if r2 is not None:
+        assert abs(row.fit_r2 - r2) < 1e-3
