@@ -324,6 +324,124 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_EXACT_ITERS = 2  # Lloyd rounds for the deterministic quantizer
+
+
+def _build_ivf_exact_oracle() -> str:
+    """Unrolled deterministic-IVF oracle: the shared Lloyd CTE builds
+    the identical quantizer, then inverted lists, probe sets, and the
+    exact-decimal cosine rerank — full value parity, unlike the
+    engine-seeded ``knn_ivf_ann``."""
+    from .vectors import _km_assign_sql, _km_dist_sql, lloyd_cte
+
+    return (
+        lloyd_cte(IVF_K)
+        + f""", cd AS ({_km_dist_sql("x", "c1")}
+), lists AS ({_km_assign_sql("cd")}
+), probes AS (
+  SELECT vec_id AS query_id, k FROM (
+    SELECT vec_id, k,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+    FROM cd WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_N_PROBE}
+), norms AS (
+  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(30,20))) AS DOUBLE) AS nsq
+  FROM x GROUP BY 1
+), cand AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id
+  FROM probes p JOIN lists l USING (k)
+  WHERE l.vec_id != p.query_id
+), dots AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(sum(CAST(xq.x * xn.x AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN x xq ON xq.vec_id = c.query_id
+  JOIN x xn ON xn.vec_id = c.neighbor_id AND xn.dim = xq.dim
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(round(CAST(d.dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nn ON d.neighbor_id = nn.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY query_id, rnk
+"""
+    )
+
+
+@register(
+    "knn_ivf_exact_ann",
+    oracle=_build_ivf_exact_oracle(),
+    description=f"IVF ANN top-{TOP_K} with a DETERMINISTIC coarse "
+    f"quantizer: {IVF_EXACT_ITERS}-round exact-decimal Lloyd's k-means "
+    f"({IVF_K} centroids seeded from the smallest vec_ids) replaces the "
+    "engine-seeded MLlib KMeans of knn_ivf_ann, so the inverted lists, "
+    f"probe sets ({IVF_N_PROBE} nearest centroids per query), and the "
+    "exact cosine rerank are all bit-identical to an unrolled DuckDB "
+    "oracle — the IVF family's banding decision itself is value-hash-"
+    "checked, not just its recall. Same search plan as knn_ivf_ann: "
+    "corpus shuffles once on cluster id, probes broadcast, rerank is a "
+    "pure Column fold.",
+    tags=("similarity", "knn", "ann", "ivf", "vectors", "embedding"),
+)
+def knn_ivf_exact_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import lloyd_assign, lloyd_centroids, lloyd_dist_structs, lloyd_vectors
+
+    cents = lloyd_centroids(spark, sf_dir, IVF_K, IVF_EXACT_ITERS)
+    if not cents:
+        return spark.createDataFrame(
+            [], "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE, rnk INT"
+        )
+    emb = lloyd_vectors(spark, sf_dir)
+    # --- index: every vector into its nearest deterministic centroid's list
+    lists = lloyd_assign(emb, cents).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("n_emb"), "k"
+    )
+    # --- probe: per query, the IVF_N_PROBE nearest centroids (sort the
+    # tiny per-row struct array, slice, explode — no window needed)
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("q_emb"),
+            F.explode(
+                F.slice(
+                    F.array_sort(F.array(*lloyd_dist_structs(cents))),
+                    1,
+                    IVF_N_PROBE,
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "q_emb", F.col("p.k").alias("k"))
+    )
+    # --- search: exact cosine only inside the probed lists
+    scored = (
+        F.broadcast(probes)
+        .join(lists, "k")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
+    )
+
+
 # ------------------------------------------------------------------
 # int8 scalar-quantized ANN (deterministic → fully oracle-checked)
 # ------------------------------------------------------------------

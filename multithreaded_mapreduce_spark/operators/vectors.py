@@ -186,9 +186,15 @@ def _km_assign_sql(drel: str) -> str:
 """
 
 
-@register(
-    "kmeans_lloyd",
-    oracle=f"""
+def lloyd_cte(k: int) -> str:
+    """The full one-update Lloyd chain as a WITH prefix: ``e`` (non-null
+    vectors), ``x`` (slim (vec_id, dim, x) rows), seeds = the ``k``
+    smallest vec_ids, assignment ``a1`` against the seed centroids, and
+    the updated (6-dp-snapped, empty-cluster-preserving) centroids in
+    ``c1(k, dim, c)``. Shared verbatim by ``kmeans_lloyd`` and the
+    oracle-checked IVF index in ``similarity.py`` so both engines build
+    the identical quantizer."""
+    return f"""
 WITH e AS (
   SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
 ), x AS (
@@ -198,7 +204,7 @@ WITH e AS (
   FROM e
 ), seed AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, vec_id
-  FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+  FROM e ORDER BY vec_id LIMIT {k}
 ), c0 AS (
   SELECT seed.k, x.dim, x.x AS c FROM seed JOIN x USING (vec_id)
 ), d1 AS ({_km_dist_sql("x", "c0")}
@@ -212,7 +218,93 @@ WITH e AS (
 ), c1 AS (
   SELECT c0.k, c0.dim, coalesce(c1m.c, c0.c) AS c
   FROM c0 LEFT JOIN c1m ON c0.k = c1m.k AND c0.dim = c1m.dim
-), d2 AS ({_km_dist_sql("x", "c1")}
+)"""
+
+
+def lloyd_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-null embeddings as (vec_id, v: array<double>)."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda v: v.cast("double")).alias("v"),
+        )
+    )
+
+
+def lloyd_dist_structs(cents: dict[int, list[float]]) -> list:
+    """One (d, k) struct Column per centroid: squared-L2 distance from
+    the row's ``v`` array to the literal centroid, (a−b)² terms cast to
+    exact decimal and folded sequentially — identical to the oracle's
+    decimal SUM for any partitioning or summation order. Struct order
+    (d first, k second) makes min/sort break distance ties on the
+    smallest cluster id."""
+    cands = []
+    for k in sorted(cents):
+        carr = F.array(*[F.lit(float(c)) for c in cents[k]])
+        d = F.aggregate(
+            F.zip_with("v", carr, lambda a, b: ((a - b) * (a - b)).cast(DECV)),
+            F.lit(0).cast(DECV),
+            # decimal + widens precision; cast back so the fold
+            # accumulator keeps a fixed type (values are ≪ 1e26,
+            # so the narrowing cast is always exact)
+            lambda acc, y: (acc + y).cast(DECV),
+        ).cast("double")
+        cands.append(F.struct(d.alias("d"), F.lit(k).alias("k")))
+    return cands
+
+
+def lloyd_assign(df: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Nearest-centroid assignment: adds ``k``, ``d`` to a (vec_id, v)
+    frame via array_min over the per-centroid distance structs."""
+    best = F.array_min(F.array(*lloyd_dist_structs(cents)))
+    return df.select("vec_id", "v", best["k"].alias("k"), best["d"].alias("d"))
+
+
+def lloyd_centroids(
+    spark: SparkSession, sf_dir: str, k: int, iters: int
+) -> dict[int, list[float]]:
+    """Driver-side Lloyd loop: deterministic seeds (the ``k`` smallest
+    vec_ids), ``iters − 1`` assignment+mean-update rounds. Returns the
+    final centroids ({} on an empty corpus). Every driver round-trip is
+    bounded: the seed collect is ≤ k rows (TakeOrderedAndProject), each
+    update collect is ≤ k×dim rows — MLlib's own KMeans driver-state
+    pattern."""
+    emb = lloyd_vectors(spark, sf_dir)
+    seeds = emb.orderBy("vec_id").limit(k).collect()
+    cents: dict[int, list[float]] = {i: list(r.v) for i, r in enumerate(seeds)}
+    if not cents:
+        return cents
+    for _ in range(iters - 1):
+        updates = (
+            lloyd_assign(emb, cents)
+            .select("k", F.posexplode("v").alias("dim", "x"))
+            .groupBy("k", "dim")
+            .agg(
+                F.round(
+                    (F.sum(F.col("x").cast(DECV)).cast("double") / F.count(F.lit(1)))
+                    .cast("decimal(30,12)"),
+                    6,
+                )
+                .cast("double")
+                .alias("c")
+            )
+            .collect()
+        )
+        newc: dict[int, dict[int, float]] = {}
+        for r in updates:
+            newc.setdefault(r.k, {})[r.dim] = r.c
+        for kk in cents:
+            if kk in newc:  # empty cluster keeps its previous centroid
+                cents[kk] = [newc[kk][i] for i in range(len(cents[kk]))]
+    return cents
+
+
+@register(
+    "kmeans_lloyd",
+    oracle=lloyd_cte(KMEANS_K)
+    + f""", d2 AS ({_km_dist_sql("x", "c1")}
 ), a2 AS ({_km_assign_sql("d2")}
 )
 SELECT CAST(k AS BIGINT) AS cluster,
@@ -239,70 +331,13 @@ ORDER BY cluster
     tags=("ml", "vectors", "embedding", "clustering", "pipeline"),
 )
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda v: v.cast("double")).alias("v"),
-        )
-    )
-    # seeds: bounded K-row collect (TakeOrderedAndProject, never a full
-    # table) — the driver holds K×dim doubles, exactly like MLlib's
-    # KMeans driver state
-    seeds = emb.orderBy("vec_id").limit(KMEANS_K).collect()
-    cents: dict[int, list[float]] = {i: list(r.v) for i, r in enumerate(seeds)}
+    cents = lloyd_centroids(spark, sf_dir, KMEANS_K, KMEANS_ITERS)
     if not cents:
         return spark.createDataFrame(
             [], "cluster BIGINT, n_members BIGINT, avg_sq_dist DOUBLE"
         )
-
-    def assign(df: DataFrame) -> DataFrame:
-        # per-candidate distance: (a-b)^2 terms cast to exact decimal and
-        # folded sequentially — identical to the oracle's decimal SUM for
-        # any partitioning or summation order
-        cands = []
-        for k in sorted(cents):
-            carr = F.array(*[F.lit(float(c)) for c in cents[k]])
-            d = F.aggregate(
-                F.zip_with("v", carr, lambda a, b: ((a - b) * (a - b)).cast(DECV)),
-                F.lit(0).cast(DECV),
-                # decimal + widens precision; cast back so the fold
-                # accumulator keeps a fixed type (values are ≪ 1e26,
-                # so the narrowing cast is always exact)
-                lambda acc, y: (acc + y).cast(DECV),
-            ).cast("double")
-            cands.append(F.struct(d.alias("d"), F.lit(k).alias("k")))
-        best = F.array_min(F.array(*cands))
-        return df.select(
-            "vec_id", "v", best["k"].alias("k"), best["d"].alias("d")
-        )
-
-    for _ in range(KMEANS_ITERS - 1):
-        updates = (
-            assign(emb)
-            .select("k", F.posexplode("v").alias("dim", "x"))
-            .groupBy("k", "dim")
-            .agg(
-                F.round(
-                    (F.sum(F.col("x").cast(DECV)).cast("double") / F.count(F.lit(1)))
-                    .cast("decimal(30,12)"),
-                    6,
-                )
-                .cast("double")
-                .alias("c")
-            )
-            .collect()  # bounded: ≤ K×dim rows
-        )
-        newc: dict[int, dict[int, float]] = {}
-        for r in updates:
-            newc.setdefault(r.k, {})[r.dim] = r.c
-        for k in cents:
-            if k in newc:  # empty cluster keeps its previous centroid
-                cents[k] = [newc[k][i] for i in range(len(cents[k]))]
-
     return (
-        assign(emb)
+        lloyd_assign(lloyd_vectors(spark, sf_dir), cents)
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n_members"),

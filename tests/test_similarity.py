@@ -92,3 +92,28 @@ def test_quantized_ann_recall_and_score_parity(spark, sf_dir):
     hits = sum(len(exact_sets[q] & q_sets.get(q, set())) for q in exact_sets)
     total = sum(len(s) for s in exact_sets.values())
     assert hits / total >= 0.9, f"quantized recall {hits}/{total}"
+
+
+def test_ivf_exact_recall_and_soundness(spark, sf_dir):
+    """The deterministic-quantizer IVF (exact-decimal Lloyd's, fully
+    oracle-checked) must behave like an IVF: exact snapped cosines on
+    hits shared with brute force, and recall comparable to the
+    engine-seeded variant's floor."""
+    brute = Q["knn_cosine_bruteforce"].builder(spark, sf_dir).collect()
+    ivf = Q["knn_ivf_exact_ann"].builder(spark, sf_dir).collect()
+
+    brute_cos = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in brute_cos:
+            assert r.cosine == brute_cos[(r.query_id, r.neighbor_id)]
+
+    exact_sets = {}
+    for r in brute:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in ivf:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact_sets[q] & got.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    assert recall >= 0.4, f"IVF-exact recall collapsed: {recall:.2f} ({hits}/{total})"
