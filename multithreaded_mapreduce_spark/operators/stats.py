@@ -100,16 +100,26 @@ def lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    # try_divide everywhere a denominator can be zero: a single-row
+    # group makes n−1 = 0, and a constant column zeroes the variance
+    # factors under the sqrt — DuckDB's double division by zero yields
+    # NULL, so try_divide (NULL, not an ANSI crash) keeps the engines
+    # identical on degenerate groups (caught by the corrupted-lineitem
+    # adversarial sweep: a planted NULL group key isolates one row)
+    slope = F.try_divide(nd * sxy - sx * sy, nd * sxx - sx * sx)
     return sums.select(
         "l_returnflag",
         "n",
         _snap6(sx / nd).alias("mean_qty"),
-        _snap6(F.sqrt((syy - sy * sy / nd) / (nd - 1))).alias("stddev_price"),
-        _snap6((sxy - sx * sy / nd) / (nd - 1)).alias("covar_qty_price"),
+        _snap6(F.sqrt(F.try_divide(syy - sy * sy / nd, nd - 1))).alias(
+            "stddev_price"
+        ),
+        _snap6(F.try_divide(sxy - sx * sy / nd, nd - 1)).alias("covar_qty_price"),
         _snap6(
-            (nd * sxy - sx * sy)
-            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+            F.try_divide(
+                nd * sxy - sx * sy,
+                F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            )
         ).alias("corr_qty_price"),
         _snap6(slope).alias("regr_slope"),
         _snap6((sy - slope * sx) / nd).alias("regr_intercept"),

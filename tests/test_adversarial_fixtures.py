@@ -320,3 +320,68 @@ def test_quality_audit_catches_planted_violations(spark, corrupted_orders_dir):
     # lineitem orphans: the two synthetic orders have no lineitems, so
     # the lineitem->orders direction stays clean
     assert got["orphan_lineitem_orders"] == 0
+
+
+#: corrupted lineitem — the biggest fact table gets the same treatment
+#: as orders: a fully duplicated line, a NULL measure (l_quantity —
+#: exercises the per-measure non-null denominators in q1), a NULL
+#: group key (l_returnflag), an orphan l_orderkey, a hostile row
+#: (negative quantity, discount > 1 → negative revenue), and a NULL
+#: ship date (falls out of every date filter in BOTH engines).
+@pytest.fixture(scope="session")
+def corrupted_lineitem_dir(tmp_path_factory, spark) -> str:
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("corrupt_li_sf"))
+    for t in TABLES:
+        if t != "lineitem":
+            shutil.copyfile(table_path(SF_DIR, t), table_path(d, t))
+    li = spark.read.parquet(table_path(SF_DIR, "lineitem"))
+    first = li.limit(1)
+    dup = first  # exact duplicate line
+    null_qty = first.withColumn("l_linenumber", F.lit(901)).withColumn(
+        "l_quantity", F.lit(None).cast("double")
+    )
+    null_flag = first.withColumn("l_linenumber", F.lit(902)).withColumn(
+        "l_returnflag", F.lit(None).cast("string")
+    )
+    orphan = first.withColumn("l_orderkey", F.lit(999_999_777))
+    hostile = (
+        first.withColumn("l_linenumber", F.lit(903))
+        .withColumn("l_quantity", F.lit(-4.0))
+        .withColumn("l_discount", F.lit(1.5))
+    )
+    null_date = first.withColumn("l_linenumber", F.lit(904)).withColumn(
+        "l_shipdate", F.lit(None).cast("timestamp")
+    )
+    damaged = (
+        li.unionByName(dup)
+        .unionByName(null_qty)
+        .unionByName(null_flag)
+        .unionByName(orphan)
+        .unionByName(hostile)
+        .unionByName(null_date)
+    )
+    tmp = os.path.join(d, "_li_tmp")
+    damaged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.copyfile(os.path.join(tmp, part), table_path(d, "lineitem"))
+    return d
+
+
+def _lineitem_queries() -> list[str]:
+    return sorted(
+        n
+        for n, q in _Q.items()
+        if q.oracle and "lineitem" in q.oracle and "streaming" not in q.tags
+    )
+
+
+@pytest.mark.parametrize("name", _lineitem_queries())
+def test_corrupted_lineitem_parity(spark, corrupted_lineitem_dir, name):
+    """Every lineitem-touching oracle query must stay engine-identical
+    on damaged data — NULL measures, NULL group keys, orphan FKs,
+    negative quantities, and >100% discounts flow through the TPC-H
+    suite, percentiles, moment stats, and the bucketed join on both
+    engines."""
+    compare_query(spark, corrupted_lineitem_dir, _Q[name].builder, _Q[name].oracle)
