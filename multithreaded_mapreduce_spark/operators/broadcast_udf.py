@@ -68,6 +68,11 @@ def broadcast_lookup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return (
         cust.select(nation_name("c_nationkey").alias("nation"), "c_acctbal")
+        # a NULL or orphan nationkey maps to NULL — drop it, because the
+        # oracle (and the relational twin) is an INNER join: a lookup
+        # miss must eliminate the row, not create a NULL group (caught
+        # by the corrupted-customer adversarial sweep)
+        .filter(F.col("nation").isNotNull())
         .groupBy("nation")
         .agg(F.count(F.lit(1)).alias("n_customers"), davg("c_acctbal").alias("avg_acctbal"))
         .orderBy("nation")

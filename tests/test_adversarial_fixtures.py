@@ -385,3 +385,69 @@ def test_corrupted_lineitem_parity(spark, corrupted_lineitem_dir, name):
     suite, percentiles, moment stats, and the bucketed join on both
     engines."""
     compare_query(spark, corrupted_lineitem_dir, _Q[name].builder, _Q[name].oracle)
+
+
+#: corrupted customer — the most-joined dimension: a duplicated
+#: custkey (fans out every customer join), a NULL nation FK, an orphan
+#: nation FK, a NULL market segment (NULL group key through set ops,
+#: shares, and RFM), and a NULL + negative account balance (windows,
+#: ntile, percentiles over NULLs).
+@pytest.fixture(scope="session")
+def corrupted_customer_dir(tmp_path_factory, spark) -> str:
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("corrupt_cust_sf"))
+    for t in TABLES:
+        if t != "customer":
+            shutil.copyfile(table_path(SF_DIR, t), table_path(d, t))
+    cust = spark.read.parquet(table_path(SF_DIR, "customer"))
+    first = cust.limit(1)
+    dup = first  # duplicate key: every join over c_custkey fans out
+    null_nation = first.withColumn("c_custkey", F.lit(999_999_101)).withColumn(
+        "c_nationkey", F.lit(None).cast("int")
+    )
+    orphan_nation = first.withColumn("c_custkey", F.lit(999_999_102)).withColumn(
+        "c_nationkey", F.lit(777)
+    )
+    null_segment = first.withColumn("c_custkey", F.lit(999_999_103)).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    bad_balance = (
+        first.withColumn("c_custkey", F.lit(999_999_104))
+        .withColumn("c_acctbal", F.lit(None).cast("double"))
+    )
+    neg_balance = (
+        first.withColumn("c_custkey", F.lit(999_999_105))
+        .withColumn("c_acctbal", F.lit(-123456.78))
+    )
+    damaged = (
+        cust.unionByName(dup)
+        .unionByName(null_nation)
+        .unionByName(orphan_nation)
+        .unionByName(null_segment)
+        .unionByName(bad_balance)
+        .unionByName(neg_balance)
+    )
+    tmp = os.path.join(d, "_cust_tmp")
+    damaged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.copyfile(os.path.join(tmp, part), table_path(d, "customer"))
+    return d
+
+
+def _customer_queries() -> list[str]:
+    return sorted(
+        n
+        for n, q in _Q.items()
+        if q.oracle and "customer" in q.oracle and "streaming" not in q.tags
+    )
+
+
+@pytest.mark.parametrize("name", _customer_queries())
+def test_corrupted_customer_parity(spark, corrupted_customer_dir, name):
+    """Every customer-touching oracle query must stay engine-identical
+    on damaged dimension data — duplicate keys fan out joins, NULL and
+    orphan FKs flow through outer joins and set ops, NULL segments and
+    balances hit group keys, windows, and quartile assignment on both
+    engines."""
+    compare_query(spark, corrupted_customer_dir, _Q[name].builder, _Q[name].oracle)
