@@ -241,7 +241,15 @@ def part_price_deciles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("c").over(wo) - F.col("c")).alias("offset"),
         F.sum("c").over(W.partitionBy("p_brand")).alias("n"),
     )
-    ranked = local.join(F.broadcast(offsets), ["chunk", "p_brand"]).select(
+    # eqNullSafe on the group key: the oracle's PARTITION BY keeps a
+    # NULL brand as its own group, but a plain equi-join drops it
+    # (NULL never equals NULL) — caught by the corrupted-part sweep
+    off = offsets.withColumnsRenamed({"chunk": "o_chunk", "p_brand": "o_brand"})
+    ranked = local.join(
+        F.broadcast(off),
+        (F.col("chunk") == F.col("o_chunk"))
+        & F.col("p_brand").eqNullSafe(F.col("o_brand")),
+    ).select(
         "p_brand",
         "p_retailprice",
         (F.col("offset") + F.col("lrn")).alias("rn"),

@@ -158,22 +158,28 @@ SELECT p_brand, p_partkey, p_retailprice,
        CAST(round(CAST(percent_rank() OVER w AS DECIMAL(30,12)), 6) AS DOUBLE) AS pct_rank,
        CAST(round(CAST(cume_dist() OVER w AS DECIMAL(30,12)), 6) AS DOUBLE) AS cume,
        first_value(p_partkey) OVER w AS cheapest_partkey,
-       nth_value(p_partkey, 2) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+       nth_value(p_partkey, 2) OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice NULLS LAST, p_partkey
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          AS second_cheapest_partkey
 FROM part
-WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
-ORDER BY p_brand, p_retailprice, p_partkey
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice NULLS LAST, p_partkey)
+ORDER BY p_brand, p_retailprice NULLS LAST, p_partkey
 """,
     description="Distribution analytics per brand: ntile quartiles, "
     "percent_rank, cume_dist, first/nth value. The window orders by "
     "(price, partkey) so ranks are tie-free and deterministic across "
-    "engines; hash-partitioned by brand, no global window.",
+    "engines — with NULLS LAST spelled out on BOTH sides, because the "
+    "engines' defaults disagree (Spark ASC puts NULLs first, DuckDB "
+    "last; caught by the corrupted-part sweep's NULL retail price). "
+    "Hash-partitioned by brand, no global window.",
     tags=("window", "distribution", "rank"),
 )
 def part_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc_nulls_last(), "p_partkey"
+    )
     wall = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     snap6 = lambda c: F.round(c.cast("decimal(30,12)"), 6).cast("double")  # noqa: E731
     return (
@@ -187,7 +193,7 @@ def part_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("p_partkey").over(w).alias("cheapest_partkey"),
             F.nth_value("p_partkey", 2).over(wall).alias("second_cheapest_partkey"),
         )
-        .orderBy("p_brand", "p_retailprice", "p_partkey")
+        .orderBy("p_brand", F.col("p_retailprice").asc_nulls_last(), "p_partkey")
     )
 
 

@@ -451,3 +451,87 @@ def test_corrupted_customer_parity(spark, corrupted_customer_dir, name):
     balances hit group keys, windows, and quartile assignment on both
     engines."""
     compare_query(spark, corrupted_customer_dir, _Q[name].builder, _Q[name].oracle)
+
+
+def _corrupt_dim(spark, table: str, rows) -> str:
+    """Shared builder: copy sf0.001, replace ``table`` with the damaged
+    union (original + the provided mutated single rows)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"corrupt_{table}_sf")
+    for t in TABLES:
+        if t != table:
+            shutil.copyfile(table_path(SF_DIR, t), table_path(d, t))
+    base = spark.read.parquet(table_path(SF_DIR, table))
+    damaged = base
+    for r in rows(base.limit(1)):
+        damaged = damaged.unionByName(r)
+    tmp = os.path.join(d, f"_{table}_tmp")
+    damaged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.copyfile(os.path.join(tmp, part), table_path(d, table))
+    return d
+
+
+@pytest.fixture(scope="session")
+def corrupted_part_dir(tmp_path_factory, spark) -> str:
+    """part damaged: duplicate partkey, NULL brand (group key), NULL
+    retail price (measure), NULL type/size (filter columns)."""
+    from pyspark.sql import functions as F
+
+    def rows(first):
+        return [
+            first,  # duplicate key
+            first.withColumn("p_partkey", F.lit(999_999_201)).withColumn(
+                "p_brand", F.lit(None).cast("string")
+            ),
+            first.withColumn("p_partkey", F.lit(999_999_202)).withColumn(
+                "p_retailprice", F.lit(None).cast("double")
+            ),
+            first.withColumn("p_partkey", F.lit(999_999_203))
+            .withColumn("p_type", F.lit(None).cast("string"))
+            .withColumn("p_size", F.lit(None).cast("int")),
+        ]
+
+    return _corrupt_dim(spark, "part", rows)
+
+
+@pytest.fixture(scope="session")
+def corrupted_supplier_dir(tmp_path_factory, spark) -> str:
+    """supplier damaged: duplicate suppkey, NULL nation FK, orphan
+    nation FK, NULL account balance."""
+    from pyspark.sql import functions as F
+
+    def rows(first):
+        return [
+            first,  # duplicate key
+            first.withColumn("s_suppkey", F.lit(999_999_301)).withColumn(
+                "s_nationkey", F.lit(None).cast("int")
+            ),
+            first.withColumn("s_suppkey", F.lit(999_999_302)).withColumn(
+                "s_nationkey", F.lit(777)
+            ),
+            first.withColumn("s_suppkey", F.lit(999_999_303)).withColumn(
+                "s_acctbal", F.lit(None).cast("double")
+            ),
+        ]
+
+    return _corrupt_dim(spark, "supplier", rows)
+
+
+def _queries_touching(table: str) -> list[str]:
+    return sorted(
+        n
+        for n, q in _Q.items()
+        if q.oracle and table in q.oracle and "streaming" not in q.tags
+    )
+
+
+@pytest.mark.parametrize("name", _queries_touching("part"))
+def test_corrupted_part_parity(spark, corrupted_part_dir, name):
+    compare_query(spark, corrupted_part_dir, _Q[name].builder, _Q[name].oracle)
+
+
+@pytest.mark.parametrize("name", _queries_touching("supplier"))
+def test_corrupted_supplier_parity(spark, corrupted_supplier_dir, name):
+    compare_query(spark, corrupted_supplier_dir, _Q[name].builder, _Q[name].oracle)
