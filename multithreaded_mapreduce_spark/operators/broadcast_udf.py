@@ -42,7 +42,9 @@ SELECT n.n_name AS nation,
        round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(c.c_acctbal), 4)
          AS avg_acctbal
 FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN (SELECT n_nationkey, max(n_name) AS n_name
+      FROM nation GROUP BY n_nationkey) n
+  ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 ORDER BY nation
 """,
@@ -50,14 +52,21 @@ ORDER BY nation
     "dimension resolved by a broadcast-variable dict inside an "
     "Arrow-batched pandas_udf instead of a join — the pattern for "
     "non-equi-join lookups (vocabularies, label maps) feeding Python "
-    "feature code. Oracle is the equivalent broadcast join: the UDF path "
-    "must be value-identical to the relational one.",
+    "feature code. A dict lookup is single-valued by construction, so "
+    "the dimension is deduplicated deterministically (max name per key) "
+    "BEFORE the map is built, and the oracle joins the identically "
+    "deduped relation — a duplicate dimension key must not fan rows out "
+    "(caught by the corrupted-nation sweep: a plain dict comprehension "
+    "kept whichever duplicate collected last).",
     tags=("udf", "broadcast", "pipeline"),
 )
 def broadcast_lookup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_map = {
         int(r.n_nationkey): r.n_name
-        for r in load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+        for r in load_table(spark, sf_dir, "nation")
+        .groupBy("n_nationkey")
+        .agg(F.max("n_name").alias("n_name"))
+        .collect()
     }
     bc = spark.sparkContext.broadcast(nation_map)
 

@@ -535,3 +535,32 @@ def test_corrupted_part_parity(spark, corrupted_part_dir, name):
 @pytest.mark.parametrize("name", _queries_touching("supplier"))
 def test_corrupted_supplier_parity(spark, corrupted_supplier_dir, name):
     compare_query(spark, corrupted_supplier_dir, _Q[name].builder, _Q[name].oracle)
+
+
+@pytest.fixture(scope="session")
+def corrupted_nation_dir(tmp_path_factory, spark) -> str:
+    """nation damaged: duplicate nationkey (fans out every enrichment
+    join), NULL name (the join OUTPUT/group key of most queries), NULL
+    and orphan region FKs."""
+    from pyspark.sql import functions as F
+
+    def rows(first):
+        return [
+            first,  # duplicate key
+            first.withColumn("n_nationkey", F.lit(901)).withColumn(
+                "n_name", F.lit(None).cast("string")
+            ),
+            first.withColumn("n_nationkey", F.lit(902)).withColumn(
+                "n_regionkey", F.lit(None).cast("int")
+            ),
+            first.withColumn("n_nationkey", F.lit(903)).withColumn(
+                "n_regionkey", F.lit(77)
+            ),
+        ]
+
+    return _corrupt_dim(spark, "nation", rows)
+
+
+@pytest.mark.parametrize("name", _queries_touching("nation"))
+def test_corrupted_nation_parity(spark, corrupted_nation_dir, name):
+    compare_query(spark, corrupted_nation_dir, _Q[name].builder, _Q[name].oracle)
