@@ -564,3 +564,24 @@ def corrupted_nation_dir(tmp_path_factory, spark) -> str:
 @pytest.mark.parametrize("name", _queries_touching("nation"))
 def test_corrupted_nation_parity(spark, corrupted_nation_dir, name):
     compare_query(spark, corrupted_nation_dir, _Q[name].builder, _Q[name].oracle)
+
+
+@pytest.fixture(scope="session")
+def corrupted_region_dir(tmp_path_factory, spark) -> str:
+    """region damaged: duplicate regionkey and a NULL name."""
+    from pyspark.sql import functions as F
+
+    def rows(first):
+        return [
+            first,  # duplicate key
+            first.withColumn("r_regionkey", F.lit(91)).withColumn(
+                "r_name", F.lit(None).cast("string")
+            ),
+        ]
+
+    return _corrupt_dim(spark, "region", rows)
+
+
+@pytest.mark.parametrize("name", _queries_touching("region"))
+def test_corrupted_region_parity(spark, corrupted_region_dir, name):
+    compare_query(spark, corrupted_region_dir, _Q[name].builder, _Q[name].oracle)
