@@ -34,15 +34,19 @@ SELECT date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
        round(CAST(sum(CAST(value AS {DEC})) AS DOUBLE), 2) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY window_start, event_type
 """,
     description="Tumbling 1-hour event-time windows × event_type "
-    "(F.window — epoch-aligned, so equivalent to date_trunc('hour')).",
+    "(F.window — epoch-aligned, so equivalent to date_trunc('hour')). "
+    "Rows without an event time are excluded EXPLICITLY in both "
+    "engines: F.window silently drops NULL timestamps while SQL "
+    "GROUP BY would keep a NULL group (edge-events sweep).",
     tags=("events", "window", "tumbling"),
 )
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -64,11 +68,11 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH assigned AS (
   SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   UNION ALL
   SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start,
          event_type, value
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT window_start, event_type,
        count(*) AS n_events,
@@ -78,11 +82,13 @@ GROUP BY window_start, event_type
 ORDER BY window_start, event_type
 """,
     description="Sliding 1-hour windows every 30 minutes: each event lands "
-    "in two windows (oracle materializes both assignments via UNION ALL).",
+    "in two windows (oracle materializes both assignments via UNION ALL). "
+    "NULL event times excluded explicitly in both engines (F.window "
+    "drops them silently; the SQL would keep a NULL group).",
     tags=("events", "window", "sliding"),
 )
 def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
@@ -165,7 +171,7 @@ WITH gaps AS (
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= {_SESSION_GAP_US}
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), sessions AS (
   SELECT user_id, ts, value,
          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -191,11 +197,13 @@ ORDER BY user_id, session_start
     "uses (a gap of exactly 5 min starts a new session). Scale: "
     "session_window is a single partial+final aggregation keyed by "
     "(user, merged-window) — no sort-the-world window function, state "
-    "bounded by open sessions per key.",
+    "bounded by open sessions per key. NULL event times excluded "
+    "explicitly in both engines (session_window drops them silently; "
+    "the oracle's lag/cumsum would sort them into a session).",
     tags=("events", "session", "window", "native"),
 )
 def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("sw"))
         .agg(

@@ -177,7 +177,8 @@ CUTOVER = "2024-01-25"
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        count(*) AS n_events,
        round(CAST(sum(CAST(value AS {DEC})) AS DOUBLE), 2) AS total_value
-FROM events GROUP BY 1, 2 ORDER BY day, event_type
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2 ORDER BY day, event_type
 """,
     description="Incremental materialized-rollup maintenance: the daily "
     "rollup of the 'already materialized' base partition (< 2024-01-25) "
@@ -190,7 +191,11 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type
     tags=("timeseries", "rollup", "incremental", "events"),
 )
 def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    # NULL event times excluded explicitly in both engines: the
+    # base/delta cutover comparisons would silently route them to
+    # NEITHER partition while the oracle's GROUP BY kept a NULL day
+    # (edge-events sweep) — a row with no time belongs to no partition
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
 
     def daily(df: DataFrame) -> DataFrame:
         return df.groupBy(

@@ -206,6 +206,7 @@ SELECT event_id, ts, event_type, value,
          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
        ) AS DECIMAL(30,12)), 6) AS DOUBLE) AS roll_median
 FROM events
+WHERE ts IS NOT NULL
 ORDER BY event_type, ts, event_id
 """,
     description="Trailing 20-row median of value per event_type — the "
@@ -215,11 +216,14 @@ ORDER BY event_type, ts, event_id
     "O(frame log frame) per row but the frame is a constant 20; the "
     "window is hash-partitioned by type (at 100 TB partition by "
     "(type, day) with a 20-row overlap tail). Even frames interpolate "
-    "(a+b)/2 exactly like the oracle's median().",
+    "(a+b)/2 exactly like the oracle's median(). NULL event times are "
+    "excluded explicitly in both engines: a time-ordered frame is "
+    "undefined without a time, and the engines' ASC NULL defaults "
+    "disagree (Spark first, DuckDB last — edge-events sweep).",
     tags=("window", "median", "timeseries", "events"),
 )
 def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     frame = W.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-19, 0)
     arr = F.array_sort(F.collect_list("value").over(frame))
     n = F.size(arr)

@@ -227,6 +227,10 @@ def _edge_events() -> list[tuple]:
         (15, t0 + 10 * m, 6, "view", 42.0, '{"k": 12}'),
         (16, t0 + 10 * m + timedelta(microseconds=1), 6, "view", 42.0, '{"k": 13}'),
         (17, t0 + 11 * m, 6, "click", 42.0, '{"k": 14}'),
+        # user 7: a NULL timestamp — the engines' ASC NULL orderings
+        # DISAGREE by default (Spark first, DuckDB last), so every
+        # event-time window/filter must handle it explicitly
+        (18, None, 7, "view", 13.0, '{"k": 15}'),
     ]
     return rows
 
