@@ -214,7 +214,9 @@ SELECT p.user_id,
        CAST(sum(p.c) AS BIGINT) AS total_events,
        min(p.event_type) FILTER (WHERE p.c = m.mc) AS top_type,
        min(m.mc) AS top_count
-FROM pt p JOIN mx m ON p.user_id = m.user_id
+-- null-safe join: a NULL user_id is still a group (Spark's map path
+-- keeps it via groupBy), but a plain equi-join would drop it
+FROM pt p JOIN mx m ON p.user_id IS NOT DISTINCT FROM m.user_id
 GROUP BY p.user_id
 ORDER BY p.user_id
 """,

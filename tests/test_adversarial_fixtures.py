@@ -231,6 +231,10 @@ def _edge_events() -> list[tuple]:
         # DISAGREE by default (Spark first, DuckDB last), so every
         # event-time window/filter must handle it explicitly
         (18, None, 7, "view", 13.0, '{"k": 15}'),
+        # NULL user: per-user windows get a NULL partition (consistent
+        # in both engines), user joins must drop it identically, and
+        # the salted join must hash it deterministically
+        (19, t0 + 15 * m, None, "view", 14.0, '{"k": 16}'),
     ]
     return rows
 
