@@ -121,7 +121,11 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_training_sequences",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, len({_sql_tokens()}) AS n_tokens FROM documents
+  -- packing is DEFINED by doc_id order: a row with no id has no
+  -- position in the pack (and the engines' NULL orderings disagree),
+  -- so unidentified rows are excluded identically in both engines
+  SELECT doc_id, len({_sql_tokens()}) AS n_tokens
+  FROM documents WHERE doc_id IS NOT NULL
 ), c AS (
   SELECT doc_id, n_tokens,
          sum(n_tokens) OVER (ORDER BY doc_id
@@ -145,7 +149,10 @@ ORDER BY seq_id
     tags=("pipeline", "packing", "prefix-sum"),
 )
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL doc_id excluded in both engines — see the oracle comment
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     toks = docs.select(
         "doc_id",
         F.size(_tokens()).alias("n_tokens"),

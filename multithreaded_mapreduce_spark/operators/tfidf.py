@@ -37,7 +37,12 @@ def _snap6(c: Column) -> Column:
     "tfidf_top_terms",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+  -- TF-IDF is defined per DOCUMENT: a row with no doc_id is not a
+  -- document (its terms would get df = 0 — count(DISTINCT) skips
+  -- NULL — and ln(N/0) diverges between engines), so unidentified
+  -- rows are excluded from terms AND the corpus count in both engines
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+  FROM documents WHERE doc_id IS NOT NULL
 ), toks_clean AS (
   SELECT * FROM toks WHERE length(term) > 0
 ), tf AS (
@@ -45,7 +50,7 @@ WITH toks AS (
 ), df AS (
   SELECT term, count(DISTINCT doc_id) AS df FROM toks_clean GROUP BY 1
 ), n AS (
-  SELECT count(*) AS n_docs FROM documents
+  SELECT count(*) AS n_docs FROM documents WHERE doc_id IS NOT NULL
 ), scored AS (
   SELECT tf.doc_id, tf.term, tf.tf,
          CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
@@ -68,7 +73,10 @@ ORDER BY doc_id, rank
     tags=("text", "tfidf", "ranking"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL doc_id excluded in both engines — see the oracle comment
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     toks = docs.select(
         "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
     ).filter(F.length("term") > 0)

@@ -50,6 +50,13 @@ _EDGE_DOCS = [
     # NULL text — crawl pipelines see these; every text path must agree
     # with the oracle on NULL propagation, not crash
     (14, None, "en", "src9"),
+    # NULL doc_id (broken upstream id assignment): groupings keep a
+    # NULL group identically, pair joins drop NULL comparisons
+    # identically, and a NULL lang rides along for the per-lang paths
+    (None, "orphan row with no id", None, "src9"),
+    # duplicate doc_id with DIFFERENT text — id-keyed dedup/chunk paths
+    # must treat it deterministically in both engines
+    (11, "tab and newline separated but different", "en", "src19"),
 ]
 
 
