@@ -164,6 +164,9 @@ def _edge_vectors() -> list[tuple[int, list[float], int]]:
     rows.append((19, list(alt), 3))                              # duplicate of 6
     rows += [(20 + i, step(4 + 8 * i), 4 + i % 6) for i in range(8)]
     rows.append((28, None, 5))  # NULL embedding — must propagate, not crash
+    # NULL label: label-filtered search and per-label aggregates must
+    # treat the unlabeled vector identically in both engines
+    rows.append((29, step(12), None))
     return rows
 
 
