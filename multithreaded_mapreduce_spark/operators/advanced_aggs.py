@@ -125,7 +125,7 @@ def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
     )
     totals = (
-        orders.groupBy("o_orderpriority")
+        orders.groupBy(F.col("o_orderpriority").alias("t_prio"))
         .agg(
             F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias(
                 "total_price"
@@ -133,7 +133,12 @@ def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        pivoted.join(totals, "o_orderpriority")
+        # eqNullSafe: a NULL priority is still a group in the oracle's
+        # single GROUP BY; a plain equi-join between the pivot and the
+        # totals relation would drop it (corrupted-orders sweep)
+        pivoted.join(
+            totals, F.col("o_orderpriority").eqNullSafe(F.col("t_prio"))
+        )
         .select(
             "o_orderpriority",
             *[
@@ -239,7 +244,13 @@ def string_agg_status_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+            # nullif: a group whose every status is NULL has an EMPTY
+            # set — DuckDB's string_agg returns NULL there, array_join
+            # would return '' (corrupted-orders sweep)
+            F.nullif(
+                F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ","),
+                F.lit(""),
+            ).alias("statuses"),
             F.countDistinct("o_orderstatus").alias("n_statuses"),
         )
         .orderBy("o_orderpriority")

@@ -74,6 +74,10 @@ WITH m AS (
          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
          CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS revenue
   FROM orders
+  -- an undated order has no calendar position: it must not join the
+  -- month-over-month lag chain (and the engines' NULL orderings
+  -- disagree) — excluded identically in both engines
+  WHERE o_orderdate IS NOT NULL
   GROUP BY 1, 2
 )
 SELECT o_orderpriority, month,
@@ -93,7 +97,9 @@ ORDER BY o_orderpriority, month
     tags=("analytics", "window", "growth"),
 )
 def priority_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     m = (
         orders.groupBy(
             "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("month")

@@ -68,12 +68,15 @@ GROUP BY 1 ORDER BY o_orderpriority
 def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1, v2 = _staged_dirs(spark, sf_dir)
     merged = spark.read.option("mergeSchema", True).parquet(v1, v2)
+    # bucket by GENERATION (key parity marks the v1 files), not by
+    # coalescing NULLs: a v2 row whose priority is genuinely NULL must
+    # stay a NULL group, exactly like the oracle's CASE — a plain
+    # coalesce folded it into '<pre-schema>' (corrupted-orders sweep)
+    generation = F.when(
+        F.col("o_orderkey") % 2 == 0, F.lit("<pre-schema>")
+    ).otherwise(F.col("o_orderpriority"))
     return (
-        merged.groupBy(
-            F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias(
-                "o_orderpriority"
-            )
-        )
+        merged.groupBy(generation.alias("o_orderpriority"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias(

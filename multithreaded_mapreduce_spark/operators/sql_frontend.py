@@ -60,10 +60,14 @@ def sql_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: that case instead).
 RECURSIVE_ORDER_CHAINS = """
 WITH RECURSIVE ranked AS (
+  -- undated orders are excluded: the chain is DEFINED by date order,
+  -- and although this string runs verbatim in both engines, their
+  -- default NULL orderings differ (Spark NULLS FIRST, DuckDB LAST)
   SELECT o_custkey AS c, o_orderdate AS d,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS rk
   FROM orders
+  WHERE o_orderdate IS NOT NULL
 ), chain (c, rk, d) AS (
   SELECT c, rk, d FROM ranked WHERE rk = 1
   UNION ALL

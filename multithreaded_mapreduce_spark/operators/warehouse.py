@@ -123,9 +123,13 @@ def merge_upsert_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_customer_history",
     oracle="""
 WITH ev AS (
+  -- the change feed is DEFINED by date order: undated orders have no
+  -- position in it (and the engines' NULL orderings disagree), so
+  -- they are excluded identically in both engines
   SELECT o_custkey AS custkey, o_orderdate, o_orderkey, o_orderpriority,
          lag(o_orderpriority) OVER w AS prev_p
   FROM orders
+  WHERE o_orderdate IS NOT NULL
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ), ch AS (
   SELECT custkey, o_orderdate AS valid_from, o_orderkey, o_orderpriority AS priority
@@ -149,7 +153,10 @@ ORDER BY custkey, version_n
     tags=("warehouse", "scd2", "window"),
 )
 def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # NULL order dates excluded in both engines — see the oracle comment
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     w = Window.partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")
     ev = orders.select(
         F.col("o_custkey").alias("custkey"),

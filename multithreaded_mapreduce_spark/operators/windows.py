@@ -55,15 +55,19 @@ SELECT o_custkey, o_orderkey, o_orderdate,
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS running_total
 FROM orders
-WHERE o_custkey <= 100
+WHERE o_custkey <= 100 AND o_orderdate IS NOT NULL
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """,
     description="Per-customer running revenue over order date (cumulative "
-    "frame, decimal-exact so engines agree).",
+    "frame, decimal-exact so engines agree). Undated orders have no "
+    "position in a date-ordered running total (and the engines' NULL "
+    "orderings disagree) — excluded explicitly in both engines.",
     tags=("window", "runningagg"),
 )
 def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") <= 100) & F.col("o_orderdate").isNotNull()
+    )
     w = (
         W.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -257,6 +261,7 @@ WITH w AS (
            (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey)
            AS first_order_price
   FROM orders
+  WHERE o_orderdate IS NOT NULL
   WINDOW tr AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
                 RANGE BETWEEN {MOMENTUM_US} PRECEDING AND CURRENT ROW)
 )
@@ -275,7 +280,12 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
     tags=("window", "range-frame", "relational"),
 )
 def customer_order_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # a time-RANGE frame is undefined for an undated order (NULL sort
+    # key), and the engines disagree on NULL peer frames — excluded
+    # explicitly in both engines
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     us = F.unix_micros("o_orderdate")
     tr = (
         W.partitionBy("o_custkey")

@@ -299,7 +299,29 @@ def corrupted_orders_dir(tmp_path_factory, spark) -> str:
     orphan = first.withColumn("o_orderkey", F.lit(999_999_002)).withColumn(
         "o_custkey", F.lit(888_888_888)  # no such customer
     )
-    damaged = orders.unionByName(dup_key).unionByName(null_cust).unionByName(orphan)
+    # NULL measure / date / status / priority: revenue aggregates,
+    # histograms (a NULL bucket), date filters, and every window that
+    # orders by price or date must handle NULLs identically — the
+    # engines' ASC NULL defaults disagree (Spark first, DuckDB last)
+    null_price = first.withColumn("o_orderkey", F.lit(999_999_003)).withColumn(
+        "o_totalprice", F.lit(None).cast("double")
+    )
+    null_date = first.withColumn("o_orderkey", F.lit(999_999_004)).withColumn(
+        "o_orderdate", F.lit(None).cast("timestamp")
+    )
+    null_status = (
+        first.withColumn("o_orderkey", F.lit(999_999_005))
+        .withColumn("o_orderstatus", F.lit(None).cast("string"))
+        .withColumn("o_orderpriority", F.lit(None).cast("string"))
+    )
+    damaged = (
+        orders.unionByName(dup_key)
+        .unionByName(null_cust)
+        .unionByName(orphan)
+        .unionByName(null_price)
+        .unionByName(null_date)
+        .unionByName(null_status)
+    )
     tmp = os.path.join(d, "_orders_tmp")
     damaged.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
