@@ -244,13 +244,17 @@ def string_agg_status_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            # nullif: a group whose every status is NULL has an EMPTY
-            # set — DuckDB's string_agg returns NULL there, array_join
-            # would return '' (corrupted-orders sweep)
-            F.nullif(
-                F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ","),
-                F.lit(""),
-            ).alias("statuses"),
+            # gate on the AGGREGATE, not the joined string: a group
+            # whose every status is NULL has an empty set — DuckDB's
+            # string_agg returns NULL there, array_join would return ''
+            # (corrupted-orders sweep). nullif('') would also swallow a
+            # legitimate lone empty-string status, which string_agg
+            # keeps as '' — count(col) distinguishes the two.
+            F.when(F.count("o_orderstatus") == 0, F.lit(None))
+            .otherwise(
+                F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
+            )
+            .alias("statuses"),
             F.countDistinct("o_orderstatus").alias("n_statuses"),
         )
         .orderBy("o_orderpriority")

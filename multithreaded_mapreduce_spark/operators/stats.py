@@ -204,14 +204,28 @@ def part_price_deciles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     brands means 25 tasks sorting 4% of the table each. This
     builder instead:
 
-    1. range-partitions on (group, value) into N_RANK_CHUNKS chunks —
-       within a group, chunk ids ascend with value;
+    1. assigns each row a chunk id by equi-width binning of the value
+       against ONCE-computed global [min, max] boundaries (a 2-double
+       driver collect) — within a group, chunk ids ascend with value,
+       and the id is a pure function of the row, identical however
+       many times the relation is evaluated;
     2. local ``row_number`` per (chunk, group) — parallelism is
        chunks × groups;
     3. prefix-sums the tiny per-(chunk, group) count relation with a
        window over the CHUNK ID (|chunks × groups| rows, trivially
        small) and broadcasts it back: global rank = chunk offset +
        local rank.
+
+    The deterministic binning (not ``repartitionByRange`` +
+    ``spark_partition_id``) matters because the chunked relation feeds
+    TWO branches — local ranks and offsets. RangePartitioner samples
+    its boundaries per materialization, so two evaluations of the same
+    plan can disagree on chunk ids once inputs exceed the sampler
+    size, silently misaligning offsets against ranks. A row-pure chunk
+    id cannot diverge, with no persist() needed. Equi-width bins can
+    skew on pathological value distributions — that costs parallelism
+    within a hot chunk, never correctness (offsets count whatever
+    landed in each bin).
 
     Same two-level prefix-sum pattern as ``pack_training_sequences``
     (pipeline_prep.py) — the general answer whenever a global
@@ -225,9 +239,19 @@ def part_price_deciles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    chunked = part.repartitionByRange(
-        N_RANK_CHUNKS, "p_brand", "p_retailprice"
-    ).withColumn("chunk", F.spark_partition_id())
+    bounds = part.agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    ).first()
+    lo = float(bounds["lo"]) if bounds["lo"] is not None else 0.0
+    hi = float(bounds["hi"]) if bounds["hi"] is not None else 1.0
+    width = max((hi - lo) / N_RANK_CHUNKS, 1e-9)
+    chunked = part.withColumn(
+        "chunk",
+        F.least(
+            F.lit(N_RANK_CHUNKS - 1),
+            F.floor((F.col("p_retailprice") - F.lit(lo)) / F.lit(width)),
+        ).cast("int"),
+    )
     # local ranks within (chunk, group): chunks × groups concurrent sorts
     wl = W.partitionBy("chunk", "p_brand").orderBy("p_retailprice")
     local = chunked.withColumn("lrn", F.row_number().over(wl))

@@ -36,23 +36,29 @@ def test_kmeans_update_does_not_increase_inertia(spark, sf_dir):
     """Lloyd's step is monotone: mean squared distance after the
     centroid update (ITERS=2 report) must not exceed the seed
     assignment's (a one-iteration run). Exact-decimal sums make this
-    hold without a float tolerance; the tiny slack covers the 6-dp
-    centroid snapping between iterations."""
+    hold without a float tolerance on the true inertias — but each
+    reported avg_sq_dist is rounded to 4 decimals, so reconstructing
+    total inertia as Σ avg·n carries up to 0.5e-4·n_members error per
+    cluster per run; the slack covers that reconstruction error for
+    both runs (1e-4 · total members), not any algorithmic drift."""
     import multithreaded_mapreduce_spark.operators.vectors as vx
 
-    def total_inertia() -> float:
+    def totals() -> tuple[float, int]:
         rows = vx.kmeans_lloyd(spark, sf_dir).collect()
-        return sum(r.avg_sq_dist * r.n_members for r in rows)
+        return (
+            sum(r.avg_sq_dist * r.n_members for r in rows),
+            sum(r.n_members for r in rows),
+        )
 
-    after = total_inertia()
+    after, n_after = totals()
     orig = vx.KMEANS_ITERS
     vx.KMEANS_ITERS = 1
     try:
-        before = total_inertia()
+        before, _ = totals()
     finally:
         vx.KMEANS_ITERS = orig
     assert KMEANS_ITERS == 2  # the registered config this test assumes
-    assert after <= before + 1e-6, (after, before)
+    assert after <= before + 1e-4 * n_after, (after, before)
 
 
 def test_ccnet_buckets_partition_each_language(spark, sf_dir):
