@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from multithreaded_mapreduce_spark.plans.caching import release_tracked  # noqa: E402
 from multithreaded_mapreduce_spark.plans.registry import all_queries  # noqa: E402
 from multithreaded_mapreduce_spark.session import get_spark  # noqa: E402
 
@@ -49,6 +50,13 @@ HEADLINE = (
     "events_session_window_native",  # built-in session_window aggregation
     "pack_training_sequences",       # distributed prefix-sum packing
     "decontaminate_ngram_overlap",   # broadcast shingle-overlap decontamination
+    # r4: regression-track the round-3 heavy operators (VERDICT r3 task 3)
+    "kmeans_lloyd",                  # 2-round Lloyd: scan + (k,dim) agg per round
+    "knn_ivf_exact_ann",             # IVF inverted-list probe + rerank
+    "dedup_minhash_verified",        # cross-engine minhash banding + verify
+    "part_price_deciles_exact",      # distributed rank selection (prefix sum)
+    "token_triangle_counts",         # degree-oriented triangle enumeration
+    "merge_upsert_customer_state",   # MERGE-style keyed upsert
 )
 
 
@@ -91,6 +99,7 @@ def main() -> None:
         q = queries[name]
         runs: list[float] = []
         for _ in range(n_runs):
+            release_tracked()  # builder-internal persists from the prior run
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()

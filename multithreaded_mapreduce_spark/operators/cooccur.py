@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.caching import tracked_persist
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -81,7 +82,7 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         # four branches (marginals, doc count, both pair-join sides)
         # consume this; unpersisted, each re-runs the scan + explode +
         # distinct shuffle (4 extra exchanges, measured in the plan sweep)
-        .persist()
+        .transform(tracked_persist)
     )
     marg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     n = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
@@ -166,9 +167,9 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
-    marg = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c")).persist()
+    marg = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c")).transform(tracked_persist)
     n = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     a = baskets.select("l_orderkey", F.col("p_brand").alias("brand_a"))
     b = baskets.select(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_exact
+from ..plans.caching import tracked_local_checkpoint, tracked_persist
 from ..plans.registry import register
 from ..sources.tables import load_table, spread
 
@@ -153,7 +154,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("toks", lambda t: F.xxhash64(t)).alias("toks_h"),
             F.size("toks").alias("n"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     a = groups.select(
         F.col("gid").alias("ga"), F.col("toks_h").alias("ta"),
@@ -427,7 +428,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokset.groupBy("toks_h")
         .agg(F.min("doc_id").alias("gid"), F.collect_list("doc_id").alias("members"))
         .select("gid", "members", "toks_h", F.size("toks_h").alias("n"))
-        .persist()
+        .transform(tracked_persist)
     )
 
     def _minhash(i: int):
@@ -672,7 +673,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_cols = [_mh(a, b).alias(f"s{i}") for i, (a, b) in enumerate(MINHASH_COEFFS)]
     sigs = dsets.select(
         "doc_id", "tids", F.size("tids").alias("n"), *sig_cols
-    ).persist()
+    ).transform(tracked_persist)
     # band key = (band index, the band's 2 signature values) as a struct —
     # exact equality, no re-hash, so the candidate set is literally the
     # oracle's OR-of-band-equalities, generated by ONE equi-join
@@ -780,11 +781,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ).transform(tracked_local_checkpoint)
     labels = (
         edges.select(F.col("doc_a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(tracked_local_checkpoint)
     )
     # min-label propagation: each round every node takes the min of its
     # own and its neighbors' labels; a component converges in O(diameter)
@@ -803,7 +804,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
             )
-            .localCheckpoint()
+            .transform(tracked_local_checkpoint)
         )
         changed = (
             new_labels.alias("n")
@@ -1230,11 +1231,11 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_embedding_pairs(spark, sf_dir).select("vec_a", "vec_b")
     edges = pairs.union(
         pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
-    ).localCheckpoint()
+    ).transform(tracked_local_checkpoint)
     labels = (
         edges.select(F.col("vec_a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(tracked_local_checkpoint)
     )
     for _ in range(20):
         nbr = (
@@ -1248,7 +1249,7 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
             )
-            .localCheckpoint()
+            .transform(tracked_local_checkpoint)
         )
         changed = (
             new_labels.alias("n")

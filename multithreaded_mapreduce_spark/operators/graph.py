@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.caching import tracked_local_checkpoint, tracked_persist
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -138,13 +139,13 @@ ORDER BY rank DESC, token
     tags=("graph", "pagerank", "iterative"),
 )
 def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = cooccurrence_edges(spark, sf_dir).persist()
+    edges = cooccurrence_edges(spark, sf_dir).transform(tracked_persist)
     outw = edges.groupBy("src").agg(F.sum("weight").alias("ow"))
     norm = edges.join(outw, "src").select(
         "src", "dst",
         (F.col("weight").cast("double") / F.col("ow").cast("double")).alias("p"),
-    ).persist()
-    nodes = edges.select(F.col("src").alias("token")).distinct().persist()
+    ).transform(tracked_persist)
+    nodes = edges.select(F.col("src").alias("token")).distinct().transform(tracked_persist)
     n_nodes = nodes.count()
     if n_nodes == 0:
         # empty corpus → empty graph → empty ranks (the oracle's chained
@@ -183,7 +184,7 @@ def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materializes. The 100 TB analogue is reliable-storage
         # checkpointing, same cadence.
         if it % 3 == 2:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(tracked_local_checkpoint)
     return ranks.select(
         "token", F.round(F.col("rank").cast("decimal(30,12)"), 9).cast("double").alias("rank")
     ).orderBy(F.desc("rank"), "token")
@@ -274,13 +275,13 @@ def token_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Without the persists the plan recomputes the edge derivation per
     # branch — 26 parquet scans / 53 exchanges, measured (the same
     # ReuseExchange-defeated-by-pruning pathology the funnel had).
-    half = cooccurrence_half_edges(spark, sf_dir).select("src", "dst").persist()
+    half = cooccurrence_half_edges(spark, sf_dir).select("src", "dst").transform(tracked_persist)
     deg = (
         half.select(F.col("src").alias("token"))
         .unionAll(half.select(F.col("dst").alias("token")))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .persist()
+        .transform(tracked_persist)
     )
     ds = deg.select(F.col("token").alias("src"), F.col("degree").alias("_ds"))
     dd = deg.select(F.col("token").alias("dst"), F.col("degree").alias("_dd"))
@@ -292,7 +293,7 @@ def token_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(keep, F.col("src")).otherwise(F.col("dst")).alias("u"),
             F.when(keep, F.col("dst")).otherwise(F.col("src")).alias("v"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     tri = (

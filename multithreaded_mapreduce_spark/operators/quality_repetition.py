@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.caching import tracked_persist
 from ..plans.registry import register
 from ..sources.tables import load_table, spread
 from .textstats import _sql_tokens, _tokens
@@ -294,7 +295,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one row per document; consumed by the tercile aggregate AND
         # the bucket assignment — persist or the whole scoring join
         # (the expensive pass) runs twice
-        .persist()
+        .transform(tracked_persist)
     )
 
     def snap4(c):

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.caching import tracked_persist
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -484,7 +485,7 @@ def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist so the token-stream shuffle runs once. |vocab| is
     # MB-scale even at 100 TB corpus size (same argument as the
     # unigram-LM broadcast in quality_repetition.py).
-    v = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    v = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).transform(tracked_persist)
     # top-K via orderBy+limit → TakeOrderedAndProject: each partition
     # keeps its local K, the driver merges K·partitions rows — no
     # global sort. The rank window then runs on K rows (single task

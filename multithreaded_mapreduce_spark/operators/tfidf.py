@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.caching import tracked_persist
 from ..plans.registry import register
 from ..sources.tables import load_table
 from .dedup import JACCARD_ORACLE, JACCARD_THRESHOLD
@@ -143,7 +144,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("toks", lambda t: F.xxhash64(t)).alias("toks_h"),
             F.size("toks").alias("n"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     # global rarity order (freq asc, token-hash asc) over collapsed sets
     tok = groups.select(F.col("gid"), F.col("n"), F.explode("toks_h").alias("token"))

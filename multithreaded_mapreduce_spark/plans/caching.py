@@ -1,0 +1,108 @@
+"""Cache hygiene for builder-internal ``persist()`` calls.
+
+Several builders persist a shared intermediate relation so that
+multiple consuming branches don't re-derive it (the round-3
+branch-recomputation fixes: triangle counting, PMI, basket lift, LSH
+collapse, pagerank edges, …). A builder cannot unpersist that relation
+itself — the caller runs the action, and the cache must live until the
+action completes. Left alone, though, every builder invocation leaks a
+CacheManager entry that survives until session stop, so a long-lived
+session sweeping the catalog accumulates hundreds of cached relations
+(VERDICT r3 task 4 / ADVICE r3).
+
+Contract implemented here:
+
+- builders persist through :func:`tracked_persist`, which records the
+  DataFrame in a session-global ledger;
+- the registry wraps every registered builder so that each TOP-LEVEL
+  builder invocation first releases the ledger — the previous query's
+  action has necessarily been taken (or abandoned) by the time the
+  caller asks for the next plan, so its caches are dead weight. Nested
+  builder-in-builder composition goes through the raw module-level
+  functions, never the registry wrapper, so a release can never fire
+  mid-build;
+- action-side harnesses (bench.py, scripts/plan_audit.py, the oracle
+  gate) call :func:`release_tracked` explicitly after their action so
+  no persisted relation outlives its query even without a next build.
+
+The worst-case cache residency is therefore ONE query's intermediates,
+regardless of session lifetime.
+
+Contract caveat: releasing a localCheckpoint's blocks makes any
+DataFrame built on it non-recomputable (localCheckpoint truncates
+lineage by design), so a PREVIOUS query's returned DataFrame must not
+be re-collected after the next top-level build starts — rebuild it
+through the registry instead. That is exactly how the driver, bench,
+oracle gate, and tests consume the catalog.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_TRACKED: list[DataFrame] = []
+#: (SparkSession, rdd_id) pairs for localCheckpoint block caches, which
+#: live OUTSIDE the CacheManager and need RDD-level unpersist
+_TRACKED_RDD_IDS: list[tuple[object, int]] = []
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def tracked_persist(df: DataFrame, level: Optional[StorageLevel] = None) -> DataFrame:
+    """``df.persist()`` + enrol the relation for later release."""
+    out = df.persist(level) if level is not None else df.persist()
+    _TRACKED.append(out)
+    return out
+
+
+def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint()`` + enrol its cached RDD blocks.
+
+    localCheckpoint materializes into RDD block caches that the
+    CacheManager doesn't know about — DataFrame.unpersist can't reach
+    them, and they otherwise live until the ContextCleaner happens to
+    GC the RDD. The ids are diffed around the checkpoint call (builders
+    are single-threaded, so the diff is exactly this checkpoint's)."""
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=eager)
+    for rid in _persistent_rdd_ids(spark) - before:
+        _TRACKED_RDD_IDS.append((spark, rid))
+    return out
+
+
+def release_tracked(blocking: bool = False) -> int:
+    """Unpersist every tracked relation; returns how many were released.
+
+    Safe to call at any top-of-build or post-action point: unpersisting
+    an already-unpersisted or stopped-session DataFrame is a no-op /
+    swallowed error.
+    """
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session stopped or cache already evicted
+    while _TRACKED_RDD_IDS:
+        spark, rid = _TRACKED_RDD_IDS.pop()
+        try:
+            jrdd = spark.sparkContext._jsc.getPersistentRDDs().get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(blocking)
+                n += 1
+        except Exception:
+            pass
+    return n
+
+
+def tracked_count() -> int:
+    return len(_TRACKED) + len(_TRACKED_RDD_IDS)

@@ -78,6 +78,34 @@ _MODULES = (
 )
 
 
+_BUILD_DEPTH = 0
+
+
+def _with_cache_release(fn: Builder) -> Builder:
+    """Release the previous query's tracked caches at each top-level
+    registry build (see plans/caching.py for the contract). Nested
+    builder composition calls raw module-level functions, not registry
+    entries, but the depth guard makes a release mid-build impossible
+    even if one ever does."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        global _BUILD_DEPTH
+        from .caching import release_tracked
+
+        if _BUILD_DEPTH == 0:
+            release_tracked()
+        _BUILD_DEPTH += 1
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            _BUILD_DEPTH -= 1
+
+    wrapped.__name__ = getattr(fn, "__name__", "builder")
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def register(
     name: str,
     oracle: str | None = None,
@@ -89,7 +117,7 @@ def register(
     def deco(fn: Builder) -> Builder:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QueryDef(name, fn, oracle, description, tags)
+        _REGISTRY[name] = QueryDef(name, _with_cache_release(fn), oracle, description, tags)
         return fn
 
     return deco
@@ -109,70 +137,79 @@ def _load() -> None:
 
 #: The driver's correctness gate hashes only the FIRST 50 queries in
 #: registration order, so the front of the catalog is pinned explicitly:
-#: 50 oracle-bearing queries spanning every operator family (rows-only
-#: queries can never go green there and would waste checked slots).
-#: Everything not listed follows in module registration order and is
-#: covered by the local gate (tests/test_oracle_parity.py).
+#: 50 oracle-bearing queries (rows-only queries can never go green
+#: there and would waste checked slots). Everything not listed follows
+#: in module registration order and is covered by the local gate
+#: (tests/test_oracle_parity.py).
+#:
+#: ROTATION (r4): rounds 1-3 drove 61 distinct queries through the
+#: driver's hash; this round repoints the window at 45 queries the
+#: driver has NEVER checked (cumulative driver-verified coverage
+#: 61 → 106 of 165 oracle-bearing), keeping 5 canaries for continuity
+#: with every previous round. Rounds 1-3 windows remain in the local
+#: type-sensitive gate.
 FRONT_WINDOW: tuple[str, ...] = (
-    # reference parity (SURVEY §2.1)
+    # canaries — driver-green in every prior round
     "wordcount",
-    "wordcount_per_doc",
-    "wordcount_grouped_trace",
-    # core relational
-    "filter_project",
     "q1_pricing_summary",
-    "top_customers",
     "join_chain_revenue",
-    "left_join_order_counts",
-    "semi_join_active_customers",
-    "distinct_nation_segments",
-    "count_distinct_parts",
-    "rollup_lineitem",
-    "cube_orders",
-    "full_outer_nation_parties",
-    # windows
-    "topk_parts_per_brand",
-    "running_customer_revenue",
-    "supplier_acctbal_ranks",
-    "user_event_deltas",
-    "part_price_distribution",
-    "events_rolling_median",
-    "customer_order_momentum",
-    # set ops
-    "union_parties",
-    "except_all_order_priorities",
-    # scalar functions
-    "string_functions",
-    "monthly_order_stats",
-    "date_parts",
-    "json_event_props",
-    "array_functions",
-    "map_functions",
-    "json_typed_extraction",
-    "json_variant_stats",
-    # event-time windows
-    "events_tumbling_hourly",
-    "events_sliding_windows",
-    "user_sessions",
-    "events_session_window_native",
-    "events_multires_rollup",
-    # dedup
     "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_verified",
-    "dedup_components",
-    "dedup_embedding_pairs",
-    # similarity
     "knn_cosine_bruteforce",
-    "knn_sketch_ann",
-    "knn_quantized_ann",
-    # text analysis / aggregation breadth (HUGEINT-cast fixes, r3)
-    "corpus_stats_by_source",
-    "clean_corpus_pipeline",
-    "documents_profile",
-    "boolean_bitwise_aggs",
-    "q12_priority_by_returnflag",
+    # TPC-H suite (schema-feasible + bridged) — never driver-checked
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_concentrated_shippers",
+    "q21_sole_return_supplier",
+    "q22_idle_rich_customers",
+    # SQL frontend (raw-SQL plans incl. WITH RECURSIVE / LATERAL)
+    "sql_q5_local_supplier_volume",
+    "sql_recursive_order_chains",
+    "sql_lateral_top_orders",
+    # specialized joins
+    "asof_purchase_attribution",
+    "range_join_error_context",
+    "bucketed_join_order_revenue",
+    "skew_salted_event_user_totals",
+    # advanced aggregation / reshape
+    "grouping_sets_lineitem",
+    "pivot_orders_status",
+    "string_agg_status_list",
+    "argminmax_median_mode",
+    # exact statistics
+    "lineitem_moment_stats",
+    "part_price_deciles_exact",
+    # warehouse maintenance
+    "merge_upsert_customer_state",
+    "scd2_customer_history",
+    # BI analytics
+    "customer_abc_classification",
+    "customer_rfm_segments",
+    # behavioral
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    # corpus lifecycle
+    "dedup_incremental_batch",
+    "corpus_dedup_report",
+    "bpe_merge_candidates",
+    # ML / graph / custom source
+    "kmeans_lloyd",
+    "knn_ivf_exact_ann",
+    "token_pagerank",
+    "wordcount_custom_source",
 )
 
 

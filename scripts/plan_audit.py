@@ -56,12 +56,16 @@ def plan_counts(spark, builder, sf_dir: str) -> dict[str, int]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan-audit")
+    from multithreaded_mapreduce_spark.plans.caching import release_tracked
+
     rows = []
     for name, q in all_queries().items():
         try:
             rows.append((name, plan_counts(spark, q.builder, sf_dir)))
         except Exception as ex:  # streaming-only builders etc.
             print(f"{name:40s} ERR {str(ex)[:60]}", file=sys.stderr)
+        finally:
+            release_tracked()  # no persisted relation outlives its query
     rows.sort(key=lambda r: (r[1]["cache"] == 0, r[1]["scan"]), reverse=True)
     print(f"{'query':40s} {'scan':>5s} {'cache':>5s} {'hash':>5s} {'range':>5s} {'bcast':>5s}")
     for name, c in rows:
@@ -70,8 +74,10 @@ def main() -> int:
             f"{name:40s} {c['scan']:5d} {c['cache']:5d} {c['hash']:5d} "
             f"{c['range']:5d} {c['bcast']:5d}{flag}"
         )
+    leaked = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    print(f"persistent RDDs after sweep: {leaked}" + (" <-- CACHE LEAK" if leaked else ""))
     spark.stop()
-    return 0
+    return 1 if leaked else 0
 
 
 if __name__ == "__main__":

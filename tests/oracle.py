@@ -136,9 +136,12 @@ def rows_multiset(cols: list[str], rows: list[tuple]) -> list[str]:
 
 
 def compare_query(spark, sf_dir: str, builder, oracle: str) -> None:
+    from multithreaded_mapreduce_spark.plans.caching import release_tracked
+
     sdf = builder(spark, sf_dir)
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
+    release_tracked()  # builder-internal persists die with the action
 
     con = duck_connection(sf_dir)
     tbl = con.execute(oracle).fetch_arrow_table()

@@ -1,0 +1,59 @@
+"""Builder-internal persists must not outlive their query (VERDICT r3
+task 4): the registry releases the previous query's tracked caches at
+each top-level build, and action-side harnesses release explicitly."""
+
+from __future__ import annotations
+
+from multithreaded_mapreduce_spark.plans.caching import (
+    release_tracked,
+    tracked_count,
+    tracked_persist,
+)
+from multithreaded_mapreduce_spark.plans.registry import all_queries
+
+Q = all_queries()
+
+
+def _persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def _persistent_ids(spark) -> set[int]:
+    return {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def test_release_tracked_empties_cache_manager(spark, sf_dir):
+    release_tracked()
+    spark.catalog.clearCache()
+    assert _persistent_rdds(spark) == 0
+    df = Q["brand_basket_lift"].builder(spark, sf_dir)
+    assert tracked_count() > 0, "builder should persist via tracked_persist"
+    df.count()
+    assert _persistent_rdds(spark) > 0
+    assert release_tracked() > 0
+    assert tracked_count() == 0  # ledger drained
+    assert _persistent_rdds(spark) == 0
+
+
+def test_next_registry_build_evicts_previous_query(spark, sf_dir):
+    release_tracked()
+    spark.catalog.clearCache()
+    Q["token_triangle_counts"].builder(spark, sf_dir).count()
+    triangle_ids = _persistent_ids(spark)
+    assert triangle_ids
+    # a NEW top-level registry build releases the previous query's caches
+    Q["token_pagerank"].builder(spark, sf_dir).count()
+    # triangle's relations are gone; only pagerank's own (persists +
+    # checkpoint rounds) remain — the resident set is bounded by ONE
+    # query's intermediates
+    assert not (_persistent_ids(spark) & triangle_ids)
+    release_tracked()
+    assert _persistent_rdds(spark) == 0
+
+
+def test_tracked_persist_returns_persisted_frame(spark):
+    df = spark.range(10)
+    out = tracked_persist(df)
+    assert out.storageLevel.useMemory
+    assert release_tracked() >= 1
+    assert not df.storageLevel.useMemory

@@ -1,14 +1,28 @@
 """Self-check replica of the driver's correctness gate: every registered
-query with an oracle must match DuckDB on sf0.001 (the driver runs the
-same comparison at sf0.01)."""
+query with an oracle must match DuckDB at sf0.01 — the driver's OWN
+scale, not the smaller sf0.001 the rest of the suite uses, so
+cardinality-dependent drift (ties, empty groups, percentile edges that
+only appear at larger sf) is visible locally (VERDICT r3 task 2)."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
 from multithreaded_mapreduce_spark.plans.registry import all_queries
 
+from .conftest import SF_DIR
 from .oracle import compare_query
+
+_DRIVER_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def sf_dir() -> str:
+    """Module-level override: parity runs at the driver's sf0.01."""
+    return _DRIVER_SF if os.path.isdir(_DRIVER_SF) else SF_DIR
+
 
 _QUERIES = all_queries()
 _WITH_ORACLE = sorted(n for n, q in _QUERIES.items() if q.oracle)

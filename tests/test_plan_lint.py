@@ -81,6 +81,85 @@ def test_no_heavy_expression_pushed_into_scan(spark, sf_dir, name):
                 )
 
 
+#: column-name prefixes identifying the bounded dimension tables — a
+#: global rank over one of these is inherently |dim| rows, fine forever
+_DIM_PREFIXES = ("s_", "n_", "r_")
+
+#: logical nodes that provably bound their output cardinality
+_BOUNDING_NODES = ("Aggregate ", "GlobalLimit", "LocalLimit", "Deduplicate")
+
+
+def _global_windows(jplan):
+    """Yield logical Window nodes whose partition spec is empty or all
+    foldable literals (``partitionBy(lit(0))`` is as global as none)."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+        if node.nodeName() != "Window":
+            continue
+        ps = node.partitionSpec()
+        if ps.size() == 0 or all(
+            ps.apply(i).foldable() for i in range(ps.size())
+        ):
+            yield node
+
+
+@pytest.mark.parametrize("name", _LINTABLE)
+def test_global_windows_have_bounded_input(spark, sf_dir, name):
+    """A window with no (or a constant) partition spec executes in ONE
+    task over its whole input — the classic fact-table scale killer.
+    Every such window in the catalog must consume a provably bounded
+    relation: an aggregate (|groups| rows), a limit (top-K), a
+    deduplicate, or a dimension-table scan. A global window whose
+    subtree shows none of these fails CI (VERDICT r3 task 8; the
+    WindowExec 'No Partition Defined' audit, SCALE.md)."""
+    df = _QUERIES[name].builder(spark, sf_dir)
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    import re
+
+    for w in _global_windows(jplan):
+        sub = w.child().toString()
+        if any(tag in sub for tag in _BOUNDING_NODES):
+            continue
+        rel_cols = re.findall(r"Relation \[([^\],#]+)", sub)
+        assert rel_cols and all(
+            c.startswith(_DIM_PREFIXES) for c in rel_cols
+        ), (
+            f"{name}: partition-less window over an unbounded relation —\n"
+            f"input subtree:\n{sub[:2000]}"
+        )
+
+
+def test_global_window_lint_detects_violations(spark, sf_dir):
+    """Negative control: the detector must flag a fact-table global
+    window (empty partition spec) and classify a lit(0) partition spec
+    as global too — otherwise the catalog-wide lint proves nothing."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = li.withColumn("rn", F.row_number().over(W.orderBy("l_orderkey")))
+    gw = list(_global_windows(bad._jdf.queryExecution().optimizedPlan()))
+    assert len(gw) == 1
+    sub = gw[0].child().toString()
+    assert not any(tag in sub for tag in _BOUNDING_NODES)
+
+    lit0 = li.withColumn(
+        "rn", F.row_number().over(W.partitionBy(F.lit(0)).orderBy("l_orderkey"))
+    )
+    assert len(list(_global_windows(lit0._jdf.queryExecution().optimizedPlan()))) == 1
+
+    keyed = li.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("l_returnflag").orderBy("l_orderkey")),
+    )
+    assert not list(_global_windows(keyed._jdf.queryExecution().optimizedPlan()))
+
+
 def test_shared_relations_are_cached_or_single_pass(spark, sf_dir):
     """Regression guard for the branch-recomputation pathology
     (scripts/plan_audit.py): queries whose shared derived relation is
