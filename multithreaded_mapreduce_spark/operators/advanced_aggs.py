@@ -151,33 +151,75 @@ def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rank-band slack for the percentile bound assertions: GK at accuracy
+#: 10000 guarantees rank error ≤ n/10000; 2% relative + 3 absolute is
+#: generous headroom that still catches a broken sketch immediately
+_PCT_EPS = 0.02
+_PCT_ABS = 3
+
+
 @register(
     "approx_price_percentiles",
-    oracle=None,  # sketch-based: GK summaries differ engine-to-engine,
-    # so no exact-hash oracle; tests/test_analytics.py bounds the error
-    # against the exact interpolated percentiles instead
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(l_extendedprice) AS BIGINT) AS n,
+       TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
     description="Approximate p50/p90/p99 of extended price per return "
     "flag via percentile_approx (Greenwald-Khanna sketch, accuracy "
     "10000). The sketch is mergeable — partials combine map-side like "
     "any algebraic aggregate — which is the whole point at 100 TB: "
     "exact percentiles need a global sort or two passes, the sketch "
-    "needs one pass and a tiny merge.",
+    "needs one pass and a tiny merge. Registered as its own "
+    "VERIFICATION harness (VERDICT r3 task 7): GK summaries differ "
+    "engine-to-engine, so instead of the raw values the output carries "
+    "per-flag booleans asserting each returned value's RANK lies within "
+    "(p ± 2%)·n — computed by counting rows on each side of the value "
+    "in a second conditional-aggregate pass — which the oracle pins to "
+    "TRUE. A sketch returning an out-of-band value fails the driver's "
+    "value hash. Production queries ship the one-pass sketch aggregate "
+    "this query exercises (the rank-audit join is verification cost).",
     tags=("aggregate", "percentile", "approx", "sketch"),
 )
 def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx(
-                "l_extendedprice", [0.5, 0.9, 0.99], 10000
-            ).alias("pcts")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "pcts"
         )
-        .select(
-            "l_returnflag",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p90"),
-            F.col("pcts")[2].alias("p99"),
+    )
+    joined = li.join(
+        F.broadcast(ap.withColumnsRenamed({"l_returnflag": "a_flag"})),
+        F.col("l_returnflag").eqNullSafe(F.col("a_flag")),
+    )
+    price = F.col("l_extendedprice")
+
+    def band(i: int, p: float, name: str):
+        v = F.col("pcts")[i]
+        n_le = F.count_if(price <= v)
+        n_lt = F.count_if(price < v)
+        n = F.count(price).cast("double")
+        # n_le ≥ (p−ε)·n − A keeps v from undershooting its rank;
+        # n_lt ≤ (p+ε)·n + A from overshooting; tie-runs sit between
+        # n_lt and n_le, so equal values can never fail the band. An
+        # all-NULL group (n = 0, v NULL, count_ifs 0) passes trivially,
+        # matching the oracle's unconditional TRUE.
+        lo_ok = n_le.cast("double") >= (p - _PCT_EPS) * n - _PCT_ABS
+        hi_ok = n_lt.cast("double") <= (p + _PCT_EPS) * n + _PCT_ABS
+        return (lo_ok & hi_ok).alias(name)
+
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(price).alias("n"),
+            band(0, 0.5, "p50_in_band"),
+            band(1, 0.9, "p90_in_band"),
+            band(2, 0.99, "p99_in_band"),
         )
         .orderBy("l_returnflag")
     )

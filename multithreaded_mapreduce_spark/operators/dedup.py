@@ -319,6 +319,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_HASHES = 16
 N_BANDS = 4  # bands of 4 signatures each
 LSH_CHUNK = 128  # hot-bucket chunk size: caps one task's pair fan-out at C²
+#: auto hot-bucket rule (r4): the chunked path engages iff the LARGEST
+#: band bucket reaches max(FLOOR, FACTOR × median bucket size). FLOOR
+#: marks where a single task's pair fan-out (n²/2) stops being
+#: comfortable — 8192 members ≈ 33M pairs; FACTOR keeps ordinary
+#: (non-boilerplate) corpora on the measured-2×-faster plain join even
+#: if their max bucket creeps over a small floor.
+LSH_AUTO_HOT_FLOOR = 8192
+LSH_AUTO_HOT_FACTOR = 32
+
+
+def _lsh_auto_hot_threshold(bands: DataFrame) -> int:
+    """AQE-style runtime decision (VERDICT r3 task 5): measure the
+    band-bucket size distribution with one tiny aggregate over the
+    (persisted-parent) bands relation and return the per-bucket
+    chunking threshold, or 0 for the plain self-join.
+
+    Any threshold yields the same verified pair set (pytest-asserted
+    equivalence of the two paths), so the exact-median determinism here
+    only stabilizes the PLAN, never the result."""
+    stats = bands.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    row = stats.agg(
+        F.max("c").alias("mx"), F.expr("percentile(c, 0.5)").alias("med")
+    ).first()
+    if row is None or row["mx"] is None:
+        return 0
+    cutoff = max(LSH_AUTO_HOT_FLOOR, int(LSH_AUTO_HOT_FACTOR * (row["med"] or 1)))
+    return cutoff if row["mx"] >= cutoff else 0
 
 
 def _lsh_chunked_candidates(bands: DataFrame, hot_threshold: int) -> DataFrame:
@@ -464,17 +493,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     #
     # Hot-bucket escape hatch: one boilerplate band_hash capturing 1e6
     # groups would put that bucket's 5e11 pairs on ONE core (a single
-    # join key cannot be split by AQE), so MMR_LSH_HOT_BUCKET > 0
-    # switches to a two-path plan — buckets above the threshold split
-    # into gid-ordered chunks of LSH_CHUNK, the self-join runs at CHUNK
-    # level, and the C^2 pair fan-out happens AFTER a repartition,
-    # spreading a hot bucket over (|m|/C)^2/2 tasks. The knob defaults
-    # OFF because it was A/B-measured here: the sizing window + chunk
-    # machinery costs ~2x at sf0.1, where the largest bucket (1.6k
-    # members -> 1.3M pairs) is far below one task's comfortable
-    # fan-out; flip it when a corpus has boilerplate-dominated buckets
-    # (equivalence of the two paths is pytest-asserted).
-    hot_threshold = int(os.environ.get("MMR_LSH_HOT_BUCKET", "0"))
+    # join key cannot be split by AQE). The two-path plan — buckets
+    # above a threshold split into gid-ordered chunks of LSH_CHUNK, the
+    # self-join runs at CHUNK level, and the C^2 pair fan-out happens
+    # AFTER a repartition, spreading a hot bucket over (|m|/C)^2/2
+    # tasks — now engages AUTOMATICALLY (r4): a one-aggregate sampling
+    # pass over the bands relation measures the bucket-size
+    # distribution, and chunking turns on per-bucket only when the max
+    # bucket reaches max(LSH_AUTO_HOT_FLOOR, FACTOR × median) — i.e.
+    # when a single task's fan-out would actually hurt. At sf0.1 the
+    # largest bucket is 1.6k members (1.3M pairs), far below the floor,
+    # so the auto rule keeps the A/B-measured-2×-faster plain join.
+    # MMR_LSH_HOT_BUCKET overrides: > 0 forces that threshold, < 0
+    # forces the plain join (skips the sampling pass too); equivalence
+    # of the two paths is pytest-asserted.
+    env_knob = int(os.environ.get("MMR_LSH_HOT_BUCKET", "0"))
+    if env_knob > 0:
+        hot_threshold = env_knob
+    elif env_knob < 0:
+        hot_threshold = 0
+    else:
+        hot_threshold = _lsh_auto_hot_threshold(bands)
     if hot_threshold <= 0:
         cand = (
             bands.alias("x")

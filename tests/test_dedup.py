@@ -33,6 +33,62 @@ def test_minhash_hot_bucket_path_is_equivalent(spark, sf_dir, monkeypatch):
     assert plain == forced
 
 
+def test_lsh_auto_hot_bucket_engages_on_boilerplate(spark, tmp_path, monkeypatch):
+    """AQE-style auto decision (VERDICT r3 task 5): on a corpus where
+    one boilerplate band bucket is ≥100× the median bucket size, the
+    chunked candidate route must engage WITHOUT the env knob, and its
+    pair set must equal the forced-plain path's exactly."""
+    import multithreaded_mapreduce_spark.operators.dedup as dd
+
+    # 120 near-identical boilerplate docs (30 shared tokens + 1 unique
+    # each → pairwise jaccard 30/32 ≈ 0.94, distinct token SETS so the
+    # identical-set collapse can't merge them) + 60 fully distinct docs
+    # (singleton buckets → median 1)
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, f"{base} uniq{i}") for i in range(120)]
+    rows += [
+        (1000 + i, " ".join(f"z{i}x{j}" for j in range(12))) for i in range(60)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    fixture_dir = str(tmp_path)
+    monkeypatch.delenv("MMR_LSH_HOT_BUCKET", raising=False)
+    # scale the absolute floor down to fixture size; the ≥FACTOR×median
+    # skew rule is what the fixture exercises
+    monkeypatch.setattr(dd, "LSH_AUTO_HOT_FLOOR", 16)
+    engaged: dict[str, int] = {}
+    orig = dd._lsh_chunked_candidates
+
+    def spy(bands, thr):
+        engaged["thr"] = thr
+        return orig(bands, thr)
+
+    monkeypatch.setattr(dd, "_lsh_chunked_candidates", spy)
+    auto = _pairs(Q["dedup_minhash_lsh"].builder(spark, fixture_dir))
+    assert engaged.get("thr", 0) >= 16, "chunked path did not auto-engage"
+    monkeypatch.setenv("MMR_LSH_HOT_BUCKET", "-1")  # force plain
+    plain = _pairs(Q["dedup_minhash_lsh"].builder(spark, fixture_dir))
+    assert auto == plain
+    assert len(auto) >= 100  # the boilerplate clique is actually found
+
+
+def test_lsh_auto_stays_plain_on_ordinary_corpus(spark, sf_dir, monkeypatch):
+    """On the ordinary sf corpus (max bucket far below the floor) the
+    auto rule must keep the measured-faster plain self-join."""
+    import multithreaded_mapreduce_spark.operators.dedup as dd
+
+    monkeypatch.delenv("MMR_LSH_HOT_BUCKET", raising=False)
+    engaged: dict[str, int] = {}
+    monkeypatch.setattr(
+        dd,
+        "_lsh_chunked_candidates",
+        lambda bands, thr: engaged.setdefault("thr", thr),
+    )
+    Q["dedup_minhash_lsh"].builder(spark, sf_dir).count()
+    assert "thr" not in engaged
+
+
 def test_minhash_verified_subset_of_exact_with_high_recall(spark, sf_dir):
     """dedup_minhash_verified verifies exact Jaccard on its candidates,
     so its pairs ⊆ the exact pairs; 8 bands × 2 rows recalls nearly all

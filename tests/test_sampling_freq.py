@@ -97,9 +97,10 @@ def test_broadcast_udf_matches_join(spark, sf_dir):
 
 
 def test_hll_rollup_tracks_exact_distinct(spark, sf_dir):
-    """HLL(lgK=12) estimates per event_type stay within 5% of the exact
-    distinct-user counts, and the day/event bookkeeping is exact."""
-    approx = {
+    """The rollup's self-verifying output: exact distinct twin matches
+    an independent countDistinct, and both bound assertions (merged
+    estimate ≈ direct estimate; estimate within 5% of exact) hold."""
+    rows = {
         r.event_type: r
         for r in Q["hll_distinct_users_rollup"].builder(spark, sf_dir).collect()
     }
@@ -110,10 +111,11 @@ def test_hll_rollup_tracks_exact_distinct(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n_users"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, row in approx.items():
-        rel = abs(row.approx_distinct_users - exact[et]) / exact[et]
-        assert rel <= 0.05, f"{et}: HLL {row.approx_distinct_users} vs {exact[et]}"
+    assert set(rows) == set(exact)
+    for et, row in rows.items():
+        assert row.exact_distinct_users == exact[et], et
+        assert row.merge_within_1pct, f"{et}: union-of-dailies drifted from direct"
+        assert row.hll_within_5pct, f"{et}: HLL estimate out of 5% band"
 
 
 def test_weighted_sample_prefers_heavy_orders(spark, sf_dir):
