@@ -470,6 +470,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid", "n", *[_minhash(i).alias(f"s{i}") for i in range(N_HASHES)]
     )
     rows_per_band = N_HASHES // N_BANDS
+    # persisted (r4): three consumers — the auto hot-bucket decision
+    # pass and both sides of the candidate self-join — would otherwise
+    # each recompute the 16-hash minhash projection over the cached
+    # groups; the relation is 4 slim rows (3 longs + int) per unique
+    # set, far smaller than its compute
     bands = sigs.select(
         "gid",
         "n",
@@ -484,7 +489,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band", "band_hash"),
-    )
+    ).transform(tracked_persist)
     # Candidate generation. Candidate pairs stay slim (two longs)
     # through the bucket self-join and the distinct; the size-ratio
     # prune (jaccard >= t requires the smaller set to be >= t x the

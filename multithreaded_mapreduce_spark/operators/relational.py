@@ -358,18 +358,51 @@ def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_count_distinct_parts",
-    oracle=None,  # HLL sketches are engine-specific — rows-only check
-    description="approx_count_distinct (HyperLogLog++) — the scale path for "
-    "distinct counting at 100 TB; not oracle-able bit-for-bit vs DuckDB.",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_suppkey) AS exact_supps,
+       TRUE AS parts_within_3pct, TRUE AS supps_within_3pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    description="approx_count_distinct (HyperLogLog++, rsd=0.01) — the "
+    "scale path for distinct counting at 100 TB. The sketch estimate is "
+    "engine-specific, so the registered output is its VERIFICATION "
+    "harness (VERDICT r3 task 7 pattern): the exact distinct twin "
+    "(hash-checkable) plus booleans asserting the estimate within 3× "
+    "the configured rsd of exact, pinned TRUE by the oracle — estimator "
+    "drift fails the driver's value hash. Production queries ship the "
+    "one-pass sketch aggregate alone.",
     tags=("relational", "distinct", "approx"),
 )
 def approx_count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+
+    def band(approx_col: str, exact_col: str, name: str):
+        a = F.col(approx_col).cast("double")
+        e = F.col(exact_col).cast("double")
+        return (
+            F.when(F.col(exact_col) == 0, a == 0.0)
+            .otherwise(F.abs(a - e) / e <= 0.03)
+            .alias(name)
+        )
+
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
             F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_suppkey").alias("exact_supps"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_supps",
+            band("approx_parts", "exact_parts", "parts_within_3pct"),
+            band("approx_supps", "exact_supps", "supps_within_3pct"),
         )
         .orderBy("l_returnflag")
     )

@@ -153,16 +153,15 @@ def test_chunk_documents_survives_empty_token_docs(spark, tmp_path):
 
 
 def test_approx_count_distinct_within_sketch_tolerance(spark, sf_dir):
-    """The HLL++ estimates (rsd=0.01) must sit within 5x the configured
-    relative error of the exact distinct counts per group — the accuracy
-    contract behind the rows-only driver check."""
+    """The query's self-verifying output: exact twins match an
+    independent count_distinct, and the 3%-band booleans all hold."""
     from pyspark.sql import functions as F
 
     from multithreaded_mapreduce_spark.plans.registry import all_queries
     from multithreaded_mapreduce_spark.sources.tables import load_table
 
-    approx = {
-        r.l_returnflag: (r.approx_parts, r.approx_supps)
+    rows = {
+        r.l_returnflag: r
         for r in all_queries()["approx_count_distinct_parts"]
         .builder(spark, sf_dir)
         .collect()
@@ -177,8 +176,7 @@ def test_approx_count_distinct_within_sketch_tolerance(spark, sf_dir):
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, (ap, asup) in approx.items():
-        ep, esup = exact[flag]
-        assert abs(ap - ep) <= max(1, 0.05 * ep), (flag, ap, ep)
-        assert abs(asup - esup) <= max(1, 0.05 * esup), (flag, asup, esup)
+    assert set(rows) == set(exact)
+    for flag, row in rows.items():
+        assert (row.exact_parts, row.exact_supps) == exact[flag], flag
+        assert row.parts_within_3pct and row.supps_within_3pct, row
