@@ -336,7 +336,7 @@ def _build_ivf_exact_oracle() -> str:
 
     return (
         lloyd_cte(IVF_K)
-        + f""", cd AS ({_km_dist_sql("x", "c1")}
+        + f""", cd AS ({_km_dist_sql("xl", "c1l")}
 ), lists AS ({_km_assign_sql("cd")}
 ), probes AS (
   SELECT vec_id AS query_id, k FROM (
@@ -389,12 +389,14 @@ ORDER BY query_id, rnk
     "exact cosine rerank are all bit-identical to an unrolled DuckDB "
     "oracle — the IVF family's banding decision itself is value-hash-"
     "checked, not just its recall. Same search plan as knn_ivf_ann: "
-    "corpus shuffles once on cluster id, probes broadcast, rerank is a "
-    "pure Column fold.",
+    "corpus shuffles once on cluster id, probes broadcast, and the "
+    "rerank is two-phase like the bruteforce (cheap double cosine "
+    "ranks every candidate, only the top buffer pays the oracle-stable "
+    "decimal rescore) — pure Column folds throughout.",
     tags=("similarity", "knn", "ann", "ivf", "vectors", "embedding"),
 )
 def knn_ivf_exact_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .vectors import lloyd_assign, lloyd_centroids, lloyd_dist_structs, lloyd_vectors
+    from .vectors import lloyd_assign, lloyd_centroids, lloyd_dist_array, lloyd_vectors
 
     cents = lloyd_centroids(spark, sf_dir, IVF_K, IVF_EXACT_ITERS)
     if not cents:
@@ -415,7 +417,7 @@ def knn_ivf_exact_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("q_emb"),
             F.explode(
                 F.slice(
-                    F.array_sort(F.array(*lloyd_dist_structs(cents))),
+                    F.array_sort(lloyd_dist_array(cents)),
                     1,
                     IVF_N_PROBE,
                 )
@@ -423,16 +425,38 @@ def knn_ivf_exact_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "q_emb", F.col("p.k").alias("k"))
     )
-    # --- search: exact cosine only inside the probed lists
-    scored = (
-        F.broadcast(probes)
-        .join(lists, "k")
+    # --- search inside the probed lists, two-phase like the bruteforce:
+    # cheap double cosine ranks everything, only the RESCORE_BUFFER best
+    # per query pay the oracle-stable decimal rescore (fast/exact
+    # disagreement ~1e-15 cannot cross the rank-5→rank-20 gap, so the
+    # final top-k equals exact-scoring every candidate)
+    prelim = (
+        F.broadcast(
+            probes.withColumn("q_nsq", norm_sq_fast("q_emb"))
+        )
+        .join(lists.withColumn("n_nsq", norm_sq_fast("n_emb")), "k")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
+            "q_emb",
             "neighbor_id",
-            _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+            "n_emb",
+            F.try_divide(
+                dot_fast("q_emb", "n_emb"),
+                F.sqrt(F.col("q_nsq") * F.col("n_nsq")),
+            ).alias("approx"),
         )
+    )
+    pw = W.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
+    )
+    buffer = prelim.withColumn("prnk", F.row_number().over(pw)).filter(
+        F.col("prnk") <= RESCORE_BUFFER
+    )
+    scored = buffer.select(
+        "query_id",
+        "neighbor_id",
+        _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -104,6 +104,122 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_DOCS = 50
+BM25_N_QTERMS = 3
+
+
+@register(
+    "bm25_doc_ranking",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+  FROM documents WHERE doc_id IS NOT NULL
+), toks_clean AS (
+  SELECT * FROM toks WHERE length(term) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks_clean GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks_clean GROUP BY 1
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks_clean GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents WHERE doc_id IS NOT NULL
+), stats AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / CAST(n.n_docs AS DOUBLE) AS avgdl,
+         n.n_docs AS n_docs
+  FROM dl CROSS JOIN n GROUP BY n.n_docs
+), qterms AS (
+  -- deterministic "query": the {BM25_N_QTERMS} highest-df corpus terms
+  SELECT term, df FROM df ORDER BY df DESC, term LIMIT {BM25_N_QTERMS}
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(CAST(
+           ln(1 + (CAST(s.n_docs AS DOUBLE) - q.df + 0.5) / (q.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+         AS DECIMAL(30,12)), 8) AS DECIMAL(30,8)) AS c
+  FROM tf
+  JOIN qterms q ON tf.term = q.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id, sum(c) AS score_dec FROM contrib GROUP BY doc_id
+), topk AS (
+  SELECT doc_id, score_dec FROM scored
+  ORDER BY score_dec DESC, doc_id LIMIT {BM25_TOP_DOCS}
+)
+SELECT row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rank,
+       doc_id,
+       CAST(round(CAST(score_dec AS DECIMAL(30,12)), 6) AS DOUBLE) AS score
+FROM topk ORDER BY rank
+""",
+    description="Okapi BM25 document ranking (k1=1.2, b=0.75) against "
+    "a deterministic query — the corpus's 3 highest-df terms. tf and "
+    "per-doc length come from partial-aggregated groupBys; the query "
+    "terms, document count, and avgdl are broadcast (3 rows, 1 row, "
+    "1 row); the per-(doc, term) contribution is snapped to 8 decimals "
+    "and summed as DECIMAL so the per-doc score is exact and "
+    "partition-order-independent (a double sum over query terms would "
+    "be order-dependent); top-50 via orderBy+limit → "
+    "TakeOrderedAndProject (local k per partition, no global sort); "
+    "the rank window runs on 50 rows by construction. "
+    "Cites the reference's term-counting pipeline (1.cpp:144-158) as "
+    "its tf building block, refined per Robertson et al.'s Okapi BM25.",
+    tags=("text", "bm25", "ranking", "retrieval"),
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = (
+        dl.agg(F.sum("dl").alias("sum_dl"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+                "avgdl"
+            ),
+            "n_docs",
+        )
+    )
+    qterms = df.orderBy(F.desc("df"), "term").limit(BM25_N_QTERMS)
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round((idf * tf_part).cast("decimal(30,12)"), 8).cast(
+        "decimal(30,8)"
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score_dec"))
+    )
+    topk = scored.orderBy(F.desc("score_dec"), "doc_id").limit(BM25_TOP_DOCS)
+    rank = F.row_number().over(W.orderBy(F.desc("score_dec"), "doc_id"))
+    return topk.select(
+        rank.alias("rank"),
+        "doc_id",
+        _snap6(F.col("score_dec")).alias("score"),
+    ).orderBy("rank")
+
+
 @register(
     "dedup_prefix_filter",
     oracle=JACCARD_ORACLE,

@@ -165,13 +165,25 @@ DECV = "DECIMAL(38,12)"
 
 
 def _km_dist_sql(xrel: str, crel: str) -> str:
-    """Squared-L2 distance per (vec, centroid) as an exact decimal sum."""
+    """Squared-L2 distance per (vec, centroid) as an ORDERED double fold.
+
+    ``xrel``/``crel`` are list-form relations ((vec_id, v list) ×
+    (k, c list)). IEEE sub/mul/add are exactly specified, so a fold in
+    a FIXED order is bit-identical across engines — ``list_prepend(0.0)``
+    + left ``list_reduce`` reproduces Spark's ``aggregate(…, 0.0, +)``
+    sequence term for term (including the empty-vector case → 0.0).
+    This replaced the exact-decimal row-sum distance in r4: decimal made
+    the sum ORDER-independent, but per-element interpreted decimal
+    arithmetic was ~5× the cost of the fold, and a fixed-order fold
+    doesn't need order independence."""
     return f"""
   SELECT {xrel}.vec_id, {crel}.k,
-         CAST(sum(CAST(({xrel}.x - {crel}.c) * ({xrel}.x - {crel}.c) AS {DECV}))
-              AS DOUBLE) AS d
-  FROM {xrel} JOIN {crel} USING (dim)
-  GROUP BY {xrel}.vec_id, {crel}.k
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform({xrel}.v, (a, i) ->
+               (a - {crel}.c[i]) * (a - {crel}.c[i]))),
+           (acc, y) -> acc + y) AS d
+  FROM {xrel} CROSS JOIN {crel}
 """
 
 
@@ -188,12 +200,14 @@ def _km_assign_sql(drel: str) -> str:
 
 def lloyd_cte(k: int) -> str:
     """The full one-update Lloyd chain as a WITH prefix: ``e`` (non-null
-    vectors), ``x`` (slim (vec_id, dim, x) rows), seeds = the ``k``
-    smallest vec_ids, assignment ``a1`` against the seed centroids, and
-    the updated (6-dp-snapped, empty-cluster-preserving) centroids in
-    ``c1(k, dim, c)``. Shared verbatim by ``kmeans_lloyd`` and the
-    oracle-checked IVF index in ``similarity.py`` so both engines build
-    the identical quantizer."""
+    vectors), ``x`` (slim (vec_id, dim, x) rows, for the centroid-mean
+    aggregates), ``xl`` (list form, for the ordered distance folds),
+    seeds = the ``k`` smallest vec_ids, assignment ``a1`` against the
+    seed centroids, and the updated (6-dp-snapped, empty-cluster-
+    preserving) centroids in ``c1(k, dim, c)`` / ``c1l(k, c list)``.
+    Shared verbatim by ``kmeans_lloyd`` and the oracle-checked IVF
+    index in ``similarity.py`` so both engines build the identical
+    quantizer."""
     return f"""
 WITH e AS (
   SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
@@ -202,12 +216,17 @@ WITH e AS (
          generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM e
+), xl AS (
+  SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+  FROM e
 ), seed AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, vec_id
   FROM e ORDER BY vec_id LIMIT {k}
 ), c0 AS (
   SELECT seed.k, x.dim, x.x AS c FROM seed JOIN x USING (vec_id)
-), d1 AS ({_km_dist_sql("x", "c0")}
+), c0l AS (
+  SELECT seed.k, xl.v AS c FROM seed JOIN xl USING (vec_id)
+), d1 AS ({_km_dist_sql("xl", "c0l")}
 ), a1 AS ({_km_assign_sql("d1")}
 ), c1m AS (
   SELECT a1.k, x.dim,
@@ -218,6 +237,8 @@ WITH e AS (
 ), c1 AS (
   SELECT c0.k, c0.dim, coalesce(c1m.c, c0.c) AS c
   FROM c0 LEFT JOIN c1m ON c0.k = c1m.k AND c0.dim = c1m.dim
+), c1l AS (
+  SELECT k, list(c ORDER BY dim) AS c FROM c1 GROUP BY k
 )"""
 
 
@@ -233,32 +254,50 @@ def lloyd_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lloyd_dist_structs(cents: dict[int, list[float]]) -> list:
-    """One (d, k) struct Column per centroid: squared-L2 distance from
-    the row's ``v`` array to the literal centroid, (a−b)² terms cast to
-    exact decimal and folded sequentially — identical to the oracle's
-    decimal SUM for any partitioning or summation order. Struct order
-    (d first, k second) makes min/sort break distance ties on the
-    smallest cluster id."""
-    cands = []
-    for k in sorted(cents):
-        carr = F.array(*[F.lit(float(c)) for c in cents[k]])
-        d = F.aggregate(
-            F.zip_with("v", carr, lambda a, b: ((a - b) * (a - b)).cast(DECV)),
-            F.lit(0).cast(DECV),
-            # decimal + widens precision; cast back so the fold
-            # accumulator keeps a fixed type (values are ≪ 1e26,
-            # so the narrowing cast is always exact)
-            lambda acc, y: (acc + y).cast(DECV),
-        ).cast("double")
-        cands.append(F.struct(d.alias("d"), F.lit(k).alias("k")))
-    return cands
+def lloyd_dist_array(cents: dict[int, list[float]]):
+    """Array of (d, k) structs: squared-L2 distance from the row's ``v``
+    array to every literal centroid, as an ORDERED IEEE-double fold —
+    ((0+y₁)+y₂)+… — which the oracle's ``list_prepend(0.0)`` +
+    ``list_reduce`` reproduces term for term (sub/mul/add are exactly
+    specified by IEEE 754, so a fixed evaluation order is bit-identical
+    across engines; only order-VARYING double sums need the decimal
+    treatment the row aggregates use). Struct order (d first, k second)
+    makes min/sort break distance ties on the smallest cluster id.
+
+    Shape note (r4): the distances come from ONE ``transform`` lambda
+    over a literal array<struct<k, c>> of centroids, not K unrolled
+    per-centroid expressions, and the fold runs in double rather than
+    per-element decimal. The unrolled-decimal form built a K×dim×(ops)
+    Catalyst tree that fell back to interpreted per-row evaluation —
+    measured 2.6 s for a 2 000-row assignment pass at K=16. Still
+    zero-shuffle: no join, the centroids ride in the plan as
+    literals."""
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.array(*[F.lit(float(c)) for c in cents[k]]).alias("c"),
+            )
+            for k in sorted(cents)
+        ]
+    )
+    return F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), s["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            ).alias("d"),
+            s["k"].alias("k"),
+        ),
+    )
 
 
 def lloyd_assign(df: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     """Nearest-centroid assignment: adds ``k``, ``d`` to a (vec_id, v)
     frame via array_min over the per-centroid distance structs."""
-    best = F.array_min(F.array(*lloyd_dist_structs(cents)))
+    best = F.array_min(lloyd_dist_array(cents))
     return df.select("vec_id", "v", best["k"].alias("k"), best["d"].alias("d"))
 
 
@@ -304,7 +343,7 @@ def lloyd_centroids(
 @register(
     "kmeans_lloyd",
     oracle=lloyd_cte(KMEANS_K)
-    + f""", d2 AS ({_km_dist_sql("x", "c1")}
+    + f""", d2 AS ({_km_dist_sql("xl", "c1l")}
 ), a2 AS ({_km_assign_sql("d2")}
 )
 SELECT CAST(k AS BIGINT) AS cluster,
@@ -320,9 +359,12 @@ ORDER BY cluster
     "assignment with ties to the smallest cluster id, dimension-wise "
     "mean update, final assignment reported as per-cluster sizes and "
     "mean squared distance. Every cross-engine float hazard is closed: "
-    "distance terms and centroid sums go through exact decimal "
-    "addition (order-independent), so the iteration trajectory is "
-    "bit-identical to the unrolled DuckDB oracle. Spark-side the "
+    "per-vector distances are FIXED-ORDER IEEE-double folds (the "
+    "oracle's list_reduce replays the same sequence — exact by IEEE "
+    "754), and the order-VARYING row sums (centroid means, per-cluster "
+    "distance totals) go through exact decimal addition, so the "
+    "iteration trajectory is bit-identical to the unrolled DuckDB "
+    "oracle. Spark-side the "
     "centroids round-trip through the driver between iterations "
     "(K×dim doubles — the MLlib pattern), so each assignment pass is "
     "one scan with literal centroid arrays folded per row: no join, "
