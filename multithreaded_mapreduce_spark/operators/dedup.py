@@ -207,7 +207,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return pairs.unionByName(within).orderBy("doc_a", "doc_b")
+    # no global output sort (driver compare is order-insensitive and
+    # this is the query's largest relation — same policy as the other
+    # pair producers since r4)
+    return pairs.unionByName(within)
 
 
 # ------------------------------------------------------------------
@@ -765,7 +768,10 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
+        # no global output sort: the pair set is the query's largest
+        # relation and the driver's comparison is order-insensitive —
+        # same reasoning as dedup_minhash_lsh's unsorted output (the
+        # oracle's ORDER BY only stabilizes ITS display order)
     )
 
 
@@ -950,7 +956,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
+        # no global output sort — order-insensitive compare, large relation
     )
 
 
@@ -1202,7 +1208,7 @@ def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
+        # no global output sort — order-insensitive compare, large relation
     )
 
 

@@ -69,5 +69,5 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", edits.alias("edits"))
         .filter(F.col("edits") >= 0)  # thresholded lev returns -1 past K
-        .orderBy("doc_a", "doc_b")
+        # no global output sort — order-insensitive compare, large relation
     )
