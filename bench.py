@@ -92,7 +92,11 @@ def main() -> None:
     # query's real cost) and the median is emitted alongside so
     # round-over-round regression calls can see the noise band
     # (VERDICT r2 task 5).
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # 4 runs since r4: this VM's CPU-steal episodes inflated entire
+    # min-of-3 sweeps ~10-25% (measured against same-session A/Bs of
+    # unchanged plans); one more sample per query materially improves
+    # the odds that some run lands in a quiet window
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
