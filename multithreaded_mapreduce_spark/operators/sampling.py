@@ -213,3 +213,116 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("race_key"), "o_orderkey")
         .limit(WEIGHTED_SAMPLE_N)
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, source, text,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{TRAIN_HEX_THRESHOLD}'
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+), norm AS (
+  SELECT doc_id, source, split,
+         md5(text) AS th,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> length(t) > 0))), ' ')) AS nh
+  FROM s
+), tr AS (SELECT DISTINCT th FROM norm WHERE split = 'train'),
+trn AS (SELECT DISTINCT nh FROM norm WHERE split = 'train'),
+te AS (
+  SELECT n.source,
+         CASE WHEN t1.th IS NOT NULL THEN 1 ELSE 0 END AS ex,
+         CASE WHEN t2.nh IS NOT NULL THEN 1 ELSE 0 END AS nx
+  FROM norm n
+  LEFT JOIN tr t1 ON n.th = t1.th
+  LEFT JOIN trn t2 ON n.nh = t2.nh
+  WHERE n.split = 'test'
+), testc AS (
+  SELECT source, count(*) AS n_test,
+         CAST(sum(ex) AS BIGINT) AS exact_leaked,
+         CAST(sum(nx) AS BIGINT) AS normalized_leaked
+  FROM te GROUP BY source
+), trainc AS (
+  SELECT source, count(*) AS n_train FROM norm WHERE split = 'train'
+  GROUP BY source
+)
+SELECT coalesce(trainc.source, testc.source) AS source,
+       coalesce(n_train, 0) AS n_train,
+       coalesce(n_test, 0) AS n_test,
+       coalesce(exact_leaked, 0) AS exact_leaked,
+       coalesce(normalized_leaked, 0) AS normalized_leaked
+FROM trainc FULL OUTER JOIN testc
+  ON trainc.source IS NOT DISTINCT FROM testc.source
+ORDER BY source
+""",
+    description="Train/test contamination audit per source: after the "
+    "deterministic md5 split, count test documents whose EXACT text "
+    "hash appears anywhere in train, and whose NORMALIZED content hash "
+    "(sorted distinct whitespace tokens re-joined — catching "
+    "reordered/duplicated-token paraphrases) appears in train. Both "
+    "checks are hash semi-joins: the shuffle carries 32-byte digests, "
+    "never text, so the audit runs at corpus scale like exact dedup "
+    "does. The evaluation-set hygiene counterpart to "
+    "decontaminate_ngram_overlap (which handles partial n-gram "
+    "overlap; this one is the exact/normalized tier).",
+    tags=("sampling", "split", "pipeline", "dedup", "audit"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    norm_hash = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+                )
+            ),
+            " ",
+        )
+    )
+    norm = docs.select(
+        "source",
+        F.when(bucket < TRAIN_HEX_THRESHOLD, "train").otherwise("test").alias("split"),
+        F.md5("text").alias("th"),
+        norm_hash.alias("nh"),
+    )
+    train = norm.filter(F.col("split") == "train")
+    test = norm.filter(F.col("split") == "test")
+    tr = train.select("th").distinct().withColumnsRenamed({"th": "t_th"})
+    trn = train.select("nh").distinct().withColumnsRenamed({"nh": "t_nh"})
+    te = (
+        test.join(tr, F.col("th") == F.col("t_th"), "left")
+        .join(trn, F.col("nh") == F.col("t_nh"), "left")
+        .select(
+            "source",
+            F.when(F.col("t_th").isNotNull(), 1).otherwise(0).alias("ex"),
+            F.when(F.col("t_nh").isNotNull(), 1).otherwise(0).alias("nx"),
+        )
+    )
+    testc = te.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum("ex").alias("exact_leaked"),
+        F.sum("nx").alias("normalized_leaked"),
+    )
+    trainc = (
+        train.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+        .withColumnsRenamed({"source": "tr_source"})
+    )
+    return (
+        trainc.join(
+            testc, F.col("tr_source").eqNullSafe(F.col("source")), "full_outer"
+        )
+        .select(
+            F.coalesce(F.col("tr_source"), F.col("source")).alias("source"),
+            F.coalesce("n_train", F.lit(0)).alias("n_train"),
+            F.coalesce("n_test", F.lit(0)).alias("n_test"),
+            F.coalesce("exact_leaked", F.lit(0)).alias("exact_leaked"),
+            F.coalesce("normalized_leaked", F.lit(0)).alias("normalized_leaked"),
+        )
+        .orderBy("source")
+    )

@@ -191,3 +191,76 @@ def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events WHERE ts IS NOT NULL
+), trans AS (
+  SELECT event_type AS from_type, to_type
+  FROM ordered WHERE to_type IS NOT NULL
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM trans GROUP BY 1, 2
+), totals AS (
+  SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS from_total
+  FROM counts GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       CAST(round(CAST(CAST(c.n_transitions AS DOUBLE) / t.from_total
+            AS DECIMAL(30,12)), 6) AS DOUBLE) AS share
+FROM counts c
+JOIN totals t ON c.from_type IS NOT DISTINCT FROM t.from_type
+ORDER BY c.from_type, c.to_type
+""",
+    description="First-order Markov transition matrix of event types: "
+    "each user's stream ordered by (ts, event_id) — a TOTAL order, so "
+    "timestamp ties cannot flip lead() between engines — paired with "
+    "its successor via one window pass, counted per (from, to), and "
+    "row-normalized into transition shares (single exact division, "
+    "6-dp snap). One hash shuffle on user_id for the window; the "
+    "|types|² count relation and its broadcast totals are trivially "
+    "small at any scale. NULL timestamps are excluded explicitly in "
+    "both engines (time-defined semantics); a NULL event_type stays a "
+    "real row/column via null-safe grouping and join.",
+    tags=("events", "sequence", "markov", "behavioral"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = (
+        counts.groupBy("from_type")
+        .agg(F.sum("n_transitions").alias("from_total"))
+        .withColumnsRenamed({"from_type": "t_from"})
+    )
+    share = F.round(
+        (F.col("n_transitions").cast("double") / F.col("from_total")).cast(
+            "decimal(30,12)"
+        ),
+        6,
+    ).cast("double")
+    return (
+        counts.join(
+            F.broadcast(totals), F.col("from_type").eqNullSafe(F.col("t_from"))
+        )
+        .select("from_type", "to_type", "n_transitions", share.alias("share"))
+        .orderBy("from_type", "to_type")
+    )
