@@ -12,6 +12,7 @@ Usage::
     python -m multithreaded_mapreduce_spark count-file input.txt
     python -m multithreaded_mapreduce_spark count-manual  # stdin until END
     python -m multithreaded_mapreduce_spark run q1_pricing_summary [sf_dir]
+    python -m multithreaded_mapreduce_spark verify q1_pricing_summary [sf_dir]
     python -m multithreaded_mapreduce_spark explain q1_pricing_summary [sf_dir]
     python -m multithreaded_mapreduce_spark list
 """
@@ -61,6 +62,15 @@ def main(argv: list[str] | None = None) -> int:
         default="formatted",
         choices=("simple", "extended", "formatted", "cost", "codegen"),
     )
+
+    p_verify = sub.add_parser(
+        "verify",
+        help="run a registered query AND its DuckDB oracle side-by-side "
+        "and report whether row count, schema, and values match "
+        "(the correctness gate, on demand)",
+    )
+    p_verify.add_argument("name")
+    p_verify.add_argument("sf_dir", nargs="?", default=DEFAULT_SF_DIR)
 
     sub.add_parser("list", help="list registered queries")
 
@@ -142,6 +152,26 @@ def main(argv: list[str] | None = None) -> int:
                 n_exchanges = len(_re.findall(r"[+:]- Exchange\b", plan))
             print(f"-- shuffles (hash/range exchanges): {n_exchanges}")
             print(f"-- broadcast exchanges: {n_bcast}")
+        elif args.cmd == "verify":
+            if args.name not in queries:
+                print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+                return 2
+            q = queries[args.name]
+            if q.oracle is None:
+                df = q.builder(spark, args.sf_dir)
+                print(
+                    f"{args.name}: rows-only query ({df.count()} rows, "
+                    "no SQL-expressible oracle — see its pytest consistency checks)"
+                )
+            else:
+                from .plans.verification import compare_query
+
+                try:
+                    compare_query(spark, args.sf_dir, q.builder, q.oracle)
+                except AssertionError as ex:
+                    print(f"{args.name}: MISMATCH — {ex}", file=sys.stderr)
+                    return 1
+                print(f"{args.name}: MATCH (rows, schema, values) vs DuckDB at {args.sf_dir}")
         else:
             if args.name not in queries:
                 print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)

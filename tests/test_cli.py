@@ -35,3 +35,14 @@ def test_count_manual_sentinel_semantics(monkeypatch, capsys, spark):
     assert main(["count-manual"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out == ["007: 1", "a: 2", "b: 1"]
+
+
+def test_cli_verify_subcommand(capsys, spark, sf_dir):
+    """`verify` runs the oracle gate on demand: MATCH for an
+    oracle-bearing query, rows-only notice otherwise, exit 2 on an
+    unknown name."""
+    assert main(["verify", "wordcount", sf_dir]) == 0
+    assert "MATCH" in capsys.readouterr().out
+    assert main(["verify", "dedup_minhash_lsh", sf_dir]) == 0
+    assert "rows-only" in capsys.readouterr().out
+    assert main(["verify", "nosuch"]) == 2
