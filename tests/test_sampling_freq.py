@@ -127,3 +127,19 @@ def test_weighted_sample_prefers_heavy_orders(spark, sf_dir):
     pop_mean = orders.agg(F.avg("o_totalprice")).first()[0]
     samp_mean = sum(r.o_totalprice for r in sample) / len(sample)
     assert samp_mean > pop_mean, f"sample mean {samp_mean} <= pop mean {pop_mean}"
+
+
+def test_split_leakage_audit_invariants(spark, sf_dir):
+    """Leak counts are bounded by the test-side population, and an exact
+    text match implies a normalized match (identical text ⇒ identical
+    distinct-token set), so exact_leaked <= normalized_leaked."""
+    rows = Q["split_leakage_audit"].builder(spark, sf_dir).collect()
+    assert rows
+    from pyspark.sql import functions as F
+
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert sum(r.n_train + r.n_test for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.exact_leaked <= r.normalized_leaked <= r.n_test, r

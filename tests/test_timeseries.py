@@ -54,3 +54,27 @@ def test_rollup_day_rows_bound(spark, sf_dir):
     n_day = df.filter(F.col("level") == "day").count()
     # 30 days of data x 5 event types
     assert n_day <= 31 * 5
+
+
+def test_event_transition_shares_sum_to_one(spark, sf_dir):
+    """Each from_type's outgoing transition shares sum to 1 (up to the
+    6-dp snap × fan-out), and counts reconcile with the raw stream:
+    every event except each user's last contributes one transition."""
+    from multithreaded_mapreduce_spark.plans.registry import all_queries
+    from pyspark.sql import functions as F
+
+    rows = all_queries()["event_transition_matrix"].builder(spark, sf_dir).collect()
+    assert rows
+    by_from: dict[str, float] = {}
+    fanout: dict[str, int] = {}
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.share
+        fanout[r.from_type] = fanout.get(r.from_type, 0) + 1
+    for ft, s in by_from.items():
+        assert abs(s - 1.0) <= 5e-7 * fanout[ft] + 1e-9, (ft, s)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
