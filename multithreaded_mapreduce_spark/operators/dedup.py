@@ -610,6 +610,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------
 
 MINHASH_P = 2_147_483_647  # Mersenne prime 2³¹−1; token ids ≪ P
+
+#: Cross-engine token id: the first 10 hex digits of md5(token) parsed
+#: as an integer — a 40-bit value both engines derive from the SAME
+#: UTF-8 bytes (md5 is byte-defined, so no locale/codepoint-split
+#: parity risk). 40 bits keeps a·tid inside int64 for both coefficient
+#: families (simhash a < 10⁶ → ≤2⁶⁰; minhash a < 2¹⁵ → ≤2⁵⁵) and makes
+#: in-vocabulary collisions vanishingly rare (n²/2⁴¹ ≈ 0.005 at a 100k
+#: vocabulary) — and any collision is IDENTICAL on both sides, so the
+#: compare stays bit-exact. Replaces the r3 dense_rank vocabulary id,
+#: whose single-partition global sort was the measured scaling bound
+#: (SCALE.md: exponent 0.81 at 10×).
+TOKEN_HASH_HEX_DIGITS = 10
+
+#: DuckDB expression for the same value: parse the hex prefix with a
+#: fixed 16-way strpos fold (hex digits are ASCII — no unicode risk).
+_ORACLE_TID = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5(token), 1, "
+    f"{TOKEN_HASH_HEX_DIGITS}), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+def _token_hash_id(col: str = "token"):
+    """Spark twin of ``_ORACLE_TID`` — plain row math in the scan
+    projection (conv(hex, 16, 10)); no vocabulary relation, no global
+    window, no join back."""
+    return F.conv(
+        F.substring(F.md5(col), 1, TOKEN_HASH_HEX_DIGITS), 16, 10
+    ).cast("long")
 #: 16 fixed (a, b) pairs for hᵢ(x) = (a·x + b) mod P — a < 10⁵ keeps
 #: a·tid + b far inside int64 for any realistic vocabulary size.
 MINHASH_COEFFS = (
@@ -636,11 +667,8 @@ WITH toks AS (
   FROM documents
 ), tc AS (
   SELECT * FROM toks WHERE length(token) > 0
-), vocab AS (
-  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
-  FROM (SELECT DISTINCT token FROM tc)
 ), dt AS (
-  SELECT t.doc_id, v.tid FROM tc t JOIN vocab v USING (token)
+  SELECT DISTINCT doc_id, {_ORACLE_TID} AS tid FROM tc
 ), sig AS (
   SELECT doc_id, count(*) AS n,
          {sig_cols}
@@ -670,25 +698,24 @@ ORDER BY doc_a, doc_b
     "dedup_minhash_verified",
     oracle=_minhash_verified_oracle(),
     description="MinHash(16)+LSH(8 bands × 2 rows) with a cross-engine "
-    "hash family: tokens get deterministic ids (dense_rank over the "
-    "sorted distinct vocabulary), signatures are min((a·tid+b) mod P) "
-    "with fixed published coefficients, candidates form only inside "
-    "equal band buckets, and candidates are verified by exact Jaccard "
-    ">= 0.8. Because the signature arithmetic is plain SQL, the DuckDB "
-    "oracle reproduces the banding decision bit-for-bit — both engines "
-    "miss the same sub-recall pairs, so the verified output hash-matches "
+    "hash family: tokens get deterministic ids (the first 10 hex digits "
+    "of md5(token) — byte-defined, so both engines derive the SAME "
+    "40-bit value), signatures are min((a·tid+b) mod P) with fixed "
+    "published coefficients, candidates form only inside equal band "
+    "buckets, and candidates are verified by exact Jaccard >= 0.8. "
+    "Because the signature arithmetic is plain SQL, the DuckDB oracle "
+    "reproduces the banding decision bit-for-bit — both engines miss "
+    "the same sub-recall pairs, so the verified output hash-matches "
     "(unlike dedup_minhash_lsh, whose xxhash64 family is Spark-only). "
     "Scale notes: the Spark side bands via one posexplode + struct "
     "equi-join (no OR-join), prunes candidates by the size-ratio bound "
-    "before verify, and never shuffles strings past the vocab join; the "
-    "global dense_rank makes this variant vocabulary-bound — it exists "
-    "as the checkable auditor, dedup_minhash_lsh (hash-once, no vocab) "
-    "is the unbounded production path.",
+    "before verify, and computes token ids as pure row math in the "
+    "scan projection — no vocabulary relation, no global window, no "
+    "join back (the r3 dense_rank variant was vocabulary-bound, "
+    "SCALE.md exp 0.81; this one shuffles only per-doc id sets).",
     tags=("dedup", "neardup", "minhash", "lsh"),
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = spread(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -700,18 +727,15 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
         ).alias("token"),
     )
-    # deterministic token ids shared with the oracle: dense_rank over the
-    # sorted distinct vocabulary (single-partition window, but only over
-    # DISTINCT tokens — vocabulary-sized, not corpus-sized)
-    vocab = (
-        toks.select("token")
-        .distinct()
-        .withColumn("tid", F.dense_rank().over(W.orderBy("token")).cast("bigint"))
-    )
-    dt = toks.join(F.broadcast(vocab), "token").select("doc_id", "tid")
+    # cross-engine token ids inline in the projection (see _token_hash_id);
     # one shuffle to per-doc id sets; signatures fold over the array —
-    # no per-hash re-shuffle, stays in codegen
-    dsets = dt.groupBy("doc_id").agg(F.collect_list("tid").alias("tids"))
+    # no per-hash re-shuffle, stays in codegen. array_distinct guards the
+    # (vanishingly rare, cross-engine-identical) 40-bit hash collision
+    # inside one document, mirroring the oracle's SELECT DISTINCT.
+    dt = toks.select("doc_id", _token_hash_id().alias("tid"))
+    dsets = dt.groupBy("doc_id").agg(
+        F.array_distinct(F.collect_list("tid")).alias("tids")
+    )
     def _mh(a: int, b: int):
         return F.array_min(
             F.transform("tids", lambda t: (t * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
@@ -1086,7 +1110,7 @@ WITH toks AS (
 ), tc AS (
   SELECT * FROM toks WHERE length(token) > 0
 ), vocab AS (
-  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
+  SELECT token, {_ORACLE_TID} AS tid
   FROM (SELECT DISTINCT token FROM tc)
 ), vbits AS (
   SELECT token,
@@ -1114,8 +1138,9 @@ ORDER BY doc_a, doc_b
     "dedup_simhash_verified",
     oracle=_simhash_verified_oracle(),
     description="SimHash near-dup with a cross-engine hash family: "
-    "tokens get deterministic vocabulary ids (dense_rank over the "
-    "sorted distinct tokens), vote bit k of a token is the parity of "
+    "tokens get deterministic ids (the first 10 hex digits of "
+    "md5(token), byte-defined on both engines — no global-sort "
+    "vocabulary rank), vote bit k of a token is the parity of "
     "(a_k·tid + b_k) mod P with 64 fixed published coefficient pairs, "
     "fingerprints are the per-bit vote signs, and pairs report when "
     "Hamming(f_a, f_b) <= 3. Because the bit votes are plain modular "
@@ -1124,14 +1149,13 @@ ORDER BY doc_a, doc_b
     "are Spark-only). The Spark side still BLOCKS: fingerprints band "
     "into 4×16-bit chunks and only chunk-equal pairs are verified — "
     "pigeonhole makes that lossless for Hamming <= 3, so the blocked "
-    "result equals the oracle's all-pairs formulation. The vocabulary "
-    "id step is vocabulary-bound (see dedup_minhash_verified); "
-    "dedup_simhash is the unbounded production path.",
+    "result equals the oracle's all-pairs formulation. Token ids are "
+    "pure row math (no vocabulary-bound global rank — see "
+    "dedup_minhash_verified); dedup_simhash remains the hash-family "
+    "production twin.",
     tags=("dedup", "neardup", "simhash"),
 )
 def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = spread(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -1143,13 +1167,10 @@ def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
         ).alias("token"),
     )
-    vocab = (
-        toks.select("token")
-        .distinct()
-        .withColumn("tid", F.dense_rank().over(W.orderBy("token")).cast("bigint"))
-    )
-    # one ±1 column per fingerprint bit, computed ONCE per vocab entry
-    # and broadcast — per-document work is then 64 integer sums
+    # the 64 ±1 vote bits are computed ONCE per distinct token (a
+    # vocabulary-sized relation, but no ordering — plain hash distinct)
+    # and broadcast; per-document work is then 64 integer sums
+    vocab = toks.select("token").distinct().withColumn("tid", _token_hash_id())
     tid = F.col("tid")
     vbits = vocab.select(
         "token",

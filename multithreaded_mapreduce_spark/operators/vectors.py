@@ -296,9 +296,24 @@ def lloyd_dist_array(cents: dict[int, list[float]]):
 
 def lloyd_assign(df: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     """Nearest-centroid assignment: adds ``k``, ``d`` to a (vec_id, v)
-    frame via array_min over the per-centroid distance structs."""
+    frame via array_min over the per-centroid distance structs.
+
+    ``k`` is wrapped in coalesce(, -1) solely to make the attribute
+    NON-NULLABLE: array_min over a non-empty literal struct array never
+    returns null (the -1 is unreachable), but Catalyst can't prove
+    that, and when a consumer joins on ``k`` the inferred isnotnull(k)
+    constraint rewrites to isnotnull(array_min(transform(...))) and
+    gets pushed into the corpus FileScan as a DataFilter — the whole
+    K-centroid fold would then be evaluated twice per row (once in the
+    scan filter, once in the projection). tests/test_plan_lint.py
+    guards this."""
     best = F.array_min(lloyd_dist_array(cents))
-    return df.select("vec_id", "v", best["k"].alias("k"), best["d"].alias("d"))
+    return df.select(
+        "vec_id",
+        "v",
+        F.coalesce(best["k"], F.lit(-1)).alias("k"),
+        best["d"].alias("d"),
+    )
 
 
 def lloyd_centroids(
