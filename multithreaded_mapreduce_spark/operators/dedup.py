@@ -623,24 +623,30 @@ MINHASH_P = 2_147_483_647  # Mersenne prime 2³¹−1; token ids ≪ P
 #: (SCALE.md: exponent 0.81 at 10×).
 TOKEN_HASH_HEX_DIGITS = 10
 
-#: DuckDB expression for the same value: parse the hex prefix with a
-#: fixed 16-way strpos fold (hex digits are ASCII — no unicode risk).
-_ORACLE_TID = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split(substr(md5(token), 1, "
-    f"{TOKEN_HASH_HEX_DIGITS}), ''), "
-    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
-    "(a, b) -> a * 16 + b)"
-)
+def _oracle_hex_id(col: str, digits: int) -> str:
+    """DuckDB expression for the md5-prefix id: parse the hex prefix
+    with a fixed 16-way strpos fold (hex digits are ASCII — no unicode
+    risk)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr(md5({col}), 1, {digits}), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+_ORACLE_TID = _oracle_hex_id("token", TOKEN_HASH_HEX_DIGITS)
+
+
+def _spark_hex_id(col: str, digits: int):
+    """Spark twin of :func:`_oracle_hex_id` — plain row math in the
+    scan projection (conv(hex, 16, 10)); no vocabulary relation, no
+    global window, no join back."""
+    return F.conv(F.substring(F.md5(col), 1, digits), 16, 10).cast("long")
 
 
 def _token_hash_id(col: str = "token"):
-    """Spark twin of ``_ORACLE_TID`` — plain row math in the scan
-    projection (conv(hex, 16, 10)); no vocabulary relation, no global
-    window, no join back."""
-    return F.conv(
-        F.substring(F.md5(col), 1, TOKEN_HASH_HEX_DIGITS), 16, 10
-    ).cast("long")
+    return _spark_hex_id(col, TOKEN_HASH_HEX_DIGITS)
 #: 16 fixed (a, b) pairs for hᵢ(x) = (a·x + b) mod P — a < 10⁵ keeps
 #: a·tid + b far inside int64 for any realistic vocabulary size.
 MINHASH_COEFFS = (
@@ -1334,3 +1340,132 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
     ).orderBy("vec_id")
+
+
+# ------------------------------------------------------------------
+# span-level exact-substring dedup (ExactSubstr, Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"): every
+# doc-level dedup above keeps or drops WHOLE documents, but real
+# training corpora share long verbatim SPANS (licenses, boilerplate,
+# quoted passages) inside otherwise-distinct documents. This operator
+# reports, per document, how much of its span set is verbatim
+# duplicated elsewhere in the corpus — the signal a pipeline uses to
+# cut spans or down-weight documents.
+# ------------------------------------------------------------------
+
+#: span window: SPAN_TOKENS consecutive whitespace-delimited tokens,
+#: sampled at EVERY token position. Token boundaries are content-
+#: defined, so two documents sharing a verbatim token run always
+#: sample the identical windows — a char-grid stride can never
+#: guarantee that (the two docs' grids differ by their prefix lengths
+#: mod the stride, so sampled windows need never align). Guarantee:
+#: any verbatim shared run of >= SPAN_TOKENS tokens is detected on
+#: both sides; joining on ' ' also canonicalizes whitespace variation
+#: the way the token-level dedups above do.
+SPAN_TOKENS = 8
+#: span ids are 60-bit md5 prefixes (15 hex digits) — the grouping and
+#: join-back shuffles carry 8-byte ids, never the span strings; at a
+#: 10^9-span corpus the collision expectation n²/2⁶¹ is still < 1,
+#: and any collision is identical on both engines.
+SPAN_HASH_HEX_DIGITS = 15
+
+
+@register(
+    "dedup_exact_substr",
+    oracle=rf"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS ts
+  FROM documents
+), spans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - {SPAN_TOKENS - 2}),
+                i -> array_to_string(list_slice(ts, CAST(i AS INTEGER),
+                                                CAST(i + {SPAN_TOKENS - 1} AS INTEGER)),
+                                     ' '))) AS gram
+  FROM tl
+  WHERE len(ts) >= {SPAN_TOKENS}
+), ds AS (
+  SELECT DISTINCT doc_id, {_oracle_hex_id('gram', SPAN_HASH_HEX_DIGITS)} AS sid
+  FROM spans
+), shared AS (
+  SELECT sid FROM ds GROUP BY sid HAVING count(DISTINCT doc_id) >= 2
+), tot AS (
+  SELECT doc_id, count(*) AS n_spans FROM ds GROUP BY doc_id
+), dup AS (
+  SELECT d.doc_id, count(*) AS dup_spans
+  FROM ds d JOIN shared s USING (sid)
+  GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       t.n_spans,
+       coalesce(u.dup_spans, 0) AS dup_spans,
+       round(CAST(coalesce(u.dup_spans, 0) AS DOUBLE) / t.n_spans, 6) AS dup_frac
+FROM tot t LEFT JOIN dup u USING (doc_id)
+ORDER BY doc_id
+""",
+    description=f"Span-level exact-substring dedup (the ExactSubstr "
+    f"signal of Lee et al. 2021, re-expressed relationally): every "
+    f"{SPAN_TOKENS}-token window — sampled at EVERY token position, "
+    "because token boundaries are content-defined and therefore align "
+    "identically in every document sharing the run (a char-grid "
+    "stride can never guarantee that) — is hashed to a 60-bit "
+    "md5-prefix id IN the scan projection, spans are deduped per "
+    "document, ids seen in >= 2 distinct documents are the shared "
+    "set, and each document reports its distinct span count, how many "
+    "are corpus-duplicated, and the duplicated fraction. Any verbatim "
+    f"shared run of >= {SPAN_TOKENS} tokens is guaranteed detected. "
+    "Scale notes: the exploded span stream carries (doc_id, 8-byte "
+    "id) only — never the span strings; the shared-id set is found by "
+    "one groupBy on the id; the join back to per-doc counts re-uses "
+    "the same id partitioning. Output is per-document (corpus-sized), "
+    "so there is no global presentation sort — the same rationale as "
+    "the pair-producing dedups.",
+    tags=("dedup", "neardup", "text", "substr"),
+)
+def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok_df = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0).alias("ts"),
+    )
+    ts = F.col("ts")
+    # short docs get an EMPTY span array inside the projection (explode
+    # then drops them) rather than a size(ts) Filter: a filter predicate
+    # over the tokenize chain would be pushed through the spread
+    # exchange into the FileScan as a DataFilter and re-run the whole
+    # split per row in the single-task scan — the same measured trap
+    # dedup_ngram_jaccard documents (tests/test_plan_lint.py pins it)
+    span_arr = F.when(
+        F.size(ts) >= SPAN_TOKENS,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - F.lit(SPAN_TOKENS - 1)),
+            lambda i: F.array_join(F.slice(ts, i, SPAN_TOKENS), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = tok_df.select("doc_id", F.explode(span_arr).alias("gram"))
+    ds = (
+        spans.select("doc_id", _spark_hex_id("gram", SPAN_HASH_HEX_DIGITS).alias("sid"))
+        .distinct()
+        .transform(tracked_persist)
+    )
+    shared = (
+        ds.groupBy("sid")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sid")
+    )
+    tot = ds.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    dup = ds.join(shared, "sid").groupBy("doc_id").agg(F.count("*").alias("dup_spans"))
+    return (
+        tot.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.round(
+                F.coalesce("dup_spans", F.lit(0)).cast("double") / F.col("n_spans"), 6
+            ).alias("dup_frac"),
+        )
+        .sortWithinPartitions("doc_id")
+    )

@@ -23,6 +23,9 @@ Scale notes:
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -319,3 +322,148 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ------------------------------------------------------------------
+# character-entropy quality gate: the compression-ratio-proxy filter
+# (low-entropy text — repeated characters, keyboard mashing, padded
+# boilerplate — compresses too well and is cut by pretraining
+# pipelines; Shannon entropy over a fixed alphabet is the exact,
+# SQL-expressible stand-in for the zlib-ratio heuristic).
+# ------------------------------------------------------------------
+
+#: fixed scoring alphabet: counting via length-difference after
+#: replace() is pure per-row math on BOTH engines — zero shuffles,
+#: no explode of the character stream (which would shuffle one row
+#: per CHARACTER of the corpus just to build per-doc histograms).
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+ENTROPY_MIN = 3.0  # uniform over the 37-char alphabet = log2(37) ≈ 5.21
+TOP_CHAR_MAX = 0.30
+
+
+def _entropy_oracle() -> str:
+    n = len(ENTROPY_ALPHABET)
+    cnt_cols = ",\n         ".join(
+        f"length(s) - length(replace(s, '{ch}', '')) AS c{i}"
+        for i, ch in enumerate(ENTROPY_ALPHABET)
+    )
+    total = " + ".join(f"c{i}" for i in range(n))
+    terms = "\n           + ".join(
+        f"(CASE WHEN c{i} > 0 THEN (CAST(c{i} AS DOUBLE) / total) "
+        f"* log2(CAST(c{i} AS DOUBLE) / total) ELSE 0.0 END)"
+        for i in range(n)
+    )
+    greatest = ", ".join(f"c{i}" for i in range(n))
+    return f"""
+WITH s AS (
+  SELECT doc_id, lower(text) AS s FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, s,
+         {cnt_cols}
+  FROM s
+), t AS (
+  SELECT *, {total} AS total FROM c
+), e AS (
+  SELECT doc_id, total,
+         CASE WHEN total > 0 THEN
+           CAST(round(CAST(-({terms}) AS DECIMAL(30,12)), 6) AS DOUBLE)
+         END AS char_entropy,
+         CASE WHEN total > 0 THEN
+           CAST(round(CAST(CAST(greatest({greatest}) AS DOUBLE) / total
+                           AS DECIMAL(30,12)), 6) AS DOUBLE)
+         END AS top_char_share,
+         CASE WHEN total > 0 THEN
+           CAST(round(CAST(CAST(total AS DOUBLE) / length(s)
+                           AS DECIMAL(30,12)), 6) AS DOUBLE)
+         END AS alpha_coverage
+  FROM t
+)
+SELECT doc_id, total AS n_alpha, char_entropy, top_char_share, alpha_coverage,
+       CASE WHEN char_entropy >= {ENTROPY_MIN} AND top_char_share <= {TOP_CHAR_MAX}
+            THEN 1 ELSE 0 END AS passes_entropy
+FROM e
+ORDER BY doc_id
+"""
+
+
+@register(
+    "char_entropy_quality",
+    oracle=_entropy_oracle(),
+    description="Character-entropy quality gate (the compression-ratio "
+    "proxy): per-document Shannon entropy over a fixed 37-char "
+    "alphabet (a-z, 0-9, space) of the lowercased text, plus the top "
+    "character's share and the alphabet coverage; documents pass when "
+    f"entropy >= {ENTROPY_MIN} bits and no character exceeds "
+    f"{TOP_CHAR_MAX:.0%} of the stream. Low-entropy documents "
+    "(character repetition, mashing, padded boilerplate) compress too "
+    "well and are cut by pretraining pipelines — this is the exact, "
+    "SQL-expressible stand-in for the zlib-ratio heuristic. Scale "
+    "notes: counts come from 37 length-after-replace expressions — "
+    "pure per-row math in one corpus scan, ZERO shuffles before the "
+    "presentation sort (the naive explode-characters formulation "
+    "shuffles one row per character of the corpus); the entropy sum "
+    "is a FIXED left-associated chain, so both engines produce the "
+    "identical IEEE double before the 6-dp snap. Documents with no "
+    "alphabet characters report NULL metrics and fail the gate "
+    "(entropy over an empty distribution is undefined) — kept as a "
+    "CASE inside the projection rather than a row filter, because a "
+    "filter over the count chain would be pushed into the FileScan "
+    "as a DataFilter and re-run all 37 replaces per row in the "
+    "single-task scan. NULL-text documents are excluded (cheap "
+    "raw-column pushdown).",
+    tags=("text", "quality", "entropy"),
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower("text").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    n = len(ENTROPY_ALPHABET)
+    cnts = docs.select(
+        "doc_id",
+        "s",
+        *[
+            (F.length("s") - F.length(F.replace(F.col("s"), F.lit(ch), F.lit(""))))
+            .alias(f"c{i}")
+            for i, ch in enumerate(ENTROPY_ALPHABET)
+        ],
+    )
+    total = reduce(add, [F.col(f"c{i}") for i in range(n)])
+    t = cnts.withColumn("total", total)
+
+    def term(i: int):
+        p = F.col(f"c{i}").cast("double") / F.col("total")
+        return F.when(F.col(f"c{i}") > 0, p * F.log2(p)).otherwise(F.lit(0.0))
+
+    def snap6(c):
+        return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+
+    def gated(c):
+        # CASE inside the projection, NOT a row filter (see description);
+        # also guards the /total divisions under ANSI semantics
+        return F.when(F.col("total") > 0, c)
+
+    ent = -reduce(add, [term(i) for i in range(n)])
+    top_share = F.greatest(*[F.col(f"c{i}") for i in range(n)]).cast(
+        "double"
+    ) / F.col("total")
+    e = t.select(
+        "doc_id",
+        F.col("total").alias("n_alpha"),
+        gated(snap6(ent)).alias("char_entropy"),
+        gated(snap6(top_share)).alias("top_char_share"),
+        gated(snap6(F.col("total").cast("double") / F.length("s"))).alias(
+            "alpha_coverage"
+        ),
+    )
+    return e.select(
+        "*",
+        F.when(
+            (F.col("char_entropy") >= ENTROPY_MIN)
+            & (F.col("top_char_share") <= TOP_CHAR_MAX),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_entropy"),
+    ).orderBy("doc_id")

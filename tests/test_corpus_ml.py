@@ -121,3 +121,34 @@ def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
     assert abs(row.zipf_intercept - intercept) < 1e-3
     if r2 is not None:
         assert abs(row.fit_r2 - r2) < 1e-3
+
+
+def test_char_entropy_bounds_and_gate(spark, sf_dir, tmp_path):
+    """Entropy is bounded by log2(37) (uniform over the alphabet), the
+    shares are in [0, 1], and the gate catches a planted degenerate
+    document while passing natural text."""
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # one char: H = 0
+        (2, "The quick brown fox jumps over the lazy dog, "
+            "while 42 other animals watch from the shade of 7 old oaks."),
+        (3, "!!!???...///"),  # nothing in the alphabet: excluded
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in Q["char_entropy_quality"].builder(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3}, out
+    assert out[1].char_entropy == 0.0 and out[1].passes_entropy == 0
+    assert out[1].top_char_share == 1.0
+    assert out[2].passes_entropy == 1
+    # no alphabet chars: NULL metrics, gate fails
+    assert out[3].n_alpha == 0 and out[3].char_entropy is None
+    assert out[3].passes_entropy == 0
+    for r in [out[1], out[2]]:
+        assert 0.0 <= r.char_entropy <= math.log2(37) + 1e-9
+        assert 0.0 < r.top_char_share <= 1.0
+        assert 0.0 < r.alpha_coverage <= 1.0
+        assert r.n_alpha > 0

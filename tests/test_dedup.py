@@ -129,3 +129,32 @@ def test_exact_dedup_covers_all_docs(spark, sf_dir):
     assert sum(r.n_copies for r in rows) == total
     keeps = [r.keep_doc_id for r in rows]
     assert len(keeps) == len(set(keeps))
+
+
+def test_exact_substr_detects_planted_shared_token_run(spark, tmp_path):
+    """The token-grid guarantee: any verbatim shared run of >=
+    SPAN_TOKENS tokens is detected on both sharing documents, even at
+    different char offsets and with different whitespace; a unique-text
+    document reports zero duplicated spans."""
+    from multithreaded_mapreduce_spark.operators.dedup import SPAN_TOKENS
+
+    shared = " ".join(f"sh{i}" for i in range(SPAN_TOKENS))  # exactly 8 tokens
+    rows = [
+        (1, "unique prefix aaa " + shared + " unique suffix one tail"),
+        # different char offset AND tab/multi-space separators inside
+        # the shared run — the token grid must still align
+        (2, "different longer lead-in zz " + shared.replace(" sh3 ", "  sh3\t") + " other end"),
+        (3, "this document shares nothing with the others at all; " * 2),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in Q["dedup_exact_substr"].builder(spark, str(tmp_path)).collect()
+    }
+    assert out[1].dup_spans >= 1 and out[2].dup_spans >= 1, out
+    assert out[3].dup_spans == 0
+    for r in out.values():
+        assert 0 <= r.dup_spans <= r.n_spans
+        assert abs(r.dup_frac - round(r.dup_spans / r.n_spans, 6)) < 1e-9
