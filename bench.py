@@ -51,12 +51,16 @@ HEADLINE = (
     "pack_training_sequences",       # distributed prefix-sum packing
     "decontaminate_ngram_overlap",   # broadcast shingle-overlap decontamination
     # r4: regression-track the round-3 heavy operators (VERDICT r3 task 3)
+    # — everything above this line is the r3 24-query comparable set,
+    # reported separately as total_r3_comparable for round-over-round
+    # reads; "value" stays the full-set total
     "kmeans_lloyd",                  # 2-round Lloyd: scan + (k,dim) agg per round
     "knn_ivf_exact_ann",             # IVF inverted-list probe + rerank
     "dedup_minhash_verified",        # cross-engine minhash banding + verify
     "part_price_deciles_exact",      # distributed rank selection (prefix sum)
     "token_triangle_counts",         # degree-oriented triangle enumeration
     "merge_upsert_customer_state",   # MERGE-style keyed upsert
+    "dedup_exact_substr",            # span-level ExactSubstr coverage (r4)
 )
 
 
@@ -113,6 +117,7 @@ def main() -> None:
         medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    r3_set = HEADLINE[: HEADLINE.index("kmeans_lloyd")]
     print(
         json.dumps(
             {
@@ -121,6 +126,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "total_r3_comparable": round(
+                    sum(timings[n] for n in r3_set), 3
+                ),
                 "runs_per_query": n_runs,
                 "sf": _sf_from_dir(sf_dir),
             }
