@@ -467,3 +467,135 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("passes_entropy"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------------
+# interpolated bigram LM scoring: the next rung above the unigram
+# scorer — a Jelinek-Mercer-interpolated bigram model trained on the
+# corpus itself, scoring every document's mean bigram ln-probability.
+# Context-aware enough to separate shuffled-token gibberish (high
+# unigram score, low bigram score) from natural text.
+# ------------------------------------------------------------------
+
+#: Jelinek-Mercer interpolation weight on the bigram estimate;
+#: P(w2|w1) = λ·c(w1 w2)/c(w1) + (1-λ)·c(w2)/N. The unigram floor
+#: keeps unseen-in-context bigrams finite without Katz/KN backoff
+#: machinery (every bigram in scope was seen at least once by the
+#: model — it is trained on the same corpus — so λ=1 would still be
+#: finite, but interpolation is what a held-out scorer needs).
+BIGRAM_LAMBDA = 0.75
+
+
+@register(
+    "bigram_logprob_scores",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_sql_tokens()} AS ts FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+         unnest(list_slice(ts, 2, len(ts))) AS w2
+  FROM t WHERE len(ts) >= 2
+), tok AS (
+  SELECT unnest(ts) AS token FROM t
+), uni AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), tot AS (
+  SELECT sum(c) AS total FROM uni
+), bi AS (
+  SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+), scored AS (
+  SELECT g.doc_id,
+         count(*) AS n_bigrams,
+         sum(CAST(ln({BIGRAM_LAMBDA} * (CAST(b.cb AS DOUBLE) / u1.c)
+                     + {1 - BIGRAM_LAMBDA} * (CAST(u2.c AS DOUBLE) / tot.total))
+                  AS DECIMAL(30,12))) AS lp
+  FROM bg g
+  JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+  JOIN uni u1 ON g.w1 = u1.token
+  JOIN uni u2 ON g.w2 = u2.token
+  CROSS JOIN tot
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(round(CAST(CAST(lp AS DOUBLE) / n_bigrams AS DECIMAL(30,12)), 6)
+            AS DOUBLE) AS avg_bigram_logprob
+FROM scored
+ORDER BY doc_id
+""",
+    description="Interpolated bigram LM score per document "
+    f"(Jelinek-Mercer, λ={BIGRAM_LAMBDA}): P(w2|w1) = "
+    "λ·c(w1w2)/c(w1) + (1-λ)·c(w2)/N with counts from the corpus "
+    "itself; each document reports its mean bigram ln-probability. "
+    "One rung above unigram_logprob_scores: shuffled-token gibberish "
+    "keeps its unigram score but collapses here. Scale notes: the "
+    "bigram stream is derived by zipping two slices of the per-row "
+    "token array (no self-join of the token stream on position); the "
+    "bigram and unigram models are vocabulary-sized aggregates "
+    "broadcast to the scoring joins, so the corpus-sized stream "
+    "shuffles only once into the per-document mean; per-term "
+    "ln-probabilities snap to DECIMAL(30,12) BEFORE the sum, making "
+    "the fold order-independent (raw IEEE accumulation would vary "
+    "with partitioning). Documents with < 2 tokens have no bigrams "
+    "and are absent on both engines (the empty zip happens inside "
+    "the projection — no pushable filter over the tokenize chain).",
+    tags=("text", "quality", "lm", "pipeline"),
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ts = _tokens()
+    n = F.size(ts)
+    # both explodes take INLINE expressions, not a projected attribute:
+    # exploding an attribute lets InferFiltersFromGenerate add a
+    # size(ts) > 0 filter that substitutes the whole tokenize chain
+    # into the FileScan (tests/test_plan_lint.py); bg and uni are each
+    # consumed by multiple branches, so they persist once
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(ts, 1, n - 1).alias("w1"),
+            F.slice(ts, 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .transform(tracked_persist)
+    )
+    tok = docs.select(F.explode(ts).alias("token"))
+    uni = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(tracked_persist)
+    )
+    tot = uni.agg(F.sum("c").alias("total"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    p = F.lit(BIGRAM_LAMBDA) * (F.col("cb").cast("double") / F.col("c1")) + F.lit(
+        1 - BIGRAM_LAMBDA
+    ) * (F.col("c2").cast("double") / F.col("total"))
+    scored = (
+        bg.join(F.broadcast(bi), ["w1", "w2"])
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.log(p).cast("decimal(30,12)")).alias("lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            (F.col("lp").cast("double") / F.col("n_bigrams")).cast("decimal(30,12)"), 6
+        )
+        .cast("double")
+        .alias("avg_bigram_logprob"),
+    ).orderBy("doc_id")

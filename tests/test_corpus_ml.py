@@ -152,3 +152,31 @@ def test_char_entropy_bounds_and_gate(spark, sf_dir, tmp_path):
         assert 0.0 < r.top_char_share <= 1.0
         assert 0.0 < r.alpha_coverage <= 1.0
         assert r.n_alpha > 0
+
+
+def test_bigram_lm_separates_shuffled_gibberish(spark, tmp_path):
+    """A corpus of repeated natural word order gives its in-order
+    documents high bigram scores; a same-vocabulary document with
+    shuffled order scores strictly lower (its bigrams are rare under
+    the corpus model), while unigram scoring cannot tell them apart.
+    Also: n_bigrams = n_tokens - 1 and scores are <= 0."""
+    base = "the cat sat on the mat and the dog slept"
+    rows = [(i, base) for i in range(1, 9)]
+    rows.append((9, "mat the dog on sat the cat slept and the"))  # shuffled
+    rows.append((10, "solo"))  # single token: no bigrams
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in Q["bigram_logprob_scores"].builder(spark, str(tmp_path)).collect()
+    }
+    assert 10 not in out  # no bigrams -> absent
+    assert set(out) == set(range(1, 10))
+    for r in out.values():
+        assert r.n_bigrams == 9  # 10 tokens each
+        assert r.avg_bigram_logprob <= 0.0
+    assert out[9].avg_bigram_logprob < out[1].avg_bigram_logprob - 0.5, (
+        out[9].avg_bigram_logprob,
+        out[1].avg_bigram_logprob,
+    )
