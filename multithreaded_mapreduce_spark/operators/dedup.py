@@ -1469,3 +1469,143 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .sortWithinPartitions("doc_id")
     )
+
+
+# ------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): position-robust LOCAL fingerprints. Same detection
+# guarantee class as dedup_exact_substr (any shared token run of
+# >= WINNOW_K + WINNOW_W - 1 tokens is caught regardless of offset,
+# because the min of a hash window fully inside the shared run is the
+# same value in every document containing the run) at roughly
+# 2/(w+1) of the fingerprint density — the index a plagiarism /
+# overlap detector actually stores.
+# ------------------------------------------------------------------
+
+WINNOW_K = 5  # tokens per k-gram
+WINNOW_W = 4  # windows of consecutive k-gram hashes; guarantee = k+w-1
+
+
+def _winnow_oracle() -> str:
+    gram = (
+        "list_transform(range(1, len(ts) - "
+        f"{WINNOW_K - 2}), i -> array_to_string(list_slice(ts, CAST(i AS INTEGER), "
+        f"CAST(i + {WINNOW_K - 1} AS INTEGER)), ' '))"
+    )
+    return rf"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS ts
+  FROM documents
+), gh AS (
+  SELECT doc_id,
+         list_transform({gram},
+                        g -> {_oracle_hex_id('g', SPAN_HASH_HEX_DIGITS)}) AS hs
+  FROM tl
+  WHERE len(ts) >= {WINNOW_K + WINNOW_W - 1}
+), fp AS (
+  SELECT doc_id,
+         len(hs) AS n_grams,
+         list_distinct(list_transform(range(1, len(hs) - {WINNOW_W - 2}),
+             i -> list_min(list_slice(hs, CAST(i AS INTEGER),
+                                      CAST(i + {WINNOW_W - 1} AS INTEGER))))) AS fps
+  FROM gh
+), ds AS (
+  SELECT doc_id, n_grams, unnest(fps) AS fp FROM fp
+), shared AS (
+  SELECT fp FROM ds GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+), tot AS (
+  SELECT doc_id, any_value(n_grams) AS n_grams, count(*) AS n_fps
+  FROM ds GROUP BY doc_id
+), dup AS (
+  SELECT d.doc_id, count(*) AS shared_fps
+  FROM ds d JOIN shared s USING (fp)
+  GROUP BY d.doc_id
+)
+SELECT t.doc_id, t.n_grams, t.n_fps,
+       coalesce(u.shared_fps, 0) AS shared_fps,
+       round(CAST(coalesce(u.shared_fps, 0) AS DOUBLE) / t.n_fps, 6) AS shared_frac
+FROM tot t LEFT JOIN dup u USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=_winnow_oracle(),
+    description=f"Winnowing fingerprints (Schleimer-Wilkerson-Aiken "
+    f"2003, the MOSS algorithm): {WINNOW_K}-token k-gram hashes, the "
+    f"minimum of every window of {WINNOW_W} consecutive hashes is "
+    "selected, and each document reports its distinct fingerprint "
+    "count, how many fingerprints are shared with other documents, "
+    "and the shared fraction. Detection guarantee: any verbatim "
+    f"shared run of >= {WINNOW_K + WINNOW_W - 1} tokens selects at "
+    "least one common fingerprint in every document containing it "
+    "(the window minimum depends only on the run's content), at "
+    f"~2/(w+1) the density dedup_exact_substr stores — the index a "
+    "plagiarism/overlap detector keeps. Scale notes: k-gram hashing "
+    "AND window-min selection are per-row array folds in the scan "
+    "projection; only the selected (doc_id, 8-byte fingerprint) rows "
+    "are exploded and shuffled; shared-set and join-back reuse the "
+    "fingerprint partitioning (same shape as dedup_exact_substr).",
+    tags=("dedup", "neardup", "text", "fingerprint"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok_df = docs.select("doc_id", F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0).alias("ts"))
+    ts = F.col("ts")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - F.lit(WINNOW_K - 1)),
+        lambda i: F.array_join(F.slice(ts, i, WINNOW_K), " "),
+    )
+    hs = F.transform(grams, lambda g: _spark_hex_id(g, SPAN_HASH_HEX_DIGITS))
+    # short docs get empty fingerprint arrays inside the projection
+    # (explode drops them) — a size(ts) filter would be pushed into the
+    # FileScan and re-run the tokenize chain per row (plan-lint pinned)
+    gh = tok_df.select(
+        "doc_id",
+        F.when(F.size(ts) >= WINNOW_K + WINNOW_W - 1, hs)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("hs"),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - F.lit(WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice("hs", i, WINNOW_W)),
+        )
+    )
+    ds = (
+        gh.select(
+            "doc_id",
+            F.size("hs").alias("n_grams"),
+            F.explode(
+                F.when(F.size("hs") >= WINNOW_W, fps).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ).alias("fp"),
+        )
+        .transform(tracked_persist)
+    )
+    shared = (
+        ds.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    tot = ds.groupBy("doc_id").agg(
+        F.first("n_grams").alias("n_grams"), F.count("*").alias("n_fps")
+    )
+    dup = ds.join(shared, "fp").groupBy("doc_id").agg(F.count("*").alias("shared_fps"))
+    return (
+        tot.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fps",
+            F.coalesce("shared_fps", F.lit(0)).alias("shared_fps"),
+            F.round(
+                F.coalesce("shared_fps", F.lit(0)).cast("double") / F.col("n_fps"), 6
+            ).alias("shared_frac"),
+        )
+        .sortWithinPartitions("doc_id")
+    )

@@ -158,3 +158,35 @@ def test_exact_substr_detects_planted_shared_token_run(spark, tmp_path):
     for r in out.values():
         assert 0 <= r.dup_spans <= r.n_spans
         assert abs(r.dup_frac - round(r.dup_spans / r.n_spans, 6)) < 1e-9
+
+
+def test_winnowing_guarantee_and_density(spark, tmp_path):
+    """Winnowing's theorem on a planted fixture: a shared run of
+    k+w-1 tokens yields a common fingerprint in both documents at any
+    offset; a disjoint-vocabulary document shares nothing; and the
+    fingerprint density is below ExactSubstr's every-position spans."""
+    from multithreaded_mapreduce_spark.operators.dedup import WINNOW_K, WINNOW_W
+
+    t = WINNOW_K + WINNOW_W - 1
+    shared = " ".join(f"run{i}" for i in range(t))
+    rows = [
+        (1, "lead a b " + shared + " tail c d e f"),
+        (2, "completely different and longer prefix words " + shared + " zz"),
+        (3, " ".join(f"solo{i}" for i in range(30))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in Q["winnowing_fingerprints"].builder(spark, str(tmp_path)).collect()
+    }
+    assert out[1].shared_fps >= 1 and out[2].shared_fps >= 1, out
+    assert out[3].shared_fps == 0
+    sub = {
+        r.doc_id: r
+        for r in Q["dedup_exact_substr"].builder(spark, str(tmp_path)).collect()
+    }
+    for i in (1, 2, 3):
+        assert out[i].n_fps <= sub[i].n_spans, (i, out[i].n_fps, sub[i].n_spans)
+        assert 0 <= out[i].shared_fps <= out[i].n_fps
