@@ -17,6 +17,8 @@ custom UDAF; the explode form gets that for free from HashAggregate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -409,3 +411,170 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").cast("bigint").alias("cluster"), "n_members", "avg_sq_dist")
         .orderBy("cluster")
     )
+
+
+# ------------------------------------------------------------------
+# top principal component by deterministic power iteration — the
+# dimensionality-reduction prep step of an embedding pipeline
+# (whitening, drift monitoring, anisotropy checks), built on the same
+# cross-engine float discipline as kmeans_lloyd: fixed-order IEEE
+# folds per row, exact-decimal order-varying sums, and a bounded
+# (dim-sized) driver round-trip per iteration.
+# ------------------------------------------------------------------
+
+PC_ITERS = 3  # matvec rounds; enough to separate the top direction
+
+
+def _pc_mean(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Per-dimension mean of the non-null vectors (exact decimal sums,
+    6-dp snap — identical to the oracle's centering CTE). [] if the
+    corpus is empty."""
+    rows = (
+        lloyd_vectors(spark, sf_dir)
+        .select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.round(
+                (F.sum(F.col("x").cast(DECV)).cast("double") / F.count(F.lit(1)))
+                .cast("decimal(30,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("m")
+        )
+        .collect()
+    )
+    m = {r.dim: r.m for r in rows}
+    return [m[i] for i in range(len(m))]
+
+
+def _pc_matvec(emb, mean: list[float], v: list[float]) -> list[float]:
+    """One power-iteration step w = Σ_x (x-m)·((x-m)·v): the dot is a
+    fixed-order IEEE fold per row, the per-dimension row sums are
+    exact decimal, and the driver does only the 64-element norm fold
+    (left-associated, mirroring the oracle's list_reduce order)."""
+    mlit = F.array(*[F.lit(float(c)) for c in mean])
+    vlit = F.array(*[F.lit(float(c)) for c in v])
+    dot = F.aggregate(
+        F.transform("v", lambda a, i: (a - F.get(mlit, i)) * F.get(vlit, i)),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    rows = (
+        emb.select(dot.alias("t"), "v")
+        .select("t", F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.get(mlit, F.col("dim"))) * F.col("t")).cast(DECV)
+            )
+            .cast("double")
+            .alias("w")
+        )
+        .collect()
+    )
+    wm = {r.dim: r.w for r in rows}
+    w = [wm[i] for i in range(len(wm))]
+    s = 0.0
+    for y in w:  # left-associated, exactly the oracle's fold order
+        s = s + y * y
+    nrm = math.sqrt(s)
+    return [y / nrm for y in w] if nrm > 0 else w
+
+
+def _pc_oracle() -> str:
+    dim_expr = "generate_subscripts(v, 1) - 1"
+    centered_dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(v, (a, i) -> (a - ml[i]) * vl[i])), "
+        "(acc, y) -> acc + y)"
+    )
+    rounds = []
+    prev = "v0"
+    for r in range(1, PC_ITERS + 1):
+        rounds.append(f"""d{r} AS (
+  SELECT xl.v, {centered_dot} AS t
+  FROM xl CROSS JOIN m CROSS JOIN {prev}
+), w{r} AS (
+  SELECT dim, CAST(sum(CAST((x - m) * t AS {DECV})) AS DOUBLE) AS w
+  FROM (
+    SELECT t, {dim_expr} AS dim, CAST(unnest(v) AS DOUBLE) AS x
+    FROM d{r}
+  ) j JOIN (SELECT generate_subscripts(ml, 1) - 1 AS dim, unnest(ml) AS m FROM m) mm
+    USING (dim)
+  GROUP BY dim
+), n{r} AS (
+  SELECT list(w ORDER BY dim) AS wl,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list(w ORDER BY dim), y -> y * y)),
+              (acc, y) -> acc + y)) AS nrm
+  FROM w{r}
+), v{r} AS (
+  SELECT CASE WHEN nrm > 0 THEN list_transform(wl, y -> y / nrm) ELSE wl END AS vl
+  FROM n{r}
+)""")
+        prev = f"v{r}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+), xl AS (
+  SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+  FROM e
+), mdims AS (
+  SELECT {dim_expr} AS dim, CAST(unnest(v) AS DOUBLE) AS x FROM xl
+), mrow AS (
+  SELECT dim,
+         CAST(round(CAST(CAST(sum(CAST(x AS {DECV})) AS DOUBLE) / count(*)
+              AS DECIMAL(30,12)), 6) AS DOUBLE) AS m
+  FROM mdims GROUP BY dim
+), m AS (
+  SELECT list(m ORDER BY dim) AS ml FROM mrow
+), v0 AS (
+  SELECT list_transform(ml, y -> CAST(0.125 AS DOUBLE)) AS vl FROM m
+),
+{rounds_sql}
+SELECT dim, CAST(round(CAST(loading AS DECIMAL(30,12)), 6) AS DOUBLE) AS loading
+FROM (
+  SELECT generate_subscripts(vl, 1) - 1 AS dim, unnest(vl) AS loading
+  FROM v{PC_ITERS}
+)
+ORDER BY dim
+"""
+
+
+@register(
+    "embedding_top_pc",
+    oracle=_pc_oracle(),
+    description=f"Top principal component of the centered embedding "
+    f"corpus by {PC_ITERS}-round deterministic power iteration "
+    "(uniform 0.125 start — exactly representable, so both engines "
+    "begin identically): per-row centered dots are fixed-order IEEE "
+    "folds, the per-dimension matvec row sums go through exact "
+    "decimal addition (order-independent), and only the dim-sized "
+    "norm fold runs on the driver (left-associated, replayed by the "
+    "oracle's list_reduce term for term) — the whole trajectory is "
+    "bit-identical to the unrolled DuckDB oracle, like kmeans_lloyd. "
+    "Scale: one scan per iteration, each shuffling dim-sized partial "
+    "sums (classic distributed PCA matvec); driver state is one "
+    "64-double vector per round. The anisotropy/whitening prep step "
+    "of an embedding pipeline.",
+    tags=("ml", "vectors", "embedding", "pca", "pipeline"),
+)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = lloyd_vectors(spark, sf_dir)
+    mean = _pc_mean(spark, sf_dir)
+    if not mean:
+        return spark.createDataFrame([], "dim INT, loading DOUBLE")
+    v = [0.125] * len(mean)
+    for _ in range(PC_ITERS):
+        v = _pc_matvec(emb, mean, v)
+    out = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(v)], "dim INT, loading DOUBLE"
+    )
+    return out.select(
+        "dim",
+        F.round(F.col("loading").cast("decimal(30,12)"), 6)
+        .cast("double")
+        .alias("loading"),
+    ).orderBy("dim")

@@ -180,3 +180,29 @@ def test_bigram_lm_separates_shuffled_gibberish(spark, tmp_path):
         out[9].avg_bigram_logprob,
         out[1].avg_bigram_logprob,
     )
+
+
+def test_top_pc_recovers_planted_direction(spark, tmp_path):
+    """On a corpus whose variance is concentrated along a planted
+    direction, 3 power-iteration rounds recover it: |cos(pc, planted)|
+    is near 1 and the loading vector is unit-norm."""
+    dim = 16
+    planted = [1.0 if i % 2 == 0 else -1.0 for i in range(dim)]
+    nrm = math.sqrt(sum(c * c for c in planted))
+    planted = [c / nrm for c in planted]
+    rows = []
+    for j in range(200):
+        scale = (j % 21) - 10  # symmetric spread along the planted axis
+        noise = [((j * 31 + i * 7) % 11 - 5) * 0.01 for i in range(dim)]
+        rows.append(
+            (j, [float(scale * planted[i] + noise[i]) for i in range(dim)], j % 3)
+        )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = Q["embedding_top_pc"].builder(spark, str(tmp_path)).collect()
+    assert len(out) == dim
+    v = [r.loading for r in sorted(out, key=lambda r: r.dim)]
+    assert abs(math.sqrt(sum(c * c for c in v)) - 1.0) < 1e-4
+    cos = sum(a * b for a, b in zip(v, planted))
+    assert abs(cos) > 0.95, cos
