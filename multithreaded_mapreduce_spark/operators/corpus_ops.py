@@ -328,3 +328,279 @@ def length_gate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n_toks").cast("long").alias("n_toks"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------------------
+# the full pretraining curation funnel in ONE plan: every r3/r4 gate
+# composed the way a production pipeline actually chains them —
+# raw → non-empty → Gopher repetition gate → char-entropy gate →
+# exact dedup (canonical per content digest) → span-dedup cut
+# (ExactSubstr dup fraction) — with per-stage survivor counts and the
+# surviving token budget. The point of the catalog's gates is that
+# they COMPOSE into a single Catalyst plan; this is the composition.
+# ------------------------------------------------------------------
+
+#: a document is cut when at least half of its 8-token spans are
+#: verbatim-duplicated inside the surviving corpus; the comparison is
+#: the integer form 2·dup < n (exact on both engines — no division).
+SPAN_DUP_CUT_NUM = 2
+
+
+def _funnel_oracle() -> str:
+    from .dedup import SPAN_HASH_HEX_DIGITS, SPAN_TOKENS, _oracle_hex_id
+    from .quality_repetition import (
+        DUP_BIGRAM_MAX,
+        ENTROPY_ALPHABET,
+        ENTROPY_MIN,
+        TOP_CHAR_MAX,
+        TOP_TOKEN_MAX,
+    )
+
+    na = len(ENTROPY_ALPHABET)
+    cnt_cols = ",\n         ".join(
+        f"length(s) - length(replace(s, '{ch}', '')) AS c{i}"
+        for i, ch in enumerate(ENTROPY_ALPHABET)
+    )
+    total = " + ".join(f"c{i}" for i in range(na))
+    terms = "\n           + ".join(
+        f"(CASE WHEN c{i} > 0 THEN (CAST(c{i} AS DOUBLE) / total) "
+        f"* log2(CAST(c{i} AS DOUBLE) / total) ELSE 0.0 END)"
+        for i in range(na)
+    )
+    greatest = ", ".join(f"c{i}" for i in range(na))
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text, md5(text) AS h,
+         {_sql_tokens()} AS ts,
+         lower(text) AS s,
+         regexp_matches(coalesce(text, ''), '\S') AS f2
+  FROM documents
+), rep AS (
+  SELECT *, len(ts) AS n_toks,
+         CASE WHEN len(ts) > 0 THEN
+           list_max(list_transform(list_distinct(ts),
+                                   t -> len(list_filter(ts, x -> x = t))))
+         ELSE 0 END AS top_cnt,
+         CASE WHEN len(ts) >= 2 THEN
+           list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+         ELSE CAST([] AS VARCHAR[]) END AS bi
+  FROM base
+), cc AS (
+  SELECT *, {cnt_cols}
+  FROM rep
+), tt AS (
+  SELECT *, {total} AS total FROM cc
+), flags AS (
+  SELECT doc_id, text, h, ts, n_toks, f2,
+         f2 AND n_toks > 0
+            AND CAST(top_cnt AS DOUBLE) / n_toks <= {TOP_TOKEN_MAX}
+            AND (CASE WHEN len(bi) > 0
+                 THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+                 ELSE 0.0 END) <= {DUP_BIGRAM_MAX} AS f3,
+         total > 0
+            AND CAST(round(CAST(-({terms}) AS DECIMAL(30,12)), 6) AS DOUBLE)
+                >= {ENTROPY_MIN}
+            AND CAST(round(CAST(CAST(greatest({greatest}) AS DOUBLE) / total
+                            AS DECIMAL(30,12)), 6) AS DOUBLE) <= {TOP_CHAR_MAX}
+            AS f4e
+  FROM tt
+), staged AS (
+  SELECT *, f3 AND f4e AS f4 FROM flags
+), agg1 AS (
+  SELECT count(*) AS n_raw,
+         CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty,
+         CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_repetition,
+         CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_entropy
+  FROM staged
+), kept AS (
+  SELECT doc_id, ts, n_toks FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM staged WHERE f4
+  ) WHERE rn = 1
+), agg2 AS (
+  SELECT count(*) AS n_after_exact_dedup FROM kept
+), spans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - {SPAN_TOKENS - 2}),
+                i -> array_to_string(list_slice(ts, CAST(i AS INTEGER),
+                                                CAST(i + {SPAN_TOKENS - 1} AS INTEGER)),
+                                     ' '))) AS gram
+  FROM kept
+  WHERE len(ts) >= {SPAN_TOKENS}
+), ds AS (
+  SELECT DISTINCT doc_id, {_oracle_hex_id('gram', SPAN_HASH_HEX_DIGITS)} AS sid
+  FROM spans
+), shared AS (
+  SELECT sid FROM ds GROUP BY sid HAVING count(DISTINCT doc_id) >= 2
+), spanstats AS (
+  SELECT d.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN s.sid IS NOT NULL THEN 1 ELSE 0 END) AS dup_spans
+  FROM ds d LEFT JOIN shared s USING (sid)
+  GROUP BY d.doc_id
+), survivors AS (
+  SELECT k.doc_id, k.n_toks
+  FROM kept k LEFT JOIN spanstats p ON k.doc_id IS NOT DISTINCT FROM p.doc_id
+  WHERE p.doc_id IS NULL OR {SPAN_DUP_CUT_NUM} * p.dup_spans < p.n_spans
+), agg3 AS (
+  SELECT count(*) AS n_after_span_cut,
+         CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS surviving_tokens
+  FROM survivors
+)
+SELECT * FROM agg1 CROSS JOIN agg2 CROSS JOIN agg3
+"""
+
+
+@register(
+    "pretraining_funnel_report",
+    oracle=_funnel_oracle(),
+    description="The full pretraining curation funnel as ONE Catalyst "
+    "plan, composing the catalog's gates the way a production pipeline "
+    "chains them: raw corpus → non-empty → Gopher repetition gate "
+    "(top-token and duplicate-bigram shares) → character-entropy gate "
+    "(the compression-ratio proxy) → exact dedup keeping the lowest "
+    "doc_id per content digest → ExactSubstr span-dedup cut (a "
+    "survivor is dropped when >= half of its 8-token spans are "
+    "verbatim-duplicated among the survivors, compared in the exact "
+    "integer form 2·dup < n). One row out: per-stage survivor counts "
+    "plus the surviving token budget. Scale notes: every per-document "
+    "gate is row math in one scan (flags, not filters, so nothing "
+    "heavy is pushed into the FileScan and every stage is counted in "
+    "the same pass); the dedup stage shuffles 32-byte digests; the "
+    "span stage shuffles 8-byte span ids of the survivors only; the "
+    "final counts are three tiny aggregates cross-joined.",
+    tags=("text", "pipeline", "dedup", "quality"),
+)
+def pretraining_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import Window as W
+
+    from ..plans.caching import tracked_persist
+    from ..sources.tables import spread
+    from .dedup import SPAN_HASH_HEX_DIGITS, SPAN_TOKENS, _spark_hex_id
+    from .quality_repetition import (
+        DUP_BIGRAM_MAX,
+        ENTROPY_ALPHABET,
+        ENTROPY_MIN,
+        TOP_CHAR_MAX,
+        TOP_TOKEN_MAX,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ts = _tokens()
+    n = F.size(ts)
+    top_cnt = F.when(
+        n > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(ts),
+                lambda t: F.size(F.filter(ts, lambda x: x == t)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ts, i), F.element_at(ts, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bi)
+    dup_bi = F.when(
+        n_bi > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bi)).cast("double") / n_bi,
+    ).otherwise(F.lit(0.0))
+    s = F.lower("text")
+    na = len(ENTROPY_ALPHABET)
+    cnts = [
+        (F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit(""))))
+        for ch in ENTROPY_ALPHABET
+    ]
+    total = reduce(add, cnts)
+
+    def snap6(c):
+        return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+
+    def term(c):
+        p = c.cast("double") / total
+        return F.when(c > 0, p * F.log2(p)).otherwise(F.lit(0.0))
+
+    ent = snap6(-reduce(add, [term(c) for c in cnts]))
+    top_share = snap6(F.greatest(*cnts).cast("double") / total)
+    f2 = F.coalesce(F.col("text"), F.lit("")).rlike(r"\S")
+    f3 = (
+        f2
+        & (n > 0)
+        & (top_cnt.cast("double") / n <= TOP_TOKEN_MAX)
+        & (dup_bi <= DUP_BIGRAM_MAX)
+    )
+    f4 = f3 & (total > 0) & (ent >= ENTROPY_MIN) & (top_share <= TOP_CHAR_MAX)
+    staged = docs.select(
+        "doc_id",
+        ts.alias("ts"),
+        n.alias("n_toks"),
+        F.md5("text").alias("h"),
+        f2.alias("f2"),
+        f3.alias("f3"),
+        f4.alias("f4"),
+    ).transform(tracked_persist)
+    agg1 = staged.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("f2").cast("int")).alias("n_nonempty"),
+        F.sum(F.col("f3").cast("int")).alias("n_pass_repetition"),
+        F.sum(F.col("f4").cast("int")).alias("n_pass_entropy"),
+    )
+    kept = (
+        staged.filter("f4")
+        .withColumn("rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "ts", "n_toks")
+        .transform(tracked_persist)
+    )
+    agg2 = kept.agg(F.count(F.lit(1)).alias("n_after_exact_dedup"))
+    span_arr = F.when(
+        F.size("ts") >= SPAN_TOKENS,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - F.lit(SPAN_TOKENS - 1)),
+            lambda i: F.array_join(F.slice("ts", i, SPAN_TOKENS), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ds = (
+        kept.select("doc_id", F.explode(span_arr).alias("gram"))
+        .select("doc_id", _spark_hex_id("gram", SPAN_HASH_HEX_DIGITS).alias("sid"))
+        .distinct()
+        .transform(tracked_persist)
+    )
+    shared = (
+        ds.groupBy("sid")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sid", F.lit(1).alias("is_shared"))
+    )
+    spanstats = (
+        ds.join(shared, "sid", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce("is_shared", F.lit(0))).alias("dup_spans"),
+        )
+    )
+    survivors = (
+        kept.alias("k")
+        .join(
+            spanstats.alias("p"),
+            F.col("k.doc_id").eqNullSafe(F.col("p.doc_id")),
+            "left",
+        )
+        .filter(
+            F.col("p.doc_id").isNull()
+            | (F.lit(SPAN_DUP_CUT_NUM) * F.col("p.dup_spans") < F.col("p.n_spans"))
+        )
+        .select(F.col("k.n_toks").alias("n_toks"))
+    )
+    agg3 = survivors.agg(
+        F.count(F.lit(1)).alias("n_after_span_cut"),
+        F.coalesce(F.sum("n_toks"), F.lit(0)).cast("bigint").alias("surviving_tokens"),
+    )
+    return agg1.crossJoin(agg2).crossJoin(agg3)

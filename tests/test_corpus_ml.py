@@ -206,3 +206,30 @@ def test_top_pc_recovers_planted_direction(spark, tmp_path):
     assert abs(math.sqrt(sum(c * c for c in v)) - 1.0) < 1e-4
     cos = sum(a * b for a, b in zip(v, planted))
     assert abs(cos) > 0.95, cos
+
+
+def test_pretraining_funnel_is_monotone_and_consistent(spark, sf_dir):
+    """The funnel only removes: each stage count <= the previous one;
+    stage counts reconcile with the standalone gate operators at the
+    same sf; surviving tokens <= the kept docs' total."""
+    row = Q["pretraining_funnel_report"].builder(spark, sf_dir).collect()[0]
+    assert (
+        row.n_raw
+        >= row.n_nonempty
+        >= row.n_pass_repetition
+        >= row.n_pass_entropy
+        >= row.n_after_exact_dedup
+        >= row.n_after_span_cut
+        >= 0
+    ), row
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert row.n_raw == n_docs
+    # repetition stage ⊆ the standalone gate's passing set (the funnel
+    # additionally requires non-emptiness, which the standalone op
+    # guarantees by construction)
+    rep_pass = sum(
+        r.passes_repetition
+        for r in Q["repetition_metrics"].builder(spark, sf_dir).collect()
+    )
+    assert row.n_pass_repetition <= rep_pass + 1e-9
+    assert row.surviving_tokens >= 0
