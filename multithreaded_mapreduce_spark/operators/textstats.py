@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..plans.caching import tracked_persist
 from ..plans.registry import register
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 # small embedded stopword lists (public, standard function words)
 STOPWORDS = {
@@ -516,4 +516,83 @@ def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit.crossJoin(F.broadcast(corpus)).select(
         "vocab_size", "total_tokens", "k_used",
         "zipf_slope", "zipf_intercept", "fit_r2",
+    )
+
+
+# ------------------------------------------------------------------
+# vocabulary coverage / OOV rate — the tokenizer-budgeting question:
+# "with a top-V vocabulary, how much of each document falls out?"
+# ------------------------------------------------------------------
+
+#: small enough that the boundary actually cuts on the driver corpus
+#: (31 distinct tokens at sf0.01) — the operator's shape is V-agnostic
+OOV_VOCAB_SIZE = 20
+
+
+@register(
+    "vocab_oov_rates",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_sql_tokens()} AS ts FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ts) AS token FROM t
+), v AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+    FROM tok GROUP BY token
+  ) WHERE rn <= {OOV_VOCAB_SIZE}
+)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(round(CAST(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS DECIMAL(30,12)), 6) AS DOUBLE) AS oov_rate
+FROM tok LEFT JOIN v USING (token)
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+""",
+    description=f"Tokenizer vocabulary budgeting: build the top-"
+    f"{OOV_VOCAB_SIZE} vocabulary by corpus frequency (ties broken by "
+    "token, so the boundary is deterministic on both engines) and "
+    "report every document's out-of-vocabulary token count and rate — "
+    "the coverage curve input that decides a tokenizer's vocab size. "
+    "Scale notes: the vocabulary is a TakeOrderedAndProject over the "
+    "token aggregate and broadcasts to the scoring join; the token "
+    "stream shuffles once into per-document counts. The corpus-sized "
+    "output skips a global presentation sort.",
+    tags=("text", "tokenizer", "pipeline"),
+)
+def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token")).transform(
+        tracked_persist
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(OOV_VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                (F.col("n_oov").cast("double") / F.col("n_tokens")).cast(
+                    "decimal(30,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("oov_rate"),
+        )
+        .sortWithinPartitions("doc_id")
     )

@@ -578,3 +578,89 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("loading"),
     ).orderBy("dim")
+
+
+# ------------------------------------------------------------------
+# embedding drift report — the monitoring op of an embedding pipeline:
+# compare two corpus snapshots' per-dimension centroids. Here the two
+# deterministic halves (vec_id parity) stand in for "last week vs this
+# week"; the shape is snapshot-agnostic.
+# ------------------------------------------------------------------
+
+
+@register(
+    "embedding_drift_report",
+    oracle=f"""
+WITH dims AS (
+  SELECT vec_id % 2 AS half,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+), m AS (
+  SELECT half, dim, count(*) AS n,
+         CAST(round(CAST(CAST(sum(CAST(x AS {DECV})) AS DOUBLE) / count(*)
+              AS DECIMAL(30,12)), 6) AS DOUBLE) AS mu
+  FROM dims GROUP BY half, dim
+)
+SELECT a.dim,
+       a.n AS n_a, b.n AS n_b,
+       a.mu AS mean_a, b.mu AS mean_b,
+       CAST(round(CAST(abs(a.mu - b.mu) AS DECIMAL(30,12)), 6) AS DOUBLE)
+         AS abs_delta
+FROM m a JOIN m b ON a.dim = b.dim AND a.half = 0 AND b.half = 1
+ORDER BY a.dim
+""",
+    description="Embedding drift monitoring: per-dimension centroid of "
+    "two deterministic corpus halves (vec_id parity standing in for "
+    "two snapshots) and the absolute per-dimension delta — the "
+    "dashboard a pipeline watches for upstream encoder or data drift. "
+    "Exact decimal means (6-dp snapped) make the report bit-stable "
+    "under any partitioning; one posexplode scan, one (half, dim) "
+    "aggregate partial-combined map-side to 128 rows, one tiny "
+    "self-join.",
+    tags=("vectors", "embedding", "monitoring", "pipeline"),
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & F.col("vec_id").isNotNull())
+        .select(
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        .select("half", "dim", F.col("x").cast("double").alias("x"))
+    )
+    m = emb.groupBy("half", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            (F.sum(F.col("x").cast(DECV)).cast("double") / F.count(F.lit(1))).cast(
+                "decimal(30,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("mu"),
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "dim", F.col("n").alias("n_a"), F.col("mu").alias("mean_a")
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "dim", F.col("n").alias("n_b"), F.col("mu").alias("mean_b")
+    )
+    return (
+        a.join(b, "dim")
+        .select(
+            "dim",
+            "n_a",
+            "n_b",
+            "mean_a",
+            "mean_b",
+            F.round(
+                F.abs(F.col("mean_a") - F.col("mean_b")).cast("decimal(30,12)"), 6
+            )
+            .cast("double")
+            .alias("abs_delta"),
+        )
+        .orderBy("dim")
+    )
