@@ -134,9 +134,14 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     frame with its digest — mapInPandas with a fan-out (rows out >
     rows in), the shape a real frame sampler has."""
 
+    # media_id is nullable: an id-less record (NULL media_id with a
+    # real payload) must ride through the fan-out as NULL, exactly as
+    # a SQL engine would carry it — pandas' default int64 would raise
+    # "cannot convert float NaN to integer" on it (caught by the
+    # adversarial edge-document fixture)
     out_schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_id", T.LongType(), True),
             T.StructField("frame_idx", T.IntegerType(), False),
             T.StructField("frame_md5", T.StringType(), False),
             T.StructField("frame_bytes", T.LongType(), False),
@@ -152,13 +157,13 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     chunk = payload[k * step : (k + 1) * step]
                     if not chunk:
                         break
-                    ids.append(mid)
+                    ids.append(None if pd.isna(mid) else int(mid))
                     idxs.append(k)
                     digests.append(hashlib.md5(chunk).hexdigest())
                     sizes.append(len(chunk))
             yield pd.DataFrame(
                 {
-                    "media_id": pd.array(ids, dtype="int64"),
+                    "media_id": pd.array(ids, dtype="Int64"),
                     "frame_idx": pd.array(idxs, dtype="int32"),
                     "frame_md5": digests,
                     "frame_bytes": pd.array(sizes, dtype="int64"),

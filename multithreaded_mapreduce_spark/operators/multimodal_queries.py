@@ -213,3 +213,95 @@ def media_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_frame_energy(synthesize_netpbm_media(spark, n=_N_MEDIA)).orderBy(
         "media_id", "frame_idx"
     )
+
+
+@register(
+    "media_frame_dedup",
+    oracle="""
+WITH params AS (
+  SELECT doc_id AS media_id, text, length(text) AS len,
+         greatest(1, length(text) // 4) AS step
+  FROM documents
+  WHERE length(text) > 0
+), frames AS (
+  SELECT media_id,
+         md5(substr(text, CAST(k * step + 1 AS BIGINT), CAST(step AS BIGINT)))
+           AS frame_md5
+  FROM params, unnest(generate_series(0, 3)) AS u(k)
+  WHERE k * step < len
+), df AS (
+  SELECT DISTINCT media_id, frame_md5 FROM frames
+), shared AS (
+  SELECT frame_md5 FROM df GROUP BY frame_md5
+  HAVING count(DISTINCT media_id) >= 2
+), stats AS (
+  SELECT d.media_id, count(*) AS n_frames,
+         CAST(sum(CASE WHEN s.frame_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_frames
+  FROM df d LEFT JOIN shared s USING (frame_md5)
+  GROUP BY d.media_id
+)
+SELECT media_id, n_frames, dup_frames,
+       round(CAST(dup_frames AS DOUBLE) / n_frames, 6) AS dup_frac
+FROM stats
+ORDER BY media_id
+""",
+    description="Cross-media frame-level dedup — the video-dedup "
+    "primitive (catalog shorts, re-uploads, and stock intros share "
+    "frames across otherwise-distinct media): the oracle-checkable "
+    "frame fan-out of media_text_frames feeds the same shared-digest "
+    "machinery as the text span dedups, reporting each medium's "
+    "distinct-frame count, corpus-duplicated frames, and duplicated "
+    "fraction. Scale notes: the mapInPandas decode/sample stage emits "
+    "(media_id, 16-byte digest) rows only — pixels never shuffle; the "
+    "shared-set groupBy and the join back reuse the digest "
+    "partitioning. On real media the frame digest becomes a perceptual "
+    "hash; the plan is unchanged.",
+    tags=("multimodal", "video", "dedup", "pandas-udf", "oracle-checked"),
+)
+def media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..plans.caching import tracked_persist
+    from ..sources.tables import load_table, spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+    )
+    df = (
+        sample_frames(docs, n_frames=4)
+        .select("media_id", "frame_md5")
+        .distinct()
+        .transform(tracked_persist)
+    )
+    shared = (
+        df.groupBy("frame_md5")
+        .agg(F.countDistinct("media_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("frame_md5", F.lit(1).alias("is_shared"))
+    )
+    return (
+        df.join(shared, "frame_md5", "left")
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.coalesce("is_shared", F.lit(0)))
+            .cast("bigint")
+            .alias("dup_frames"),
+        )
+        .select(
+            "media_id",
+            "n_frames",
+            "dup_frames",
+            F.round(
+                F.col("dup_frames").cast("double") / F.col("n_frames"), 6
+            ).alias("dup_frac"),
+        )
+        .sortWithinPartitions("media_id")
+    )
