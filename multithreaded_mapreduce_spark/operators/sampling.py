@@ -326,3 +326,68 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------------------
+# temperature-scaled mixing allocation (the XLM-R / multilingual
+# sampling rule): q_s ∝ n_s^alpha re-weights sources so low-resource
+# slices are up-sampled relative to their natural share; the planner
+# output is the per-source document budget a downstream mix applies.
+# domain_mix_sample above applies FIXED fractions; this computes the
+# fractions FROM the corpus itself.
+# ------------------------------------------------------------------
+
+MIX_ALPHA = 0.7
+MIX_BUDGET_DOCS = 10_000
+
+
+@register(
+    "temperature_mix_allocation",
+    oracle=f"""
+WITH n AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), t AS (
+  SELECT *, pow(CAST(n_docs AS DOUBLE), {MIX_ALPHA}) AS w FROM n
+), z AS (
+  SELECT sum(w) AS z FROM t
+)
+SELECT source, n_docs,
+       CAST(round(CAST(w / z AS DECIMAL(30,12)), 6) AS DOUBLE) AS q,
+       CAST(least(CAST(n_docs AS DOUBLE),
+                  floor(w / z * {MIX_BUDGET_DOCS})) AS BIGINT) AS alloc_docs
+FROM t CROSS JOIN z
+ORDER BY source
+""",
+    description=f"Temperature-scaled mixing allocation (the XLM-R "
+    f"multilingual sampling rule, alpha={MIX_ALPHA}): per-source "
+    "sampling probability q_s = n_s^alpha / sum n_t^alpha computed "
+    f"FROM the corpus itself, and the per-source document budget for "
+    f"a {MIX_BUDGET_DOCS}-doc mix (capped at availability) — the "
+    "planner half of corpus mixing, whose output drives a "
+    "domain_mix_sample-style keep filter. One tiny aggregate: the "
+    "per-source counts partial-aggregate map-side, the normalizer is "
+    "a |sources|-row sum broadcast back.",
+    tags=("sampling", "mixing", "pipeline"),
+)
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = n.withColumn("w", F.pow(F.col("n_docs").cast("double"), F.lit(MIX_ALPHA)))
+    z = t.agg(F.sum("w").alias("z"))
+    return (
+        t.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            F.round((F.col("w") / F.col("z")).cast("decimal(30,12)"), 6)
+            .cast("double")
+            .alias("q"),
+            F.least(
+                F.col("n_docs").cast("double"),
+                F.floor(F.col("w") / F.col("z") * MIX_BUDGET_DOCS),
+            )
+            .cast("bigint")
+            .alias("alloc_docs"),
+        )
+        .orderBy("source")
+    )

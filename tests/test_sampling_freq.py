@@ -143,3 +143,19 @@ def test_split_leakage_audit_invariants(spark, sf_dir):
     assert sum(r.n_train + r.n_test for r in rows) == n_docs
     for r in rows:
         assert 0 <= r.exact_leaked <= r.normalized_leaked <= r.n_test, r
+
+
+def test_temperature_allocation_upsamples_low_resource(spark, sf_dir):
+    """alpha < 1 gives every source a q ABOVE its natural share when it
+    is small and BELOW when it is large (the up-sampling property);
+    probabilities sum to 1 and allocations respect availability."""
+    rows = Q["temperature_mix_allocation"].builder(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_docs for r in rows)
+    qsum = sum(r.q for r in rows)
+    assert abs(qsum - 1.0) < 1e-4, qsum
+    for r in rows:
+        nat = r.n_docs / total
+        if nat < 1.0 / len(rows):
+            assert r.q >= nat - 1e-9, (r.source, r.q, nat)
+        assert 0 <= r.alloc_docs <= r.n_docs
