@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.numeric import DEC
+from ..operators.corpus_ops import NEW_BATCH_SOURCE
 from ..plans.registry import register
 from ..streaming.events import (
     enriched_segment_stream,
@@ -298,3 +299,59 @@ def streaming_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_incremental_admission",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, md5(text) AS content_hash FROM documents
+)
+SELECT n.doc_id, n.content_hash
+FROM h n
+WHERE n.source = '{NEW_BATCH_SOURCE}'
+  AND NOT EXISTS (
+    SELECT 1 FROM h c
+    WHERE c.source <> '{NEW_BATCH_SOURCE}'
+      AND c.content_hash = n.content_hash
+  )
+ORDER BY n.doc_id
+""",
+    description="The corpus admission gate AS A STREAM: newly crawled "
+    f"documents (source = {NEW_BATCH_SOURCE!r}) arrive on a file "
+    "stream and are admitted only if their content digest is absent "
+    "from the established static corpus — a stream-static LEFT ANTI "
+    "join, the streaming twin of dedup_incremental_batch (same oracle, "
+    "so this is one of the rare VALUE-checked streaming queries: the "
+    "replayed stream must reproduce the batch anti-join exactly). "
+    "Scale notes: the static side is a digest-only projection (32-byte "
+    "hashes, no text) that Spark broadcasts or hash-joins per "
+    "micro-batch; the stream side carries (doc_id, digest). In "
+    "production the static side refreshes per batch via "
+    "foreachBatch — the plan is unchanged.",
+    tags=("streaming", "dedup", "incremental"),
+)
+def streaming_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table, table_path
+    from ..streaming.events import _as_stream_dir
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
+    new = stream.filter(F.col("source") == NEW_BATCH_SOURCE).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") != NEW_BATCH_SOURCE)
+        .select(F.md5("text").alias("content_hash"))
+    )
+    admitted = new.join(corpus, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )
+    out = run_stream_to_memory(
+        admitted, "q_streaming_incremental_admission", output_mode="append"
+    )
+    return out.orderBy("doc_id")
