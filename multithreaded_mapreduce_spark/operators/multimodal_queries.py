@@ -80,14 +80,19 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_text_frames",
     oracle="""
 WITH params AS (
-  SELECT doc_id AS media_id, text, length(text) AS len,
-         greatest(1, length(text) // 4) AS step
+  -- payload = hex transcoding of the text: ASCII by construction, so
+  -- the oracle's CHARACTER substr sees exactly the byte slices the
+  -- Spark path takes (a raw-text payload would diverge on any
+  -- multi-byte character: byte offsets vs char offsets)
+  SELECT doc_id AS media_id, hex(encode(text)) AS htext,
+         length(hex(encode(text))) AS len,
+         greatest(1, length(hex(encode(text))) // 4) AS step
   FROM documents
   WHERE length(text) > 0
 )
 SELECT media_id,
        CAST(k AS INT) AS frame_idx,
-       md5(substr(text, CAST(k * step + 1 AS BIGINT), CAST(step AS BIGINT)))
+       md5(substr(htext, CAST(k * step + 1 AS BIGINT), CAST(step AS BIGINT)))
          AS frame_md5,
        CAST(least(step, len - k * step) AS BIGINT) AS frame_bytes
 FROM params, unnest(generate_series(0, 3)) AS u(k)
@@ -95,12 +100,14 @@ WHERE k * step < len
 ORDER BY media_id, frame_idx
 """,
     description="The frame-sampling mapInPandas fan-out VALUE-CHECKED "
-    "against DuckDB: documents.text cast to binary plays the video "
-    "payload (the corpus is ASCII, so byte and character offsets agree), "
-    "each doc splits into 4 equal chunks, and the per-frame md5 digests "
-    "must match the oracle's substr+md5 exactly — proving the Arrow "
-    "batch path (python slicing included) is byte-faithful, which the "
-    "synthesized-media twins can only rows-check.",
+    "against DuckDB: the hex transcoding of documents.text plays the "
+    "video payload — ASCII by construction, so byte and character "
+    "offsets agree for ANY input (raw text would diverge on the first "
+    "multi-byte character); each doc splits into 4 equal chunks, and "
+    "the per-frame md5 digests must match the oracle's substr+md5 "
+    "exactly — proving the Arrow batch path (python slicing included) "
+    "is byte-faithful, which the synthesized-media twins can only "
+    "rows-check.",
     tags=("multimodal", "video", "pandas-udf", "oracle-checked"),
 )
 def media_text_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,7 +121,7 @@ def media_text_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("doc_id").alias("media_id"),
             F.lit("video").alias("kind"),
-            F.col("text").cast("binary").alias("payload"),
+            F.hex("text").cast("binary").alias("payload"),
         )
     )
     return sample_frames(docs, n_frames=4).orderBy("media_id", "frame_idx")
@@ -219,13 +226,14 @@ def media_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_frame_dedup",
     oracle="""
 WITH params AS (
-  SELECT doc_id AS media_id, text, length(text) AS len,
-         greatest(1, length(text) // 4) AS step
+  SELECT doc_id AS media_id, hex(encode(text)) AS htext,
+         length(hex(encode(text))) AS len,
+         greatest(1, length(hex(encode(text))) // 4) AS step
   FROM documents
   WHERE length(text) > 0
 ), frames AS (
   SELECT media_id,
-         md5(substr(text, CAST(k * step + 1 AS BIGINT), CAST(step AS BIGINT)))
+         md5(substr(htext, CAST(k * step + 1 AS BIGINT), CAST(step AS BIGINT)))
            AS frame_md5
   FROM params, unnest(generate_series(0, 3)) AS u(k)
   WHERE k * step < len
@@ -271,7 +279,9 @@ def media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("doc_id").alias("media_id"),
             F.lit("video").alias("kind"),
-            F.col("text").cast("binary").alias("payload"),
+            # hex transcoding: ASCII payload, so the oracle's character
+            # substr equals the Spark path's byte slices on any input
+            F.hex("text").cast("binary").alias("payload"),
         )
     )
     df = (

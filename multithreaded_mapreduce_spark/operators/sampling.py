@@ -354,7 +354,8 @@ WITH n AS (
 SELECT source, n_docs,
        CAST(round(CAST(w / z AS DECIMAL(30,12)), 6) AS DOUBLE) AS q,
        CAST(least(CAST(n_docs AS DOUBLE),
-                  floor(w / z * {MIX_BUDGET_DOCS})) AS BIGINT) AS alloc_docs
+                  floor(CAST(w / z * {MIX_BUDGET_DOCS} AS DECIMAL(30,12))))
+            AS BIGINT) AS alloc_docs
 FROM t CROSS JOIN z
 ORDER BY source
 """,
@@ -382,9 +383,16 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("w") / F.col("z")).cast("decimal(30,12)"), 6)
             .cast("double")
             .alias("q"),
+            # snap before floor: pow() is not correctly rounded, so an
+            # unsnapped quotient within an ulp of an integer could
+            # floor differently across engines
             F.least(
                 F.col("n_docs").cast("double"),
-                F.floor(F.col("w") / F.col("z") * MIX_BUDGET_DOCS),
+                F.floor(
+                    (F.col("w") / F.col("z") * MIX_BUDGET_DOCS).cast(
+                        "decimal(30,12)"
+                    )
+                ).cast("double"),
             )
             .cast("bigint")
             .alias("alloc_docs"),

@@ -131,9 +131,15 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx"),
         )
     )
-    pw = W.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    # rank() over the 6-dp-ROUNDED approx, not row_number over the raw
+    # double: a boundary tie group (e.g. 20+ near-duplicate vectors
+    # sharing one cosine at output granularity) is kept WHOLE, so the
+    # oracle's id-tie-broken winner can never be evicted by 1e-16 raw
+    # jitter below the buffer cut (review r4); a candidate cut here is
+    # strictly below the kept set at the output's own 6-dp granularity
+    pw = W.partitionBy("query_id").orderBy(F.round(F.col("approx"), 6).desc())
     buffer = (
-        prelim.withColumn("prnk", F.row_number().over(pw))
+        prelim.withColumn("prnk", F.rank().over(pw))
         .filter(F.col("prnk") <= RESCORE_BUFFER)
     )
     # phase 2: oracle-stable decimal rescore of the buffer only — fast/
@@ -447,10 +453,10 @@ def knn_ivf_exact_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx"),
         )
     )
-    pw = W.partitionBy("query_id").orderBy(
-        F.col("approx").desc(), F.col("neighbor_id")
-    )
-    buffer = prelim.withColumn("prnk", F.row_number().over(pw)).filter(
+    # rank() over the rounded approx — boundary tie groups kept whole,
+    # same reasoning as knn_cosine_bruteforce's buffer (review r4)
+    pw = W.partitionBy("query_id").orderBy(F.round(F.col("approx"), 6).desc())
+    buffer = prelim.withColumn("prnk", F.rank().over(pw)).filter(
         F.col("prnk") <= RESCORE_BUFFER
     )
     scored = buffer.select(
@@ -613,9 +619,15 @@ def knn_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "q_emb", "neighbor_id", "n_emb", approx.alias("approx"))
     )
-    pw = W.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    # rank() over the 6-dp-ROUNDED approx, not row_number over the raw
+    # double: a boundary tie group (e.g. 20+ near-duplicate vectors
+    # sharing one cosine at output granularity) is kept WHOLE, so the
+    # oracle's id-tie-broken winner can never be evicted by 1e-16 raw
+    # jitter below the buffer cut (review r4); a candidate cut here is
+    # strictly below the kept set at the output's own 6-dp granularity
+    pw = W.partitionBy("query_id").orderBy(F.round(F.col("approx"), 6).desc())
     buffer = (
-        prelim.withColumn("prnk", F.row_number().over(pw))
+        prelim.withColumn("prnk", F.rank().over(pw))
         .filter(F.col("prnk") <= RESCORE_BUFFER)
     )
     scored = buffer.select(
@@ -719,9 +731,15 @@ def knn_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same two-phase ranking as knn_cosine_bruteforce: cheap double
     # cosine ranks, the decimal-exact rescore runs only on the buffer
-    pw = W.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    # rank() over the 6-dp-ROUNDED approx, not row_number over the raw
+    # double: a boundary tie group (e.g. 20+ near-duplicate vectors
+    # sharing one cosine at output granularity) is kept WHOLE, so the
+    # oracle's id-tie-broken winner can never be evicted by 1e-16 raw
+    # jitter below the buffer cut (review r4); a candidate cut here is
+    # strictly below the kept set at the output's own 6-dp granularity
+    pw = W.partitionBy("query_id").orderBy(F.round(F.col("approx"), 6).desc())
     buffer = (
-        prelim.withColumn("prnk", F.row_number().over(pw))
+        prelim.withColumn("prnk", F.rank().over(pw))
         .filter(F.col("prnk") <= RESCORE_BUFFER)
     )
     scored = buffer.select(
@@ -817,9 +835,15 @@ def knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx"),
         )
     )
-    pw = W.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    # rank() over the 6-dp-ROUNDED approx, not row_number over the raw
+    # double: a boundary tie group (e.g. 20+ near-duplicate vectors
+    # sharing one cosine at output granularity) is kept WHOLE, so the
+    # oracle's id-tie-broken winner can never be evicted by 1e-16 raw
+    # jitter below the buffer cut (review r4); a candidate cut here is
+    # strictly below the kept set at the output's own 6-dp granularity
+    pw = W.partitionBy("query_id").orderBy(F.round(F.col("approx"), 6).desc())
     buffer = (
-        prelim.withColumn("prnk", F.row_number().over(pw))
+        prelim.withColumn("prnk", F.rank().over(pw))
         .filter(F.col("prnk") <= RESCORE_BUFFER)
     )
     scored = buffer.select(

@@ -196,13 +196,19 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
         / (F.col("df") + 0.5)
     )
-    tf_part = (F.col("tf") * (BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    contrib = F.round((idf * tf_part).cast("decimal(30,12)"), 8).cast(
-        "decimal(30,8)"
-    )
+    # association matches the oracle's left-to-right parse exactly:
+    # (idf * num) / den — NOT idf * (num/den), which differs in the
+    # last ulp for general doubles and could flip the 8-dp snap
+    contrib = F.round(
+        (
+            (idf * (F.col("tf") * (BM25_K1 + 1.0)))
+            / (
+                F.col("tf")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        ).cast("decimal(30,12)"),
+        8,
+    ).cast("decimal(30,8)")
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .join(dl, "doc_id")

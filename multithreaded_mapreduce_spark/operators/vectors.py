@@ -425,12 +425,12 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 PC_ITERS = 3  # matvec rounds; enough to separate the top direction
 
 
-def _pc_mean(spark: SparkSession, sf_dir: str) -> list[float]:
+def _pc_mean(emb: DataFrame) -> list[float]:
     """Per-dimension mean of the non-null vectors (exact decimal sums,
     6-dp snap — identical to the oracle's centering CTE). [] if the
     corpus is empty."""
     rows = (
-        lloyd_vectors(spark, sf_dir)
+        emb
         .select(F.posexplode("v").alias("dim", "x"))
         .groupBy("dim")
         .agg(
@@ -562,8 +562,12 @@ ORDER BY dim
     tags=("ml", "vectors", "embedding", "pca", "pipeline"),
 )
 def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = lloyd_vectors(spark, sf_dir)
-    mean = _pc_mean(spark, sf_dir)
+    from ..plans.caching import tracked_persist
+
+    # one scan total: the mean pass and every matvec round consume the
+    # same persisted projection (4 separate parquet scans otherwise)
+    emb = lloyd_vectors(spark, sf_dir).transform(tracked_persist)
+    mean = _pc_mean(emb)
     if not mean:
         return spark.createDataFrame([], "dim INT, loading DOUBLE")
     v = [0.125] * len(mean)

@@ -158,3 +158,42 @@ def test_audio_frame_windowing_invariants(spark):
     # deterministic across runs
     again = window_audio_frames(media).collect()
     assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_media_frames_unicode_payload_parity(spark, tmp_path):
+    """The hex-transcoded payload makes byte and character offsets
+    coincide for ANY input: both oracle-checked media queries must
+    value-match DuckDB on a multi-byte corpus (raw-text payloads
+    diverged on the first non-ASCII character — caught by review r4)."""
+    import duckdb
+
+    from multithreaded_mapreduce_spark.plans.registry import all_queries
+
+    rows = [
+        (1, "héllo wörld café résumé"),
+        (2, "中文字 한국어 🎉 emoji"),
+        (3, "plain ascii text here"),
+        (4, "héllo wörld café résumé"),  # exact dup of 1: shared frames
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    for name in ["media_text_frames", "media_frame_dedup"]:
+        q = all_queries()[name]
+        got = sorted(tuple(r) for r in q.builder(spark, str(tmp_path)).collect())
+        want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+        assert got == want, (name, got[:3], want[:3])
+    # the planted exact dup shares ALL its frames
+    dedup = {
+        r.media_id: r
+        for r in all_queries()["media_frame_dedup"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert dedup[1].dup_frac == 1.0 and dedup[4].dup_frac == 1.0
+    assert dedup[2].dup_frames == 0 and dedup[3].dup_frames == 0

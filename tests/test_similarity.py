@@ -117,3 +117,40 @@ def test_ivf_exact_recall_and_soundness(spark, sf_dir):
     total = sum(len(s) for s in exact_sets.values())
     recall = hits / total
     assert recall >= 0.4, f"IVF-exact recall collapsed: {recall:.2f} ({hits}/{total})"
+
+
+def test_bruteforce_buffer_survives_massive_cosine_ties(spark, tmp_path):
+    """A duplicate-dense corpus where 30+ neighbors share one cosine at
+    output granularity: the rescore buffer must keep the tie group
+    whole (rank over rounded approx), so the final top-k equals the
+    oracle's id-tie-broken all-pairs ranking exactly. A raw row_number
+    buffer cut can evict the smallest-id winner on 1e-16 jitter."""
+    import duckdb
+
+    from multithreaded_mapreduce_spark.operators.similarity import RESCORE_BUFFER
+
+    dim = 64  # the catalog's folds are unrolled for the 64-dim schema
+    base = [1.0] + [0.0] * (dim - 1)
+    rows = [(0, [float(x) for x in base], 0)]  # the query
+    # 30 neighbors IDENTICAL to the query direction (> RESCORE_BUFFER
+    # of them), plus a few clearly-worse vectors
+    for i in range(1, 31):
+        rows.append((100 + i, [float(x) for x in base], 0))
+    for i in range(5):
+        rows.append((500 + i, [0.5] * dim, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    assert 30 > RESCORE_BUFFER
+    q = Q["knn_cosine_bruteforce"]
+    got = sorted(tuple(r) for r in q.builder(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want, (got[:6], want[:6])
+    # the id tie-break must have picked the 5 SMALLEST tied ids
+    top_ids = [r[1] for r in sorted(got, key=lambda t: t[3])]
+    assert top_ids == [101, 102, 103, 104, 105], top_ids
