@@ -347,27 +347,28 @@ SPAN_DUP_CUT_NUM = 2
 
 
 def _funnel_oracle() -> str:
-    from .dedup import SPAN_HASH_HEX_DIGITS, SPAN_TOKENS, _oracle_hex_id
+    from .dedup import sql_span_ds_ctes
     from .quality_repetition import (
         DUP_BIGRAM_MAX,
-        ENTROPY_ALPHABET,
         ENTROPY_MIN,
         TOP_CHAR_MAX,
         TOP_TOKEN_MAX,
+        sql_entropy_cnt_cols,
+        sql_entropy_greatest,
+        sql_entropy_terms,
+        sql_entropy_total,
+        sql_rep_bigrams,
+        sql_rep_dup_frac,
+        sql_rep_top_cnt,
     )
 
-    na = len(ENTROPY_ALPHABET)
-    cnt_cols = ",\n         ".join(
-        f"length(s) - length(replace(s, '{ch}', '')) AS c{i}"
-        for i, ch in enumerate(ENTROPY_ALPHABET)
-    )
-    total = " + ".join(f"c{i}" for i in range(na))
-    terms = "\n           + ".join(
-        f"(CASE WHEN c{i} > 0 THEN (CAST(c{i} AS DOUBLE) / total) "
-        f"* log2(CAST(c{i} AS DOUBLE) / total) ELSE 0.0 END)"
-        for i in range(na)
-    )
-    greatest = ", ".join(f"c{i}" for i in range(na))
+    # every gate fragment is the SAME generator the standalone
+    # operators build from — the funnel cannot drift from the gates it
+    # composes (review r4)
+    cnt_cols = sql_entropy_cnt_cols()
+    total = sql_entropy_total()
+    terms = sql_entropy_terms()
+    greatest = sql_entropy_greatest()
     return rf"""
 WITH base AS (
   SELECT doc_id, text, md5(text) AS h,
@@ -377,13 +378,8 @@ WITH base AS (
   FROM documents
 ), rep AS (
   SELECT *, len(ts) AS n_toks,
-         CASE WHEN len(ts) > 0 THEN
-           list_max(list_transform(list_distinct(ts),
-                                   t -> len(list_filter(ts, x -> x = t))))
-         ELSE 0 END AS top_cnt,
-         CASE WHEN len(ts) >= 2 THEN
-           list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
-         ELSE CAST([] AS VARCHAR[]) END AS bi
+         {sql_rep_top_cnt()} AS top_cnt,
+         {sql_rep_bigrams()} AS bi
   FROM base
 ), cc AS (
   SELECT *, {cnt_cols}
@@ -394,9 +390,7 @@ WITH base AS (
   SELECT doc_id, text, h, ts, n_toks, f2,
          f2 AND n_toks > 0
             AND CAST(top_cnt AS DOUBLE) / n_toks <= {TOP_TOKEN_MAX}
-            AND (CASE WHEN len(bi) > 0
-                 THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
-                 ELSE 0.0 END) <= {DUP_BIGRAM_MAX} AS f3,
+            AND ({sql_rep_dup_frac()}) <= {DUP_BIGRAM_MAX} AS f3,
          total > 0
             AND CAST(round(CAST(-({terms}) AS DECIMAL(30,12)), 6) AS DOUBLE)
                 >= {ENTROPY_MIN}
@@ -419,18 +413,7 @@ WITH base AS (
   ) WHERE rn = 1
 ), agg2 AS (
   SELECT count(*) AS n_after_exact_dedup FROM kept
-), spans AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(ts) - {SPAN_TOKENS - 2}),
-                i -> array_to_string(list_slice(ts, CAST(i AS INTEGER),
-                                                CAST(i + {SPAN_TOKENS - 1} AS INTEGER)),
-                                     ' '))) AS gram
-  FROM kept
-  WHERE len(ts) >= {SPAN_TOKENS}
-), ds AS (
-  SELECT DISTINCT doc_id, {_oracle_hex_id('gram', SPAN_HASH_HEX_DIGITS)} AS sid
-  FROM spans
-), shared AS (
+), {sql_span_ds_ctes('kept')}, shared AS (
   SELECT sid FROM ds GROUP BY sid HAVING count(DISTINCT doc_id) >= 2
 ), spanstats AS (
   SELECT d.doc_id, count(*) AS n_spans,
@@ -478,56 +461,32 @@ def pretraining_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..plans.caching import tracked_persist
     from ..sources.tables import spread
-    from .dedup import SPAN_HASH_HEX_DIGITS, SPAN_TOKENS, _spark_hex_id
+    from .dedup import span_sid_rows
     from .quality_repetition import (
         DUP_BIGRAM_MAX,
-        ENTROPY_ALPHABET,
         ENTROPY_MIN,
         TOP_CHAR_MAX,
         TOP_TOKEN_MAX,
+        entropy_cnt_exprs,
+        entropy_expr,
+        entropy_top_share,
+        rep_bigrams_expr,
+        rep_dup_frac_expr,
+        rep_top_cnt_expr,
+        snap6,
     )
 
+    # every gate expression is the SAME helper the standalone operators
+    # build from — the funnel cannot drift from the gates it composes
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     ts = _tokens()
     n = F.size(ts)
-    top_cnt = F.when(
-        n > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(ts),
-                lambda t: F.size(F.filter(ts, lambda x: x == t)),
-            )
-        ),
-    ).otherwise(F.lit(0))
-    bi = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(ts, i), F.element_at(ts, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    n_bi = F.size(bi)
-    dup_bi = F.when(
-        n_bi > 0,
-        F.lit(1.0) - F.size(F.array_distinct(bi)).cast("double") / n_bi,
-    ).otherwise(F.lit(0.0))
-    s = F.lower("text")
-    na = len(ENTROPY_ALPHABET)
-    cnts = [
-        (F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit(""))))
-        for ch in ENTROPY_ALPHABET
-    ]
+    top_cnt = rep_top_cnt_expr(ts)
+    dup_bi = rep_dup_frac_expr(rep_bigrams_expr(ts))
+    cnts = entropy_cnt_exprs(F.lower("text"))
     total = reduce(add, cnts)
-
-    def snap6(c):
-        return F.round(c.cast("decimal(30,12)"), 6).cast("double")
-
-    def term(c):
-        p = c.cast("double") / total
-        return F.when(c > 0, p * F.log2(p)).otherwise(F.lit(0.0))
-
-    ent = snap6(-reduce(add, [term(c) for c in cnts]))
-    top_share = snap6(F.greatest(*cnts).cast("double") / total)
+    ent = snap6(entropy_expr(cnts, total))
+    top_share = snap6(entropy_top_share(cnts, total))
     f2 = F.coalesce(F.col("text"), F.lit("")).rlike(r"\S")
     f3 = (
         f2
@@ -559,19 +518,7 @@ def pretraining_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(tracked_persist)
     )
     agg2 = kept.agg(F.count(F.lit(1)).alias("n_after_exact_dedup"))
-    span_arr = F.when(
-        F.size("ts") >= SPAN_TOKENS,
-        F.transform(
-            F.sequence(F.lit(1), F.size("ts") - F.lit(SPAN_TOKENS - 1)),
-            lambda i: F.array_join(F.slice("ts", i, SPAN_TOKENS), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ds = (
-        kept.select("doc_id", F.explode(span_arr).alias("gram"))
-        .select("doc_id", _spark_hex_id("gram", SPAN_HASH_HEX_DIGITS).alias("sid"))
-        .distinct()
-        .transform(tracked_persist)
-    )
+    ds = span_sid_rows(kept).transform(tracked_persist)
     shared = (
         ds.groupBy("sid")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -1370,6 +1370,45 @@ SPAN_TOKENS = 8
 SPAN_HASH_HEX_DIGITS = 15
 
 
+def span_sid_rows(df: DataFrame) -> DataFrame:
+    """Exploded, per-doc-deduped (doc_id, sid) stream of 8-token span
+    ids from a relation carrying (doc_id, ts) — the shared span stage
+    of dedup_exact_substr and pretraining_funnel_report (single source
+    of truth on the Spark side; sql_span_ds_ctes is the oracle twin).
+    Short docs yield an empty array INSIDE the projection (explode
+    drops them) — no pushable size() filter."""
+    ts = F.col("ts")
+    span_arr = F.when(
+        F.size(ts) >= SPAN_TOKENS,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - F.lit(SPAN_TOKENS - 1)),
+            lambda i: F.array_join(F.slice(ts, i, SPAN_TOKENS), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", F.explode(span_arr).alias("gram"))
+        .select("doc_id", _spark_hex_id("gram", SPAN_HASH_HEX_DIGITS).alias("sid"))
+        .distinct()
+    )
+
+
+def sql_span_ds_ctes(src: str) -> str:
+    """DuckDB twin of :func:`span_sid_rows`: ``spans`` + ``ds`` CTE text
+    over a relation ``src`` carrying (doc_id, ts)."""
+    return f"""spans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - {SPAN_TOKENS - 2}),
+                i -> array_to_string(list_slice(ts, CAST(i AS INTEGER),
+                                                CAST(i + {SPAN_TOKENS - 1} AS INTEGER)),
+                                     ' '))) AS gram
+  FROM {src}
+  WHERE len(ts) >= {SPAN_TOKENS}
+), ds AS (
+  SELECT DISTINCT doc_id, {_oracle_hex_id('gram', SPAN_HASH_HEX_DIGITS)} AS sid
+  FROM spans
+)"""
+
+
 @register(
     "dedup_exact_substr",
     oracle=rf"""
@@ -1377,18 +1416,7 @@ WITH tl AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS ts
   FROM documents
-), spans AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(ts) - {SPAN_TOKENS - 2}),
-                i -> array_to_string(list_slice(ts, CAST(i AS INTEGER),
-                                                CAST(i + {SPAN_TOKENS - 1} AS INTEGER)),
-                                     ' '))) AS gram
-  FROM tl
-  WHERE len(ts) >= {SPAN_TOKENS}
-), ds AS (
-  SELECT DISTINCT doc_id, {_oracle_hex_id('gram', SPAN_HASH_HEX_DIGITS)} AS sid
-  FROM spans
-), shared AS (
+), {sql_span_ds_ctes('tl')}, shared AS (
   SELECT sid FROM ds GROUP BY sid HAVING count(DISTINCT doc_id) >= 2
 ), tot AS (
   SELECT doc_id, count(*) AS n_spans FROM ds GROUP BY doc_id
@@ -1429,26 +1457,7 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0).alias("ts"),
     )
-    ts = F.col("ts")
-    # short docs get an EMPTY span array inside the projection (explode
-    # then drops them) rather than a size(ts) Filter: a filter predicate
-    # over the tokenize chain would be pushed through the spread
-    # exchange into the FileScan as a DataFilter and re-run the whole
-    # split per row in the single-task scan — the same measured trap
-    # dedup_ngram_jaccard documents (tests/test_plan_lint.py pins it)
-    span_arr = F.when(
-        F.size(ts) >= SPAN_TOKENS,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ts) - F.lit(SPAN_TOKENS - 1)),
-            lambda i: F.array_join(F.slice(ts, i, SPAN_TOKENS), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    spans = tok_df.select("doc_id", F.explode(span_arr).alias("gram"))
-    ds = (
-        spans.select("doc_id", _spark_hex_id("gram", SPAN_HASH_HEX_DIGITS).alias("sid"))
-        .distinct()
-        .transform(tracked_persist)
-    )
+    ds = span_sid_rows(tok_df).transform(tracked_persist)
     shared = (
         ds.groupBy("sid")
         .agg(F.countDistinct("doc_id").alias("nd"))

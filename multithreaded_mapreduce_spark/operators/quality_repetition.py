@@ -41,6 +41,79 @@ TOP_TOKEN_MAX = 0.20
 DUP_BIGRAM_MAX = 0.25
 
 
+def snap6(c):
+    """The catalog's 6-dp float snap (DECIMAL(30,12) then round)."""
+    return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+
+
+# ---- shared gate expressions -------------------------------------
+# Single source of truth for the Gopher repetition and char-entropy
+# signals: repetition_metrics / char_entropy_quality (the standalone
+# operators) and pretraining_funnel_report (their composition) build
+# from THESE helpers on both the Spark and the oracle-SQL side, so the
+# funnel's stage counts can never drift from the gates they compose.
+
+
+def rep_top_cnt_expr(ts):
+    """Most-frequent-token count, folded inside the row (O(distinct·n)
+    per doc — trades a full-corpus token shuffle for per-row work)."""
+    n = F.size(ts)
+    return F.when(
+        n > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(ts),
+                lambda t: F.size(F.filter(ts, lambda x: x == t)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+
+
+def rep_bigrams_expr(ts):
+    n = F.size(ts)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ts, i), F.element_at(ts, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def rep_dup_frac_expr(bi):
+    n_bi = F.size(bi)
+    return F.when(
+        n_bi > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bi)).cast("double") / n_bi,
+    ).otherwise(F.lit(0.0))
+
+
+def sql_rep_top_cnt(ts: str = "ts") -> str:
+    return (
+        f"CASE WHEN len({ts}) > 0 THEN "
+        f"list_max(list_transform(list_distinct({ts}), "
+        f"t -> len(list_filter({ts}, x -> x = t)))) ELSE 0 END"
+    )
+
+
+def sql_rep_bigrams(ts: str = "ts") -> str:
+    return (
+        f"CASE WHEN len({ts}) >= 2 THEN "
+        f"list_transform(range(1, len({ts})), i -> {ts}[i] || ' ' || {ts}[i + 1]) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+def sql_rep_dup_frac(bi: str = "bi") -> str:
+    return (
+        f"CASE WHEN len({bi}) > 0 "
+        f"THEN 1.0 - CAST(len(list_distinct({bi})) AS DOUBLE) / len({bi}) "
+        "ELSE 0.0 END"
+    )
+
+
 @register(
     "repetition_metrics",
     oracle=f"""
@@ -50,13 +123,8 @@ WITH t AS (
   SELECT doc_id,
          len(ts) AS n_tokens,
          len(list_distinct(ts)) AS n_distinct,
-         CASE WHEN len(ts) > 0 THEN
-           list_max(list_transform(list_distinct(ts),
-                                   t -> len(list_filter(ts, x -> x = t))))
-         ELSE 0 END AS top_cnt,
-         CASE WHEN len(ts) >= 2 THEN
-           list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
-         ELSE CAST([] AS VARCHAR[]) END AS bi
+         {sql_rep_top_cnt()} AS top_cnt,
+         {sql_rep_bigrams()} AS bi
   FROM t
 )
 SELECT doc_id, n_tokens,
@@ -64,13 +132,10 @@ SELECT doc_id, n_tokens,
                        AS DECIMAL(30,12)), 6) AS DOUBLE) AS distinct_token_ratio,
        CAST(round(CAST(CAST(top_cnt AS DOUBLE) / n_tokens
                        AS DECIMAL(30,12)), 6) AS DOUBLE) AS top_token_frac,
-       CAST(round(CAST(CASE WHEN len(bi) > 0
-                 THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
-                 ELSE 0.0 END AS DECIMAL(30,12)), 6) AS DOUBLE) AS dup_bigram_frac,
+       CAST(round(CAST({sql_rep_dup_frac()} AS DECIMAL(30,12)), 6) AS DOUBLE)
+         AS dup_bigram_frac,
        CASE WHEN CAST(top_cnt AS DOUBLE) / n_tokens <= {TOP_TOKEN_MAX}
-             AND (CASE WHEN len(bi) > 0
-                  THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
-                  ELSE 0.0 END) <= {DUP_BIGRAM_MAX}
+             AND ({sql_rep_dup_frac()}) <= {DUP_BIGRAM_MAX}
             THEN 1 ELSE 0 END AS passes_repetition
 FROM m
 WHERE n_tokens > 0
@@ -96,44 +161,14 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.select("doc_id", _tokens().alias("ts"))
     ts = F.col("ts")
-    n = F.size(ts)
-    # per-distinct-token occurrence count folded inside the row; the
-    # corpus's docs are short, so the O(distinct·n) fold is constant
-    # work per document and trades a full-corpus shuffle for it
-    top_cnt = F.when(
-        n > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(ts),
-                lambda t: F.size(F.filter(ts, lambda x: x == t)),
-            )
-        ),
-    ).otherwise(F.lit(0))
-    bi = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(ts, i), F.element_at(ts, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     m = base.select(
         "doc_id",
-        n.alias("n_tokens"),
+        F.size(ts).alias("n_tokens"),
         F.size(F.array_distinct(ts)).alias("n_distinct"),
-        top_cnt.alias("top_cnt"),
-        bi.alias("bi"),
+        rep_top_cnt_expr(ts).alias("top_cnt"),
+        rep_bigrams_expr(ts).alias("bi"),
     )  # the rlike prune above already guarantees n_tokens > 0
-    n_bi = F.size("bi")
-    dup_bi = F.when(
-        n_bi > 0,
-        F.lit(1.0) - F.size(F.array_distinct("bi")).cast("double") / n_bi,
-    ).otherwise(F.lit(0.0))
-
-    def snap6(c):
-        return F.round(c.cast("decimal(30,12)"), 6).cast("double")
-
+    dup_bi = rep_dup_frac_expr(F.col("bi"))
     top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
     return m.select(
         "doc_id",
@@ -341,19 +376,57 @@ ENTROPY_MIN = 3.0  # uniform over the 37-char alphabet = log2(37) ≈ 5.21
 TOP_CHAR_MAX = 0.30
 
 
-def _entropy_oracle() -> str:
-    n = len(ENTROPY_ALPHABET)
-    cnt_cols = ",\n         ".join(
-        f"length(s) - length(replace(s, '{ch}', '')) AS c{i}"
+def entropy_cnt_exprs(s):
+    """The 37 length-after-replace counts (zero-shuffle row math)."""
+    return [
+        (F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit(""))))
+        for ch in ENTROPY_ALPHABET
+    ]
+
+
+def entropy_expr(cnts, total):
+    """Shannon entropy as a FIXED left-associated chain over the
+    alphabet order — both engines produce the identical IEEE double."""
+
+    def term(c):
+        p = c.cast("double") / total
+        return F.when(c > 0, p * F.log2(p)).otherwise(F.lit(0.0))
+
+    return -reduce(add, [term(c) for c in cnts])
+
+
+def entropy_top_share(cnts, total):
+    return F.greatest(*cnts).cast("double") / total
+
+
+def sql_entropy_cnt_cols(s: str = "s") -> str:
+    return ",\n         ".join(
+        f"length({s}) - length(replace({s}, '{ch}', '')) AS c{i}"
         for i, ch in enumerate(ENTROPY_ALPHABET)
     )
-    total = " + ".join(f"c{i}" for i in range(n))
-    terms = "\n           + ".join(
+
+
+def sql_entropy_total() -> str:
+    return " + ".join(f"c{i}" for i in range(len(ENTROPY_ALPHABET)))
+
+
+def sql_entropy_terms() -> str:
+    return "\n           + ".join(
         f"(CASE WHEN c{i} > 0 THEN (CAST(c{i} AS DOUBLE) / total) "
         f"* log2(CAST(c{i} AS DOUBLE) / total) ELSE 0.0 END)"
-        for i in range(n)
+        for i in range(len(ENTROPY_ALPHABET))
     )
-    greatest = ", ".join(f"c{i}" for i in range(n))
+
+
+def sql_entropy_greatest() -> str:
+    return ", ".join(f"c{i}" for i in range(len(ENTROPY_ALPHABET)))
+
+
+def _entropy_oracle() -> str:
+    cnt_cols = sql_entropy_cnt_cols()
+    total = sql_entropy_total()
+    terms = sql_entropy_terms()
+    greatest = sql_entropy_greatest()
     return f"""
 WITH s AS (
   SELECT doc_id, lower(text) AS s FROM documents WHERE text IS NOT NULL
@@ -423,31 +496,18 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnts = docs.select(
         "doc_id",
         "s",
-        *[
-            (F.length("s") - F.length(F.replace(F.col("s"), F.lit(ch), F.lit(""))))
-            .alias(f"c{i}")
-            for i, ch in enumerate(ENTROPY_ALPHABET)
-        ],
+        *[c.alias(f"c{i}") for i, c in enumerate(entropy_cnt_exprs(F.col("s")))],
     )
-    total = reduce(add, [F.col(f"c{i}") for i in range(n)])
-    t = cnts.withColumn("total", total)
-
-    def term(i: int):
-        p = F.col(f"c{i}").cast("double") / F.col("total")
-        return F.when(F.col(f"c{i}") > 0, p * F.log2(p)).otherwise(F.lit(0.0))
-
-    def snap6(c):
-        return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+    cnt_cols = [F.col(f"c{i}") for i in range(n)]
+    t = cnts.withColumn("total", reduce(add, cnt_cols))
 
     def gated(c):
         # CASE inside the projection, NOT a row filter (see description);
         # also guards the /total divisions under ANSI semantics
         return F.when(F.col("total") > 0, c)
 
-    ent = -reduce(add, [term(i) for i in range(n)])
-    top_share = F.greatest(*[F.col(f"c{i}") for i in range(n)]).cast(
-        "double"
-    ) / F.col("total")
+    ent = entropy_expr(cnt_cols, F.col("total"))
+    top_share = entropy_top_share(cnt_cols, F.col("total"))
     e = t.select(
         "doc_id",
         F.col("total").alias("n_alpha"),

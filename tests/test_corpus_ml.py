@@ -224,12 +224,13 @@ def test_pretraining_funnel_is_monotone_and_consistent(spark, sf_dir):
     ), row
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert row.n_raw == n_docs
-    # repetition stage ⊆ the standalone gate's passing set (the funnel
-    # additionally requires non-emptiness, which the standalone op
-    # guarantees by construction)
+    # repetition stage EQUALS the standalone gate's passing set: the
+    # funnel's extra non-emptiness condition is exactly the standalone
+    # operator's own rlike prune, and both build from the shared
+    # helpers in quality_repetition.py — drift fails this
     rep_pass = sum(
         r.passes_repetition
         for r in Q["repetition_metrics"].builder(spark, sf_dir).collect()
     )
-    assert row.n_pass_repetition <= rep_pass + 1e-9
+    assert row.n_pass_repetition == rep_pass
     assert row.surviving_tokens >= 0
