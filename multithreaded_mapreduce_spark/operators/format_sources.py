@@ -174,3 +174,124 @@ def orc_source_lineitem_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# ------------------------------------------------------------------
+# libsvm connector: the MLlib-native sparse-vector text format — the
+# interchange format of the classic ML tooling a feature pipeline
+# feeds. Stages the embeddings as (label, features) libsvm once, reads
+# it back through the built-in connector, and aggregates — value-
+# checked against the original parquet, proving the vector round-trip
+# (sparse text write → shortest-round-trip doubles → dense restore)
+# is exact.
+# ------------------------------------------------------------------
+
+
+def _ensure_staged_libsvm(spark: SparkSession, sf_dir: str) -> str:
+    from pyspark.ml.functions import array_to_vector
+
+    from ..sources.formats import staged_format_path
+    from ..sources.tables import load_table
+
+    path = staged_format_path(sf_dir, "embeddings", "libsvm")
+    import os
+
+    if os.path.isdir(path) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(path)
+    ):
+        return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    prep = (
+        emb.filter(
+            F.col("embedding").isNotNull()
+            & ~F.exists("embedding", lambda y: y.isNull())
+        )
+        .select(
+            F.coalesce(F.col("label"), F.lit(-1)).cast("double").alias("label"),
+            array_to_vector(
+                F.transform(F.slice("embedding", 1, 64), lambda y: y.cast("double"))
+            ).alias("features"),
+        )
+    )
+    prep.write.mode("overwrite").format("libsvm").save(path)
+    return path
+
+
+@register(
+    "libsvm_source_label_stats",
+    oracle=f"""
+WITH prep AS (
+  SELECT CAST(coalesce(label, -1) AS DOUBLE) AS label,
+         list_transform(list_slice(embedding, 1, 64), y -> CAST(y AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, y -> y IS NULL)) = 0
+), s AS (
+  SELECT label,
+         v[1] AS c0,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v),
+                     (a, b) -> a + b) AS rsum
+  FROM prep
+)
+SELECT CAST(label AS BIGINT) AS label,
+       count(*) AS n_vectors,
+       CAST(round(CAST(CAST(sum(CAST(c0 AS {DEC})) AS DOUBLE) / count(*)
+            AS DECIMAL(30,12)), 6) AS DOUBLE) AS mean_c0,
+       CAST(round(CAST(CAST(sum(CAST(rsum AS {DEC})) AS DOUBLE) / count(*)
+            AS DECIMAL(30,12)), 6) AS DOUBLE) AS mean_row_sum
+FROM s GROUP BY label ORDER BY label
+""",
+    description="libsvm source connector round-trip: embeddings staged "
+    "once as MLlib's (label, features) sparse-vector text format, read "
+    "back through the built-in libsvm reader (explicit numFeatures — "
+    "no inference pre-scan), vectors densified and aggregated per "
+    "label; the oracle computes the same statistics from the ORIGINAL "
+    "parquet, so the sparse text write (shortest-round-trip doubles, "
+    "zeros dropped and restored) is proven value-exact. Row sums are "
+    "fixed-order IEEE folds (zeros restored by the densify add "
+    "nothing); per-label means go through exact decimal sums. Rows "
+    "with NULL vectors or NULL elements are excluded on both sides; "
+    "NULL labels map to -1 (libsvm requires a label).",
+    tags=("source", "libsvm", "vectors", "embedding"),
+)
+def libsvm_source_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import vector_to_array
+
+    path = _ensure_staged_libsvm(spark, sf_dir)
+    back = spark.read.format("libsvm").option("numFeatures", "64").load(path)
+    v = vector_to_array(F.col("features"))
+    s = back.select(
+        "label",
+        F.get(v, 0).alias("c0"),
+        F.aggregate(v, F.lit(0.0), lambda a, y: a + y).alias("rsum"),
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        s.groupBy("label")
+        .agg(
+            cnt.alias("n_vectors"),
+            F.round(
+                (F.sum(F.col("c0").cast(DEC)).cast("double") / cnt).cast(
+                    "decimal(30,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("mean_c0"),
+            F.round(
+                (F.sum(F.col("rsum").cast(DEC)).cast("double") / cnt).cast(
+                    "decimal(30,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("mean_row_sum"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_vectors",
+            "mean_c0",
+            "mean_row_sum",
+        )
+        .orderBy("label")
+    )
