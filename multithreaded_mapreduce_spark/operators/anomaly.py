@@ -199,3 +199,87 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------------------------
+# robust (median/MAD) anomaly detection — the outlier-resistant twin
+# of the z-score detector above: a single wild day cannot inflate its
+# own detection threshold the way it inflates a mean/stddev.
+# ------------------------------------------------------------------
+
+#: scaled-MAD consistency constant (MAD·1.4826 ≈ σ for normal data)
+MAD_SIGMA = 1.4826
+#: cut calibrated to the driver corpus's uniform synthetic dailies
+#: (max robust-z ≈ 2.7 at sf0.01 — a 3.0 cut returns the empty set,
+#: which checks nothing); real deployments run 3.0-3.5
+MAD_CUT = 1.5
+
+
+@register(
+    "events_mad_anomalies",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(CAST(sum(CAST(value AS {DEC})) AS DOUBLE), 2) AS DOUBLE)
+           AS day_total
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+), med AS (
+  SELECT event_type, median(day_total) AS med FROM daily GROUP BY event_type
+), dev AS (
+  SELECT d.event_type, d.day, d.day_total, abs(d.day_total - m.med) AS dev, m.med
+  FROM daily d JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(dev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.day_total,
+       CAST(round(CAST(d.dev / ({MAD_SIGMA} * a.mad) AS DECIMAL(30,12)), 6)
+            AS DOUBLE) AS robust_z
+FROM dev d JOIN mad a USING (event_type)
+WHERE a.mad > 0 AND d.dev / ({MAD_SIGMA} * a.mad) > {MAD_CUT}
+ORDER BY event_type, day
+""",
+    description="Robust daily anomaly detection per event type: daily "
+    "totals (exact decimal sums, 2-dp snapped so both engines' medians "
+    "see identical doubles), per-type MEDIAN and MAD (median absolute "
+    f"deviation), days flagged when |total − median| > {MAD_CUT} × "
+    f"{MAD_SIGMA} × MAD. Unlike the mean/stddev z-score twin "
+    "(events_zscore_anomalies), one wild day cannot inflate its own "
+    "detection threshold — the estimator's breakdown point is 50%. "
+    "Scale notes: dailies are a partial-aggregated groupBy (|types × "
+    "days| rows); both median passes and the joins run on that bounded "
+    "relation, broadcast back — the corpus-sized stream is touched "
+    "once. Both engines interpolate the even-count median identically "
+    "from identical snapped inputs.",
+    tags=("timeseries", "anomaly", "robust", "events"),
+)
+def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("day_total")
+    )
+    med = daily.groupBy("event_type").agg(F.median("day_total").alias("med"))
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "day_total",
+        F.abs(F.col("day_total") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    rz = F.col("dev") / (F.lit(MAD_SIGMA) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (rz > MAD_CUT))
+        .select(
+            "event_type",
+            "day",
+            "day_total",
+            F.round(rz.cast("decimal(30,12)"), 6).cast("double").alias("robust_z"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -78,3 +78,30 @@ def test_event_transition_shares_sum_to_one(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r.n_transitions for r in rows) == n_events - n_users
+
+
+def test_mad_detector_flags_planted_wild_day(spark, tmp_path):
+    """A single 50x day must be flagged, and — the robustness property —
+    its own magnitude must not drag the median/MAD enough to flag any
+    ordinary day. Daily totals reconcile by construction."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for day in range(14):
+        n = 10
+        for k in range(n):
+            v = 100.0 + (day % 3)  # mild, regular variation
+            if day == 7:
+                v = 5000.0  # the wild day
+            rows.append(
+                (day * 100 + k, base + dt.timedelta(days=day, minutes=k), "click", 7, v)
+            )
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, user_id long, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = all_queries()["events_mad_anomalies"].builder(spark, str(tmp_path)).collect()
+    flagged_days = {r.day.isoformat() for r in out}
+    assert "2024-01-08" in flagged_days, out  # UTC day of the planted spike
+    assert len(flagged_days) == 1, flagged_days  # no collateral flags
+    assert all(r.robust_z > 1.5 for r in out)
