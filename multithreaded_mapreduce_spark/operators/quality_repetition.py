@@ -659,3 +659,163 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_bigram_logprob"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------------
+# composite quality score: the "quality classifier lite" a pipeline
+# uses for quality-WEIGHTED decisions (sampling temperature, curriculum
+# buckets) where the individual gates only give keep/drop. Four
+# equally-weighted signals, each already oracle-proven standalone:
+# length, repetition, entropy, and corpus-relative LM score.
+# ------------------------------------------------------------------
+
+QUALITY_MIN_TOKENS = 10
+
+
+@register(
+    "doc_quality_composite",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_sql_tokens()} AS ts, lower(text) AS s FROM documents
+  WHERE text IS NOT NULL
+), base AS (
+  SELECT doc_id, ts, s, len(ts) AS n_toks,
+         {sql_rep_top_cnt()} AS top_cnt,
+         {sql_rep_bigrams()} AS bi
+  FROM t
+  WHERE len(ts) > 0
+), cc AS (
+  SELECT *, {sql_entropy_cnt_cols()} FROM base
+), tt AS (
+  SELECT *, {sql_entropy_total()} AS total FROM cc
+), tok AS (
+  SELECT doc_id, unnest(ts) AS token FROM base
+), v AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), vt AS (
+  SELECT sum(c) AS vtotal FROM v
+), lm AS (
+  SELECT tok.doc_id,
+         CAST(round(CAST(
+           sum(ln(CAST(v.c AS DOUBLE) / vt.vtotal)) / count(*)
+         AS DECIMAL(30,12)), 6) AS DOUBLE) AS lm_score
+  FROM tok JOIN v USING (token) CROSS JOIN vt
+  GROUP BY tok.doc_id
+), lmmed AS (
+  SELECT median(lm_score) AS lm_med FROM lm
+), gates AS (
+  SELECT b.doc_id,
+         CASE WHEN b.n_toks >= {QUALITY_MIN_TOKENS} THEN 1 ELSE 0 END AS g_len,
+         CASE WHEN CAST(b.top_cnt AS DOUBLE) / b.n_toks <= {TOP_TOKEN_MAX}
+               AND ({sql_rep_dup_frac('b.bi')}) <= {DUP_BIGRAM_MAX}
+              THEN 1 ELSE 0 END AS g_rep,
+         CASE WHEN b.total > 0
+               AND CAST(round(CAST(-({sql_entropy_terms()}) AS DECIMAL(30,12)), 6)
+                        AS DOUBLE) >= {ENTROPY_MIN}
+               AND CAST(round(CAST(CAST(greatest({sql_entropy_greatest()}) AS DOUBLE)
+                              / b.total AS DECIMAL(30,12)), 6) AS DOUBLE)
+                   <= {TOP_CHAR_MAX}
+              THEN 1 ELSE 0 END AS g_ent,
+         CASE WHEN lm.lm_score >= lmmed.lm_med THEN 1 ELSE 0 END AS g_lm
+  FROM tt b JOIN lm ON b.doc_id IS NOT DISTINCT FROM lm.doc_id
+  CROSS JOIN lmmed
+)
+SELECT doc_id, g_len, g_rep, g_ent, g_lm,
+       CAST(25 * (g_len + g_rep + g_ent + g_lm) AS INTEGER) AS quality_score,
+       CASE WHEN 25 * (g_len + g_rep + g_ent + g_lm) >= 75 THEN 'high'
+            WHEN 25 * (g_len + g_rep + g_ent + g_lm) >= 50 THEN 'mid'
+            ELSE 'low' END AS quality_bucket
+FROM gates
+ORDER BY doc_id
+""",
+    description="Composite document quality score — the classifier-lite "
+    "a pipeline uses where the binary gates only give keep/drop: four "
+    "equally-weighted signals (length >= 10 tokens; the Gopher "
+    "repetition gate; the char-entropy gate; unigram-LM score at or "
+    "above the corpus median) sum to a 0-100 score with "
+    "high/mid/low buckets, ready for quality-weighted sampling or "
+    "curriculum mixing. Every signal builds from the SAME shared "
+    "helpers as its standalone operator (quality_repetition.py), so "
+    "the composite can never drift from the gates it summarizes; the "
+    "LM median is a 1-row broadcast. One corpus scan for the row "
+    "gates, one token shuffle for the LM — nothing new at 100 TB "
+    "beyond the already-audited parts.",
+    tags=("text", "quality", "pipeline", "composite"),
+)
+def doc_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & F.col("text").rlike(r"\S"))
+    )
+    ts = _tokens()
+    cnts = entropy_cnt_exprs(F.lower("text"))
+    total = reduce(add, cnts)
+    ent = snap6(entropy_expr(cnts, total))
+    top_share = snap6(entropy_top_share(cnts, total))
+    n = F.size(ts)
+    top_cnt = rep_top_cnt_expr(ts)
+    dup_bi = rep_dup_frac_expr(rep_bigrams_expr(ts))
+    g_len = F.when(n >= QUALITY_MIN_TOKENS, 1).otherwise(0)
+    g_rep = F.when(
+        (top_cnt.cast("double") / n <= TOP_TOKEN_MAX) & (dup_bi <= DUP_BIGRAM_MAX), 1
+    ).otherwise(0)
+    g_ent = F.when(
+        (total > 0) & (ent >= ENTROPY_MIN) & (top_share <= TOP_CHAR_MAX), 1
+    ).otherwise(0)
+    base = docs.select(
+        "doc_id",
+        ts.alias("ts"),
+        g_len.alias("g_len"),
+        g_rep.alias("g_rep"),
+        g_ent.alias("g_ent"),
+    ).transform(tracked_persist)
+    tok = base.select("doc_id", F.explode("ts").alias("token"))
+    v = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).transform(
+        tracked_persist
+    )
+    vt = v.agg(F.sum("c").alias("vtotal"))
+    lm = (
+        tok.join(F.broadcast(v), "token")
+        .crossJoin(F.broadcast(vt))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.log(F.col("c").cast("double") / F.col("vtotal")))
+                    / F.count(F.lit(1))
+                ).cast("decimal(30,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("lm_score")
+        )
+        .transform(tracked_persist)
+    )
+    lmmed = lm.agg(F.median("lm_score").alias("lm_med"))
+    g_lm = F.when(F.col("lm_score") >= F.col("lm_med"), 1).otherwise(0)
+    return (
+        base.alias("b")
+        .join(lm.alias("l"), F.col("b.doc_id").eqNullSafe(F.col("l.doc_id")))
+        .crossJoin(F.broadcast(lmmed))
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            "g_len",
+            "g_rep",
+            "g_ent",
+            g_lm.alias("g_lm"),
+        )
+        .select(
+            "*",
+            (25 * (F.col("g_len") + F.col("g_rep") + F.col("g_ent") + F.col("g_lm")))
+            .cast("int")
+            .alias("quality_score"),
+        )
+        .withColumn(
+            "quality_bucket",
+            F.when(F.col("quality_score") >= 75, "high")
+            .when(F.col("quality_score") >= 50, "mid")
+            .otherwise("low"),
+        )
+        .orderBy("doc_id")
+    )

@@ -234,3 +234,30 @@ def test_pretraining_funnel_is_monotone_and_consistent(spark, sf_dir):
     )
     assert row.n_pass_repetition == rep_pass
     assert row.surviving_tokens >= 0
+
+
+def test_quality_composite_agrees_with_standalone_gates(spark, sf_dir):
+    """The composite's per-gate bits must EQUAL the standalone
+    operators' verdicts doc-for-doc (all build from the shared
+    helpers), the score is 25x the bit sum, and buckets honor the
+    75/50 thresholds."""
+    comp = {
+        r.doc_id: r
+        for r in Q["doc_quality_composite"].builder(spark, sf_dir).collect()
+    }
+    rep = {
+        r.doc_id: r.passes_repetition
+        for r in Q["repetition_metrics"].builder(spark, sf_dir).collect()
+    }
+    assert set(comp) == set(rep)  # same domain: docs with >= 1 token
+    for did, r in comp.items():
+        assert r.g_rep == rep[did], did
+        assert r.quality_score == 25 * (r.g_len + r.g_rep + r.g_ent + r.g_lm)
+        want = "high" if r.quality_score >= 75 else "mid" if r.quality_score >= 50 else "low"
+        assert r.quality_bucket == want
+    ent = {
+        r.doc_id: r.passes_entropy
+        for r in Q["char_entropy_quality"].builder(spark, sf_dir).collect()
+    }
+    for did, r in comp.items():
+        assert r.g_ent == ent[did], did
