@@ -488,12 +488,15 @@ def pretraining_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = snap6(entropy_expr(cnts, total))
     top_share = snap6(entropy_top_share(cnts, total))
     f2 = F.coalesce(F.col("text"), F.lit("")).rlike(r"\S")
-    f3 = (
-        f2
-        & (n > 0)
-        & (top_cnt.cast("double") / n <= TOP_TOKEN_MAX)
-        & (dup_bi <= DUP_BIGRAM_MAX)
-    )
+    # explicit zero-token guard (ADVICE r5): under ANSI mode the bare
+    # top_cnt/n would throw DIVIDE_BY_ZERO on an empty doc, and relying
+    # on And's left-to-right short-circuit past (n > 0) is evaluation-
+    # order trivia, not a contract. Same F.when pattern as
+    # char_entropy_quality; n = 0 docs simply fail the gate.
+    top_token_ok = F.when(
+        n > 0, top_cnt.cast("double") / n <= TOP_TOKEN_MAX
+    ).otherwise(F.lit(False))
+    f3 = f2 & (n > 0) & top_token_ok & (dup_bi <= DUP_BIGRAM_MAX)
     f4 = f3 & (total > 0) & (ent >= ENTROPY_MIN) & (top_share <= TOP_CHAR_MAX)
     staged = docs.select(
         "doc_id",

@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.caching import tracked_local_checkpoint, tracked_persist
+from ..plans.caching import (
+    guard_checkpoint_result,
+    tracked_local_checkpoint,
+    tracked_persist,
+)
 from ..plans.registry import register
 from ..sources.tables import load_table
 
@@ -185,9 +189,14 @@ def token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpointing, same cadence.
         if it % 3 == 2:
             ranks = ranks.transform(tracked_local_checkpoint)
-    return ranks.select(
-        "token", F.round(F.col("rank").cast("decimal(30,12)"), 9).cast("double").alias("rank")
-    ).orderBy(F.desc("rank"), "token")
+    # fail-fast guard: the plan reads tracked checkpoint blocks, which
+    # the NEXT top-level build releases (see plans/caching.py)
+    return guard_checkpoint_result(
+        ranks.select(
+            "token",
+            F.round(F.col("rank").cast("decimal(30,12)"), 9).cast("double").alias("rank"),
+        ).orderBy(F.desc("rank"), "token")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -34,8 +34,40 @@ from ..sources.tables import load_table, spread
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 RESCORE_BUFFER = 20  # exact-rescore depth for two-phase ranking
+RESCORE_HARD_CAP = 512  # deterministic ceiling on one query's rescore set
 SKETCH_BITS = 16
 HAMMING_RADIUS = 4
+
+
+def _rescore_buffer(prelim: DataFrame) -> DataFrame:
+    """Shared two-phase buffer cut for every kNN variant (review r4 +
+    ADVICE r5). rank() over the 6-dp-ROUNDED approx — not row_number
+    over the raw double — keeps a boundary tie group WHOLE, so the
+    oracle's id-tie-broken winner can never be evicted by 1e-16 raw
+    jitter below the buffer cut. But on a duplicate-dense corpus one
+    tie group of near-identical vectors can exceed RESCORE_BUFFER and
+    make the expensive decimal-rescore phase unbounded per query, so a
+    SECOND deterministic cut — row_number over (rounded approx DESC,
+    neighbor_id) — caps the buffer at RESCORE_HARD_CAP. For vectors
+    whose exact cosines tie (true duplicates, the only way giant tie
+    groups arise), the hard cap keeps the smallest neighbor_ids —
+    exactly the rows the final (cosine DESC, neighbor_id) ranking
+    selects — so the cap can only matter when > HARD_CAP vectors that
+    DIFFER at full precision collide at 6 dp, below the output's own
+    granularity. Both windows share one sort (the second ordering
+    extends the first), so the cap adds no exchange and no extra sort
+    (plan-asserted in tests/test_similarity.py)."""
+    rounded = F.round(F.col("approx"), 6)
+    pw = W.partitionBy("query_id").orderBy(rounded.desc())
+    hw = W.partitionBy("query_id").orderBy(rounded.desc(), F.col("neighbor_id"))
+    return (
+        prelim.withColumn("prnk", F.rank().over(pw))
+        .withColumn("hard_rn", F.row_number().over(hw))
+        .filter(
+            (F.col("prnk") <= RESCORE_BUFFER) & (F.col("hard_rn") <= RESCORE_HARD_CAP)
+        )
+        .drop("prnk", "hard_rn")
+    )
 
 _DOT_CTE = """
 WITH dims AS (SELECT unnest(range(1, 65)) AS i),
@@ -131,17 +163,8 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx"),
         )
     )
-    # rank() over the 6-dp-ROUNDED approx, not row_number over the raw
-    # double: a boundary tie group (e.g. 20+ near-duplicate vectors
-    # sharing one cosine at output granularity) is kept WHOLE, so the
-    # oracle's id-tie-broken winner can never be evicted by 1e-16 raw
-    # jitter below the buffer cut (review r4); a candidate cut here is
-    # strictly below the kept set at the output's own 6-dp granularity
-    pw = W.partitionBy("query_id").orderBy(F.round(F.col("approx"), 6).desc())
-    buffer = (
-        prelim.withColumn("prnk", F.rank().over(pw))
-        .filter(F.col("prnk") <= RESCORE_BUFFER)
-    )
+    # tie-safe + hard-capped buffer cut — see _rescore_buffer
+    buffer = _rescore_buffer(prelim)
     # phase 2: oracle-stable decimal rescore of the buffer only — fast/
     # exact disagreement (~1e-15) cannot cross the rank-5→rank-20 gap,
     # so the final top-k equals scoring everything exactly
@@ -453,12 +476,8 @@ def knn_ivf_exact_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx"),
         )
     )
-    # rank() over the rounded approx — boundary tie groups kept whole,
-    # same reasoning as knn_cosine_bruteforce's buffer (review r4)
-    pw = W.partitionBy("query_id").orderBy(F.round(F.col("approx"), 6).desc())
-    buffer = prelim.withColumn("prnk", F.rank().over(pw)).filter(
-        F.col("prnk") <= RESCORE_BUFFER
-    )
+    # tie-safe + hard-capped buffer cut — see _rescore_buffer
+    buffer = _rescore_buffer(prelim)
     scored = buffer.select(
         "query_id",
         "neighbor_id",
@@ -619,17 +638,8 @@ def knn_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "q_emb", "neighbor_id", "n_emb", approx.alias("approx"))
     )
-    # rank() over the 6-dp-ROUNDED approx, not row_number over the raw
-    # double: a boundary tie group (e.g. 20+ near-duplicate vectors
-    # sharing one cosine at output granularity) is kept WHOLE, so the
-    # oracle's id-tie-broken winner can never be evicted by 1e-16 raw
-    # jitter below the buffer cut (review r4); a candidate cut here is
-    # strictly below the kept set at the output's own 6-dp granularity
-    pw = W.partitionBy("query_id").orderBy(F.round(F.col("approx"), 6).desc())
-    buffer = (
-        prelim.withColumn("prnk", F.rank().over(pw))
-        .filter(F.col("prnk") <= RESCORE_BUFFER)
-    )
+    # tie-safe + hard-capped buffer cut — see _rescore_buffer
+    buffer = _rescore_buffer(prelim)
     scored = buffer.select(
         "query_id",
         "neighbor_id",
@@ -731,17 +741,8 @@ def knn_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same two-phase ranking as knn_cosine_bruteforce: cheap double
     # cosine ranks, the decimal-exact rescore runs only on the buffer
-    # rank() over the 6-dp-ROUNDED approx, not row_number over the raw
-    # double: a boundary tie group (e.g. 20+ near-duplicate vectors
-    # sharing one cosine at output granularity) is kept WHOLE, so the
-    # oracle's id-tie-broken winner can never be evicted by 1e-16 raw
-    # jitter below the buffer cut (review r4); a candidate cut here is
-    # strictly below the kept set at the output's own 6-dp granularity
-    pw = W.partitionBy("query_id").orderBy(F.round(F.col("approx"), 6).desc())
-    buffer = (
-        prelim.withColumn("prnk", F.rank().over(pw))
-        .filter(F.col("prnk") <= RESCORE_BUFFER)
-    )
+    # tie-safe + hard-capped buffer cut — see _rescore_buffer
+    buffer = _rescore_buffer(prelim)
     scored = buffer.select(
         "query_id",
         "neighbor_id",
@@ -835,17 +836,8 @@ def knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx"),
         )
     )
-    # rank() over the 6-dp-ROUNDED approx, not row_number over the raw
-    # double: a boundary tie group (e.g. 20+ near-duplicate vectors
-    # sharing one cosine at output granularity) is kept WHOLE, so the
-    # oracle's id-tie-broken winner can never be evicted by 1e-16 raw
-    # jitter below the buffer cut (review r4); a candidate cut here is
-    # strictly below the kept set at the output's own 6-dp granularity
-    pw = W.partitionBy("query_id").orderBy(F.round(F.col("approx"), 6).desc())
-    buffer = (
-        prelim.withColumn("prnk", F.rank().over(pw))
-        .filter(F.col("prnk") <= RESCORE_BUFFER)
-    )
+    # tie-safe + hard-capped buffer cut — see _rescore_buffer
+    buffer = _rescore_buffer(prelim)
     scored = buffer.select(
         "query_id",
         "neighbor_id",

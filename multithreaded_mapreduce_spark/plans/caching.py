@@ -47,6 +47,95 @@ _TRACKED: list[DataFrame] = []
 #: (SparkSession, rdd_id) pairs for localCheckpoint block caches, which
 #: live OUTSIDE the CacheManager and need RDD-level unpersist
 _TRACKED_RDD_IDS: list[tuple[object, int]] = []
+#: bumped on every release — checkpoint-backed result guards compare it
+_EPOCH = 0
+
+
+# Subclass the CLASSIC DataFrame: the pyspark.sql.DataFrame dispatcher's
+# __new__ ignores cls (returns a plain classic instance), so a guard
+# subclassed from the dispatcher would silently degrade to an unguarded
+# frame. This engine runs classic (JVM) sessions by design.
+from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame  # noqa: E402
+
+
+class CheckpointBackedDataFrame(_ClassicDataFrame):
+    """Result frame whose plan reads tracked localCheckpoint blocks
+    (the iterative builders: connected components, pagerank).
+
+    localCheckpoint truncates lineage by design, so once
+    :func:`release_tracked` drops those blocks — which the registry
+    wrapper does at the next top-level build — the plan is
+    NON-RECOMPUTABLE and a late action dies with a cryptic executor
+    missing-block error far from its cause (ADVICE r5). This subclass
+    fails fast at the driver instead, naming the contract. Actions on a
+    LIVE epoch pass straight through; transformations return plain
+    DataFrames (a derived plan collected late still hits the raw Spark
+    error — the guard covers the documented misuse: re-collecting the
+    returned handle after the next build)."""
+
+    def __new__(cls, df: DataFrame, epoch: int):
+        # bypass the classic __new__ (which re-invokes __init__ with its
+        # own (jdf, session) signature) — plain allocation, normal init
+        return object.__new__(cls)
+
+    def __init__(self, df: DataFrame, epoch: int):
+        super().__init__(df._jdf, df.sparkSession)
+        self._mmr_epoch = epoch
+
+    def _mmr_check(self) -> None:
+        if self._mmr_epoch != _EPOCH:
+            raise RuntimeError(
+                "stale checkpoint-backed result: this DataFrame was built on "
+                "localCheckpoint blocks that release_tracked() has since "
+                "dropped (the next top-level registry build releases the "
+                "previous query's caches — see plans/caching.py). Rebuild "
+                "the query through the registry instead of re-collecting an "
+                "old handle."
+            )
+
+    def collect(self):
+        self._mmr_check()
+        return super().collect()
+
+    def count(self):
+        self._mmr_check()
+        return super().count()
+
+    def toPandas(self):
+        self._mmr_check()
+        return super().toPandas()
+
+    def show(self, *a, **k):
+        self._mmr_check()
+        return super().show(*a, **k)
+
+    def take(self, num):
+        self._mmr_check()
+        return super().take(num)
+
+    def head(self, n=None):
+        self._mmr_check()
+        return super().head(n)
+
+    def first(self):
+        self._mmr_check()
+        return super().first()
+
+    def toLocalIterator(self, *a, **k):
+        self._mmr_check()
+        return super().toLocalIterator(*a, **k)
+
+    @property
+    def write(self):
+        self._mmr_check()
+        return super().write
+
+
+def guard_checkpoint_result(df: DataFrame) -> DataFrame:
+    """Wrap a builder's returned frame when its plan depends on tracked
+    localCheckpoint blocks, so stale-handle misuse fails with an
+    explanatory driver-side error instead of a missing-block crash."""
+    return CheckpointBackedDataFrame(df, _EPOCH)
 
 
 def _persistent_rdd_ids(spark) -> set[int]:
@@ -84,6 +173,8 @@ def release_tracked(blocking: bool = False) -> int:
     an already-unpersisted or stopped-session DataFrame is a no-op /
     swallowed error.
     """
+    global _EPOCH
+    _EPOCH += 1
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()

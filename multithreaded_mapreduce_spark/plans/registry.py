@@ -142,12 +142,14 @@ def _load() -> None:
 #: in module registration order and is covered by the local gate
 #: (tests/test_oracle_parity.py).
 #:
-#: ROTATION (r4): rounds 1-3 drove 61 distinct queries through the
+#: ROTATION (r5): rounds 1-4 drove 106 distinct queries through the
 #: driver's hash; this round repoints the window at 45 queries the
-#: driver has NEVER checked (cumulative driver-verified coverage
-#: 61 → 106 of 165 oracle-bearing), keeping 5 canaries for continuity
-#: with every previous round. Rounds 1-3 windows remain in the local
-#: type-sensitive gate.
+#: driver has NEVER checked — all 16 round-4 operators first, then the
+#: batch-expressible streaming twins, format sources, samplers,
+#:  analytics stragglers, and the remaining dedup/similarity variants
+#: (cumulative driver-verified coverage 106 → 151 of 188 oracle-bearing),
+#: keeping 5 canaries for continuity with every previous round. Earlier
+#: windows remain covered by the local type-sensitive sf0.01 gate.
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
     "wordcount",
@@ -155,61 +157,58 @@ FRONT_WINDOW: tuple[str, ...] = (
     "join_chain_revenue",
     "dedup_exact",
     "knn_cosine_bruteforce",
-    # TPC-H suite (schema-feasible + bridged) — never driver-checked
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_concentrated_shippers",
-    "q21_sole_return_supplier",
-    "q22_idle_rich_customers",
-    # SQL frontend (raw-SQL plans incl. WITH RECURSIVE / LATERAL)
-    "sql_q5_local_supplier_volume",
-    "sql_recursive_order_chains",
-    "sql_lateral_top_orders",
-    # specialized joins
-    "asof_purchase_attribution",
-    "range_join_error_context",
-    "bucketed_join_order_revenue",
-    "skew_salted_event_user_totals",
-    # advanced aggregation / reshape
-    "grouping_sets_lineitem",
-    "pivot_orders_status",
-    "string_agg_status_list",
-    "argminmax_median_mode",
-    # exact statistics
-    "lineitem_moment_stats",
-    "part_price_deciles_exact",
-    # warehouse maintenance
-    "merge_upsert_customer_state",
-    "scd2_customer_history",
-    # BI analytics
-    "customer_abc_classification",
-    "customer_rfm_segments",
-    # behavioral
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    # corpus lifecycle
-    "dedup_incremental_batch",
-    "corpus_dedup_report",
-    "bpe_merge_candidates",
-    # ML / graph / custom source
-    "kmeans_lloyd",
-    "knn_ivf_exact_ann",
-    "token_pagerank",
-    "wordcount_custom_source",
+    # round-4 operators (never driver-checked: registered post-pin)
+    "dedup_exact_substr",
+    "winnowing_fingerprints",
+    "char_entropy_quality",
+    "bigram_logprob_scores",
+    "embedding_top_pc",
+    "pretraining_funnel_report",
+    "vocab_oov_rates",
+    "embedding_drift_report",
+    "temperature_mix_allocation",
+    "media_frame_dedup",
+    "streaming_incremental_admission",
+    "libsvm_source_label_stats",
+    "events_mad_anomalies",
+    "orders_benford_audit",
+    "orders_reconciliation_audit",
+    "doc_quality_composite",
+    "bm25_doc_ranking",
+    # streaming (batch-expressible twins)
+    "streaming_tumbling_hourly",
+    "streaming_sliding_windows",
+    "streaming_enriched_segment_totals",
+    "streaming_dedup_exactly_once",
+    "streaming_click_purchase_join",
+    "streaming_click_purchase_left_join",
+    # BI analytics stragglers
+    "segment_revenue_share",
+    "priority_revenue_mom_growth",
+    "value_histogram",
+    "hourly_seasonality_profile",
+    # source connectors
+    "csv_source_orders_by_priority",
+    "json_source_events_hourly",
+    "xml_source_customer_segments",
+    "orc_source_lineitem_q6",
+    # sampling / ML prep
+    "train_test_split",
+    "stratified_sample",
+    "domain_mix_sample",
+    "weighted_sample_orders",
+    "split_leakage_audit",
+    # dedup / similarity variants
+    "dedup_simhash_verified",
+    "dedup_embedding_components",
+    "knn_cosine_filtered",
+    "knn_join_bruteforce",
+    "dedup_prefix_filter",
+    "dedup_edit_distance",
+    "dedup_bag_keep_best",
+    # text quality stragglers
+    "repetition_metrics",
+    "unigram_logprob_scores",
 )
 
 

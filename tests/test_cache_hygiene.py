@@ -57,3 +57,27 @@ def test_tracked_persist_returns_persisted_frame(spark):
     assert out.storageLevel.useMemory
     assert release_tracked() >= 1
     assert not df.storageLevel.useMemory
+
+
+def test_stale_checkpoint_result_fails_fast_with_clear_error(spark, sf_dir):
+    """ADVICE r5: a checkpoint-backed result (components / pagerank)
+    collected AFTER the next top-level build must raise the explanatory
+    driver-side error, not an executor missing-block crash; a live
+    handle passes through unchanged."""
+    import pytest
+
+    from multithreaded_mapreduce_spark.plans.caching import (
+        CheckpointBackedDataFrame,
+    )
+
+    df = Q["dedup_components"].builder(spark, sf_dir)
+    assert isinstance(df, CheckpointBackedDataFrame)
+    n_live = df.count()  # live epoch: actions pass through
+    assert n_live >= 0
+    # the next top-level build releases the previous query's checkpoints
+    Q["wordcount"].builder(spark, sf_dir).count()
+    with pytest.raises(RuntimeError, match="stale checkpoint-backed"):
+        df.collect()
+    with pytest.raises(RuntimeError, match="stale checkpoint-backed"):
+        df.count()
+    release_tracked()

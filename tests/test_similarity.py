@@ -154,3 +154,43 @@ def test_bruteforce_buffer_survives_massive_cosine_ties(spark, tmp_path):
     # the id tie-break must have picked the 5 SMALLEST tied ids
     top_ids = [r[1] for r in sorted(got, key=lambda t: t[3])]
     assert top_ids == [101, 102, 103, 104, 105], top_ids
+
+
+def test_rescore_hard_cap_bounds_tie_groups_and_adds_no_exchange(spark, tmp_path):
+    """ADVICE r5: a tie group larger than RESCORE_HARD_CAP must not make
+    the decimal-rescore phase unbounded — the deterministic secondary
+    row_number cut caps it, and for exact-duplicate vectors (the only
+    realistic giant tie group) it keeps the smallest neighbor_ids, i.e.
+    exactly the rows the final ranking selects. Also: the two buffer
+    windows share one sort — the cap adds no Exchange and no extra Sort
+    beyond the single per-query window sort."""
+    import multithreaded_mapreduce_spark.operators.dedup  # noqa: F401 (registry)
+    import multithreaded_mapreduce_spark.operators.similarity as sim
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    rows = [(0, [float(x) for x in base], 0)]
+    n_dups = sim.RESCORE_HARD_CAP + 40  # tie group wider than the cap
+    for i in range(1, n_dups + 1):
+        rows.append((100 + i, [float(x) for x in base], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    df = Q["knn_cosine_bruteforce"].builder(spark, str(tmp_path))
+    got = df.collect()
+    # final top-k = smallest neighbor ids of the duplicate clique
+    ids = [r.neighbor_id for r in sorted(got, key=lambda r: r.rnk) if r.query_id == 0]
+    assert ids == [101, 102, 103, 104, 105], ids
+    # the rescore input really is capped: count rows surviving the cut
+    probe = sim._rescore_buffer(
+        spark.createDataFrame(
+            [(0, i, 0.5) for i in range(2000)],
+            "query_id long, neighbor_id long, approx double",
+        )
+    )
+    assert probe.count() == sim.RESCORE_HARD_CAP
+    # plan shape: exactly one exchange feeding the window pair (the
+    # hashpartitioning on query_id), and one Sort for both windows
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") <= 2, plan
