@@ -61,6 +61,14 @@ HEADLINE = (
     "token_triangle_counts",         # degree-oriented triangle enumeration
     "merge_upsert_customer_state",   # MERGE-style keyed upsert
     "dedup_exact_substr",            # span-level ExactSubstr coverage (r4)
+    # r5: regression-track the round-4 heavy plans (VERDICT r4 task 3)
+    # — everything above this line is the r4 31-query comparable set,
+    # reported separately as total_r4_comparable
+    "pretraining_funnel_report",     # composed 4-gate funnel + span stage
+    "winnowing_fingerprints",        # MOSS window-min fingerprint selection
+    "bigram_logprob_scores",         # interpolated bigram LM scoring
+    "embedding_top_pc",              # power-iteration top principal component
+    "doc_quality_composite",         # 0-100 composite quality score
 )
 
 
@@ -118,22 +126,37 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     r3_set = HEADLINE[: HEADLINE.index("kmeans_lloyd")]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "total_r3_comparable": round(
-                    sum(timings[n] for n in r3_set), 3
-                ),
-                "runs_per_query": n_runs,
-                "sf": _sf_from_dir(sf_dir),
-            }
-        )
-    )
+    r4_set = HEADLINE[: HEADLINE.index("pretraining_funnel_report")]
+    # the LSH auto hot-bucket decision (threshold/max/median bucket
+    # size) — stamped for drift tracking (VERDICT r4 task 8)
+    from multithreaded_mapreduce_spark.operators.dedup import LAST_LSH_DECISION
+
+    # Round-over-round reads (ADVICE r4): min-of-N totals are only
+    # comparable at the SAME n_runs (an extra sample biases the min
+    # down on a noisy VM) — the median subtotals below are the
+    # run-count-insensitive comparison.
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "total_r3_comparable": round(sum(timings[n] for n in r3_set), 3),
+        "total_r4_comparable": round(sum(timings[n] for n in r4_set), 3),
+        "median_total_r3_comparable": round(sum(medians[n] for n in r3_set), 3),
+        "median_total_r4_comparable": round(sum(medians[n] for n in r4_set), 3),
+        "runs_per_query": n_runs,
+        "lsh_auto_decision": LAST_LSH_DECISION,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    line = json.dumps(result)
+    print(line)
+    # also persist to a file: the driver's stdout tail truncates long
+    # lines (BENCH_r04's min dict needed reconstruction — VERDICT r4
+    # task 8)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json")
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
     spark.stop()
 
 

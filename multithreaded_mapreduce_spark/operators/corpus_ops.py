@@ -464,6 +464,7 @@ def pretraining_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import span_sid_rows
     from .quality_repetition import (
         DUP_BIGRAM_MAX,
+        ENTROPY_ALPHABET,
         ENTROPY_MIN,
         TOP_CHAR_MAX,
         TOP_TOKEN_MAX,
@@ -477,16 +478,32 @@ def pretraining_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # every gate expression is the SAME helper the standalone operators
-    # build from — the funnel cannot drift from the gates it composes
+    # build from — the funnel cannot drift from the gates it composes.
+    # STAGED projections (r5, same fix as doc_quality_composite): the
+    # token array and the 37 length-after-replace counts become real
+    # columns BEFORE the gate expressions consume them — inlined, the
+    # duplicated replaces blow past janino's method limit, codegen
+    # falls back to interpreted eval, and the scan re-computes
+    # subexpressions per row (measured ~7 s of this query's cost).
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    ts = _tokens()
+    pre = docs.select(
+        "doc_id",
+        "text",
+        _tokens().alias("ts"),
+        *[
+            c.alias(f"c{i}")
+            for i, c in enumerate(entropy_cnt_exprs(F.lower("text")))
+        ],
+    )
+    cnt_cols = [F.col(f"c{i}") for i in range(len(ENTROPY_ALPHABET))]
+    pre = pre.withColumn("total", reduce(add, cnt_cols))
+    ts = F.col("ts")
+    total = F.col("total")
     n = F.size(ts)
     top_cnt = rep_top_cnt_expr(ts)
     dup_bi = rep_dup_frac_expr(rep_bigrams_expr(ts))
-    cnts = entropy_cnt_exprs(F.lower("text"))
-    total = reduce(add, cnts)
-    ent = snap6(entropy_expr(cnts, total))
-    top_share = snap6(entropy_top_share(cnts, total))
+    ent = snap6(entropy_expr(cnt_cols, total))
+    top_share = snap6(entropy_top_share(cnt_cols, total))
     f2 = F.coalesce(F.col("text"), F.lit("")).rlike(r"\S")
     # explicit zero-token guard (ADVICE r5): under ANSI mode the bare
     # top_cnt/n would throw DIVIDE_BY_ZERO on an empty doc, and relying
@@ -498,9 +515,9 @@ def pretraining_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(False))
     f3 = f2 & (n > 0) & top_token_ok & (dup_bi <= DUP_BIGRAM_MAX)
     f4 = f3 & (total > 0) & (ent >= ENTROPY_MIN) & (top_share <= TOP_CHAR_MAX)
-    staged = docs.select(
+    staged = pre.select(
         "doc_id",
-        ts.alias("ts"),
+        "ts",
         n.alias("n_toks"),
         F.md5("text").alias("h"),
         f2.alias("f2"),
@@ -554,3 +571,180 @@ def pretraining_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_toks"), F.lit(0)).cast("bigint").alias("surviving_tokens"),
     )
     return agg1.crossJoin(agg2).crossJoin(agg3)
+
+
+# ------------------------------------------------------------------
+# iterative BPE tokenizer training (VERDICT r4 task 4): the catalog
+# already mines the FIRST merge candidates (bpe_merge_candidates) and
+# consumes a TRAINED vocabulary (vocab_oov_rates); this operator is the
+# loop between them — N fixed merge rounds over the corpus word
+# distribution, emitting the learned merge table. Classic BPE
+# (Sennrich et al. 2016): symbols start as characters, each round
+# merges the corpus-wide most frequent adjacent symbol pair, and the
+# next round's pair counts reflect every earlier merge.
+#
+# Scale design: after one corpus scan the training state is the
+# DISTINCT-WORD distribution (vocab-sized, zipf-truncated — orders of
+# magnitude smaller than the corpus). Each round is ONE shuffle (pair
+# groupBy, partial-aggregated map-side, weighted by word count) plus a
+# shuffle-free projection applying the merge as a per-word array fold.
+# The only driver traffic is the 1-row argmax per round — the same
+# bounded round-trip pattern as kmeans_lloyd / embedding_top_pc.
+# Greedy left-to-right non-overlapping application falls out of the
+# fold naturally; the oracle reproduces it positionally (odd positions
+# within each run of consecutive matches — runs only arise when the
+# merged pair is a self-pair l = r).
+# ------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 5
+#: only lowercase-ASCII alphanumeric words enter training: the char-
+#: level symbol split must be byte-identical across engines (Spark
+#: splits UTF-16 code units, DuckDB splits UTF-8 graphemes — ASCII is
+#: the intersection), and real tokenizer prep normalizes similarly.
+_BPE_WORD_RE = "^[a-z0-9]+$"
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    finals = []
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        rounds.append(
+            f"""pc{k} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+  FROM w{k - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+), m{k} AS (
+  SELECT l, r, c FROM pc{k} ORDER BY c DESC, l, r LIMIT 1
+), pos{k} AS (
+  -- LEFT JOIN ON TRUE: an exhausted corpus (no pairs left) leaves the
+  -- word relation unchanged instead of emptying it
+  SELECT w.word, w.cnt, u.i, w.syms[u.i] AS sym,
+         coalesce(u.i < len(w.syms)
+                  AND w.syms[u.i] = m.l AND w.syms[u.i + 1] = m.r,
+                  FALSE) AS is_match
+  FROM w{k - 1} w LEFT JOIN m{k} m ON TRUE,
+       unnest(generate_series(1, len(w.syms))) AS u(i)
+), sel{k} AS (
+  -- greedy left-to-right non-overlap = odd positions within each run
+  -- of consecutive matches
+  SELECT word, cnt, i, sym, is_match,
+         is_match AND (row_number() OVER (
+             PARTITION BY word, is_match, grp ORDER BY i)) % 2 = 1
+           AS selected
+  FROM (
+    SELECT word, cnt, i, sym, is_match,
+           i - row_number() OVER (PARTITION BY word, is_match ORDER BY i)
+             AS grp
+    FROM pos{k}
+  )
+), w{k} AS (
+  SELECT word, cnt,
+         list(CASE WHEN selected THEN merged ELSE sym END ORDER BY i) AS syms
+  FROM (
+    SELECT word, cnt, i, sym, selected,
+           sym || lead(sym) OVER (PARTITION BY word ORDER BY i) AS merged,
+           lag(selected, 1, FALSE) OVER (PARTITION BY word ORDER BY i)
+             AS prev_sel
+    FROM sel{k}
+  )
+  WHERE NOT prev_sel
+  GROUP BY word, cnt
+)"""
+        )
+        finals.append(
+            f"SELECT {k} AS round, l AS lhs, r AS rhs, c AS pair_cnt FROM m{k}"
+        )
+    chained = ",\n".join(rounds)
+    unioned = "\nUNION ALL ".join(finals)
+    return rf"""
+WITH w0 AS (
+  SELECT w AS word, count(*) AS cnt, string_split(w, '') AS syms
+  FROM (
+    SELECT unnest({_sql_tokens("lower(text)")}) AS w FROM documents
+  )
+  WHERE regexp_matches(w, '{_BPE_WORD_RE}')
+  GROUP BY w
+),
+{chained}
+SELECT * FROM ({unioned})
+ORDER BY round
+"""
+
+
+def _bpe_apply_merge(syms: F.Column, lhs: str, rhs: str) -> F.Column:
+    """Greedy left-to-right non-overlapping merge of (lhs, rhs) as an
+    array fold: append each symbol, or replace the just-appended lhs
+    when the incoming symbol completes the pair. The merged symbol
+    (lhs||rhs, strictly longer than lhs) can never re-match as a left
+    element within the same round, which is exactly the non-overlap
+    rule the oracle's odd-position selection encodes."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (s == F.lit(rhs)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(lhs + rhs))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle(),
+    description=f"Iterative BPE tokenizer training: {BPE_MERGE_ROUNDS} "
+    "merge rounds over the corpus word distribution (symbols start as "
+    "characters), emitting the learned merge table (round, lhs, rhs, "
+    "corpus pair count). Training state is the vocab-sized distinct-word "
+    "relation; each round costs one map-side-combined pair shuffle plus "
+    "a shuffle-free fold projection, with a 1-row driver argmax — the "
+    "kmeans_lloyd round-trip pattern. Oracle: the same rounds unrolled "
+    "as chained CTEs, greedy non-overlap reproduced positionally.",
+    tags=("text", "tokenizer", "bpe", "pipeline", "iterative"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.caching import tracked_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.col("w").rlike(_BPE_WORD_RE))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.split("w", "").alias("syms"), "cnt")
+        .transform(tracked_persist)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        pair_arr = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("l"),
+                    F.element_at(F.col("syms"), i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            words.select(F.explode(pair_arr).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # corpus exhausted (no adjacent pairs remain)
+        row = best[0]
+        merges.append((k, row["l"], row["r"], int(row["c"])))
+        words = words.withColumn(
+            "syms", _bpe_apply_merge(F.col("syms"), row["l"], row["r"])
+        ).transform(tracked_persist)
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, pair_cnt bigint"
+    ).orderBy("round")

@@ -55,16 +55,34 @@ def snap6(c):
 
 
 def rep_top_cnt_expr(ts):
-    """Most-frequent-token count, folded inside the row (O(distinct·n)
-    per doc — trades a full-corpus token shuffle for per-row work)."""
-    n = F.size(ts)
+    """Most-frequent-token count, folded inside the row — trades a
+    full-corpus token shuffle for per-row work.
+
+    r5 rewrite: sort the array once and take the longest equal-run via
+    a single fold, O(n log n) comparisons per doc. The previous
+    distinct×filter form was O(distinct·n) AND re-evaluated the whole
+    ``ts`` argument expression inside the inner lambda per outer
+    element (catastrophic when ts is the raw tokenize chain, not a
+    column). Values are unchanged — verified 0 mismatches corpus-wide
+    at sf0.1 and by the shared-helper oracles."""
+    run_after = lambda acc, s: F.when(  # noqa: E731 - local fold step
+        s.eqNullSafe(acc["prev"]), acc["run"] + 1
+    ).otherwise(F.lit(1))
     return F.when(
-        n > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(ts),
-                lambda t: F.size(F.filter(ts, lambda x: x == t)),
-            )
+        F.size(ts) > 0,
+        F.aggregate(
+            F.array_sort(ts),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, s: F.struct(
+                s.alias("prev"),
+                run_after(acc, s).alias("run"),
+                F.greatest(acc["best"], run_after(acc, s)).alias("best"),
+            ),
+            lambda acc: acc["best"],
         ),
     ).otherwise(F.lit(0))
 
@@ -748,11 +766,29 @@ def doc_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.col("text").isNotNull() & F.col("text").rlike(r"\S"))
     )
-    ts = _tokens()
-    cnts = entropy_cnt_exprs(F.lower("text"))
-    total = reduce(add, cnts)
-    ent = snap6(entropy_expr(cnts, total))
-    top_share = snap6(entropy_top_share(cnts, total))
+    # STAGED projections (r5): the 37 length-after-replace counts and
+    # the token array become real columns BEFORE the gate expressions
+    # consume them. Inlined, each replace is duplicated into every
+    # entropy term (~37×), the expression tree blows past janino's
+    # method limit, whole-stage codegen fails, and the interpreted
+    # fallback re-evaluates subexpressions per row — measured 7.0 s for
+    # the entropy alone at sf0.1 vs 0.4 s staged. Attributes are cheap,
+    # so CollapseProject will not re-inline them.
+    n_alpha = len(ENTROPY_ALPHABET)
+    pre = docs.select(
+        "doc_id",
+        _tokens().alias("ts"),
+        *[
+            c.alias(f"c{i}")
+            for i, c in enumerate(entropy_cnt_exprs(F.lower("text")))
+        ],
+    )
+    cnt_cols = [F.col(f"c{i}") for i in range(n_alpha)]
+    pre = pre.withColumn("total", reduce(add, cnt_cols))
+    ts = F.col("ts")
+    total = F.col("total")
+    ent = snap6(entropy_expr(cnt_cols, total))
+    top_share = snap6(entropy_top_share(cnt_cols, total))
     n = F.size(ts)
     top_cnt = rep_top_cnt_expr(ts)
     dup_bi = rep_dup_frac_expr(rep_bigrams_expr(ts))
@@ -763,9 +799,9 @@ def doc_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     g_ent = F.when(
         (total > 0) & (ent >= ENTROPY_MIN) & (top_share <= TOP_CHAR_MAX), 1
     ).otherwise(0)
-    base = docs.select(
+    base = pre.select(
         "doc_id",
-        ts.alias("ts"),
+        "ts",
         g_len.alias("g_len"),
         g_rep.alias("g_rep"),
         g_ent.alias("g_ent"),

@@ -261,3 +261,36 @@ def test_quality_composite_agrees_with_standalone_gates(spark, sf_dir):
     }
     for did, r in comp.items():
         assert r.g_ent == ent[did], did
+
+
+def test_bpe_learn_merges_hand_computed_and_greedy(spark, tmp_path):
+    """Hand-computable corpus pinning the full BPE loop: round k's pair
+    counts must reflect round k-1's merges (VERDICT r4 task 4), greedy
+    left-to-right non-overlap must hold on a run of repeated symbols
+    ('aaab': (a,a) merges once, not twice), and the loop must stop
+    early when no pairs remain.
+
+    corpus: 'aaab' ×3, 'ab' ×2
+      r1: (a,a)=6 beats (a,b)=5 → aaab=[aa,a,b]
+      r2: (a,b)=3+2=5 beats (aa,a)=3 → aaab=[aa,ab], ab=[ab]
+      r3: (aa,ab)=3 → aaab=[aaab]
+      r4: no pairs → stop (3 rows, not 5)"""
+    import duckdb
+
+    rows = [(i, "aaab") for i in range(3)] + [(10 + i, "ab") for i in range(2)]
+    spark.createDataFrame(
+        [(i, t, "en", "src0") for i, t in rows],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    q = Q["bpe_learn_merges"]
+    got = [tuple(r) for r in q.builder(spark, str(tmp_path)).collect()]
+    want = [(1, "a", "a", 6), (2, "a", "b", 5), (3, "aa", "ab", 3)]
+    assert got == want, got
+    # the oracle agrees on the same fixture (the sf parity test covers
+    # the real corpus; this pins the hand-computed semantics)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    assert [tuple(r) for r in con.execute(q.oracle).fetchall()] == want
