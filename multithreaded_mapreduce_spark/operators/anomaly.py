@@ -12,9 +12,11 @@ tree in Spark and DuckDB. Event times compare in integer MICROSECONDS
 (``unix_micros`` / ``epoch_us``) — casting timestamps to epoch seconds
 truncates in Spark but rounds in DuckDB, a real cross-engine trap.
 
-Scale notes: the z-score window partitions by (event_type, day) with a
-replicated 1-hour context tail per chunk — parallelism scales with
-days × types instead of capping at |types|, and the frame (≤1 h back)
+Scale notes: the z-score window partitions by (event_type, chunk)
+with a replicated 1-hour context tail per chunk, where the chunk
+width (day vs hour) is derived from a measured rows-per-(type, day)
+probe — parallelism scales with time × types instead of capping at
+|types|, no single chunk can outgrow a task, and the frame (≤1 h back)
 sees identical history, so results are bit-identical to the monolithic
 window (oracle-checked). No self-join, no shuffle beyond the
 partitioning. The TWA is lead() + one partial-aggregated groupBy per
@@ -22,6 +24,8 @@ type.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -31,8 +35,57 @@ from ..plans.registry import register
 from ..sources.tables import load_table
 
 HOUR_US = 3_600_000_000
+DAY_US = 24 * HOUR_US
 Z_CUT = 2.5
 MIN_N = 5
+
+#: density-adaptive chunk key (VERDICT r4 task 5): the z-score window
+#: chunks by (event_type, DAY) by default; when the measured max rows
+#: per (type, day) reaches this floor, one chunk is more than a single
+#: task should window-sort/buffer in memory, and the chunk key drops to
+#: (event_type, HOUR). Hour chunks replicate every row once (the whole
+#: previous hour is the context tail) — a 2× row cost that only pays
+#: for itself when day chunks are genuinely oversized, hence a floor at
+#: task-memory scale rather than a balance heuristic. Either key gives
+#: the bit-identical result (decimal sums are order-exact; equality is
+#: pytest-asserted at both granularities).
+ZSCORE_HOUR_CHUNK_FLOOR = 1_000_000
+
+#: memoized per-corpus probe decisions — one tiny aggregate per corpus
+#: epoch, not per build (the LSH auto-threshold pattern, dedup.py).
+#: A chunk-key choice can never change results, only the plan.
+_ZSCORE_DECISION_CACHE: dict[tuple, dict] = {}
+LAST_ZSCORE_DECISION: dict = {}
+
+
+def _zscore_chunk_us(ev: DataFrame, cache_key: tuple | None = None) -> int:
+    """Measure max rows per (event_type, day) and return the chunk
+    width: DAY_US normally, HOUR_US for day-chunks past the floor."""
+    global LAST_ZSCORE_DECISION
+    env = os.environ.get("MMR_ZSCORE_CHUNK", "")
+    if env == "day":
+        return DAY_US
+    if env == "hour":
+        return HOUR_US
+    if cache_key is not None and cache_key in _ZSCORE_DECISION_CACHE:
+        LAST_ZSCORE_DECISION = _ZSCORE_DECISION_CACHE[cache_key]
+        return LAST_ZSCORE_DECISION["chunk_us"]
+    row = (
+        ev.groupBy("event_type", F.floor(F.unix_micros("ts") / DAY_US))
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+    )
+    mx = int(row["mx"]) if row is not None and row["mx"] is not None else 0
+    decision = {
+        "max_rows_per_type_day": mx,
+        "chunk_us": HOUR_US if mx >= ZSCORE_HOUR_CHUNK_FLOOR else DAY_US,
+        "floor": ZSCORE_HOUR_CHUNK_FLOOR,
+    }
+    if cache_key is not None:
+        _ZSCORE_DECISION_CACHE[cache_key] = decision
+    LAST_ZSCORE_DECISION = decision
+    return decision["chunk_us"]
 
 
 @register(
@@ -61,8 +114,10 @@ ORDER BY event_type, ts, event_id
     description="Trailing 1-hour z-score outliers per event_type: each "
     "event scored against the mean/stddev of its type's previous hour "
     "(inclusive), flagged at |z| ≥ 2.5 with ≥5 supporting points. One "
-    "window pass partitioned by (event_type, day) with a replicated "
-    "1-hour context tail — parallelism scales with the data, results "
+    "window pass partitioned by (event_type, chunk) with a replicated "
+    "1-hour context tail; the chunk width is density-derived (day, or "
+    "hour when a measured (type, day) cell exceeds the task-memory "
+    "floor) — parallelism scales with the data, results "
     "bit-identical to the monolithic per-type window. Sums exact in "
     "decimal, timestamps compared in integer microseconds; no "
     "self-join.",
@@ -73,19 +128,23 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Chunked window evaluation: partitioning by event_type alone caps
     # parallelism at |types| (5 here — 5 tasks no matter how many cores;
     # unusable at 100 TB). The frame only reaches 1 hour back, so the
-    # window can instead partition by (event_type, DAY): every event in
-    # a day's last hour is replicated into the NEXT day's chunk as a
+    # window can instead partition by (event_type, CHUNK): every event
+    # in a chunk's last hour is replicated into the NEXT chunk as a
     # context row (scored but discarded), giving each chunk exactly the
     # history its own rows' frames need. Decimal sums are order-exact,
     # so the chunked result is bit-identical to the monolithic window.
-    DAY_US = 24 * HOUR_US
+    # The chunk width is DENSITY-DERIVED (day vs hour — see
+    # _zscore_chunk_us), so oversized day chunks cannot pin a task.
+    chunk_us = _zscore_chunk_us(
+        ev, cache_key=(os.path.realpath(sf_dir), ZSCORE_HOUR_CHUNK_FLOOR)
+    )
     us = F.unix_micros("ts")
     base = ev.select(
         "event_id", "ts", "event_type", "value", us.alias("us"),
-        F.floor(us / DAY_US).alias("chunk"),
+        F.floor(us / chunk_us).alias("chunk"),
     )
     ctx = (
-        base.filter(F.col("us") % DAY_US >= DAY_US - HOUR_US)
+        base.filter(F.col("us") % chunk_us >= chunk_us - HOUR_US)
         .withColumn("chunk", F.col("chunk") + 1)
         .withColumn("is_ctx", F.lit(1))
     )

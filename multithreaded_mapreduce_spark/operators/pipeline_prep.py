@@ -313,9 +313,63 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_sequences_ffd",
-    oracle=None,  # greedy first-fit-decreasing state is not SQL-expressible;
-    # invariants (capacity, exactly-once assignment, determinism) are
-    # asserted in tests/test_analytics.py
+    # promoted out of rows-only (VERDICT r4 task 7): FFD is greedy but
+    # DETERMINISTIC, so the oracle simulates it with a recursive CTE —
+    # one item placed per recursion step per chunk (set-wise: all
+    # chunks advance in parallel), bin loads/counts carried as lists.
+    # The first-fit index is the first position whose load still
+    # admits the item; items are ranked (n_tokens DESC, doc_id) exactly
+    # like the pandas sort. Zero-token / NULL-id docs are excluded on
+    # both sides (they cannot contribute tokens / have no chunk).
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, len({_sql_tokens()}) AS n_tokens,
+         CAST(floor(doc_id / {PACK_CHUNK}) AS BIGINT) AS chunk
+  FROM documents
+  WHERE doc_id IS NOT NULL
+), items AS (
+  SELECT chunk, n_tokens,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY n_tokens DESC, doc_id) AS rnk
+  FROM base WHERE n_tokens > 0
+), sizes AS (
+  SELECT chunk, max(rnk) AS n_items FROM items GROUP BY chunk
+), pack AS (
+  SELECT chunk, 0 AS step,
+         CAST([] AS BIGINT[]) AS loads, CAST([] AS BIGINT[]) AS ndocs
+  FROM sizes
+  UNION ALL
+  SELECT p.chunk, p.step + 1,
+         CASE WHEN list_filter(range(1, len(p.loads) + 1),
+                               j -> p.loads[j] + i.n_tokens <= {MAX_SEQ_TOKENS})[1]
+                   IS NULL
+              THEN list_append(p.loads, i.n_tokens)
+              ELSE list_transform(range(1, len(p.loads) + 1),
+                     j -> CASE WHEN j = list_filter(range(1, len(p.loads) + 1),
+                                    k -> p.loads[k] + i.n_tokens <= {MAX_SEQ_TOKENS})[1]
+                               THEN p.loads[j] + i.n_tokens ELSE p.loads[j] END)
+         END,
+         CASE WHEN list_filter(range(1, len(p.loads) + 1),
+                               j -> p.loads[j] + i.n_tokens <= {MAX_SEQ_TOKENS})[1]
+                   IS NULL
+              THEN list_append(p.ndocs, 1)
+              ELSE list_transform(range(1, len(p.ndocs) + 1),
+                     j -> CASE WHEN j = list_filter(range(1, len(p.loads) + 1),
+                                    k -> p.loads[k] + i.n_tokens <= {MAX_SEQ_TOKENS})[1]
+                               THEN p.ndocs[j] + 1 ELSE p.ndocs[j] END)
+         END
+  FROM pack p
+  JOIN items i ON i.chunk = p.chunk AND i.rnk = p.step + 1
+), final AS (
+  SELECT p.chunk, p.loads, p.ndocs
+  FROM pack p JOIN sizes s ON p.chunk = s.chunk AND p.step = s.n_items
+)
+SELECT chunk, CAST(u.i - 1 AS BIGINT) AS bin_id,
+       CAST(ndocs[u.i] AS BIGINT) AS n_docs,
+       CAST(loads[u.i] AS BIGINT) AS bin_tokens
+FROM final, unnest(generate_series(1, len(loads))) AS u(i)
+ORDER BY chunk, bin_id
+""",
     description="First-fit-decreasing bin packing of documents into "
     f"{MAX_SEQ_TOKENS}-token training sequences, per doc-id chunk, via "
     "grouped-map applyInPandas (Arrow-batched): within each chunk, docs "
@@ -336,7 +390,19 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("doc_id") / PACK_CHUNK).alias("chunk"),
     )
 
+    empty = pd.DataFrame(
+        {"chunk": [], "bin_id": [], "n_docs": [], "bin_tokens": []}
+    )
+
     def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # edge guards INSIDE the UDF (a DataFrame-level filter over the
+        # tokenize chain would be pushed into the FileScan — the
+        # plan-linted Catalyst trap): zero-token / NULL-token docs pack
+        # nothing, and a NULL doc_id has no chunk. Mirrored in the
+        # oracle's WHERE clauses.
+        pdf = pdf[pdf["n_tokens"].notna() & (pdf["n_tokens"] > 0)]
+        if len(pdf) == 0 or pd.isna(pdf["chunk"].iloc[0]):
+            return empty
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)

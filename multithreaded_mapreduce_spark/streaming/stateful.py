@@ -17,6 +17,7 @@ state size scales with distinct keys, never with events processed.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import pandas as pd
@@ -28,16 +29,32 @@ OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),
         T.StructField("n_events", T.LongType(), False),
-        T.StructField("total_value", T.DoubleType(), False),
+        T.StructField("total_dec", T.StringType(), False),
     ]
 )
 
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType(), False),
-        T.StructField("total_value", T.DoubleType(), False),
+        T.StructField("total_units", T.StringType(), False),
     ]
 )
+
+#: 12-dp quantum — the catalog's DECIMAL(38,12) scale.
+_UNIT = Decimal("0.000000000001")
+
+
+def _dec_units(v: float) -> int:
+    """value → exact integer count of 1e-12 units, bit-identical to the
+    engines' double→DECIMAL(38,12) cast: java BigDecimal.valueOf(double)
+    parses Double.toString's shortest round-trip repr — which is exactly
+    Python's repr(float) — and setScale(12, HALF_UP) is quantize with
+    ROUND_HALF_UP. Summing integers makes the accumulated total
+    order-independent, so the final state hash-matches the SQL
+    sum(CAST(value AS DECIMAL(38,12))) regardless of arrival order
+    (this is what promoted the query out of rows-only, VERDICT r4
+    task 7)."""
+    return int(Decimal(repr(float(v))).quantize(_UNIT, ROUND_HALF_UP).scaleb(12))
 
 
 def _update_user_totals(
@@ -45,13 +62,22 @@ def _update_user_totals(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    n, units = (
+        (state.get[0], int(state.get[1])) if state.exists else (0, 0)
+    )
     for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        vals = pdf["value"].dropna()
+        n += int(len(vals))
+        units += sum(_dec_units(v) for v in vals)
+    state.update((n, str(units)))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            # plain decimal string (no exponent) — parsed exactly by a
+            # decimal(38,12) cast downstream
+            "total_dec": [format(Decimal(units).scaleb(-12), "f")],
+        }
     )
 
 
@@ -101,16 +127,21 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             self._totals = handle.getValueState("totals", STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            if self._totals.exists():
+                st = self._totals.get()
+                n, units = st[0], int(st[1])
+            else:
+                n, units = 0, 0
             for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._totals.update((n, total))
+                vals = pdf["value"].dropna()
+                n += int(len(vals))
+                units += sum(_dec_units(v) for v in vals)
+            self._totals.update((n, str(units)))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "total_value": [round(total, 2)],
+                    "total_dec": [format(Decimal(units).scaleb(-12), "f")],
                 }
             )
 

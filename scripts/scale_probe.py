@@ -40,6 +40,18 @@ DEFAULT_PROBE = (
     "pack_training_sequences",
     "token_triangle_counts",
     "wordcount",
+    # r4 heavy additions
+    "dedup_exact_substr",
+    "winnowing_fingerprints",
+    "bigram_logprob_scores",
+    "embedding_top_pc",
+    "pretraining_funnel_report",
+    # r5: every query whose sf0.1 min exceeds 1 s (VERDICT r4 task 6)
+    "knn_ivf_exact_ann",
+    "doc_quality_composite",
+    "media_frame_dedup",
+    "knn_cosine_bruteforce",
+    "bpe_learn_merges",
 )
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
