@@ -277,3 +277,74 @@ def orders_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_abs_delta"),
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT source, md5(text) AS ch FROM documents
+), sizes AS (
+  SELECT source, count(*) AS n FROM h GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS n_shared_hashes
+  FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.n_shared_hashes,
+       CAST(s.n_shared_hashes AS DOUBLE) / least(sa.n, sb.n)
+         AS overlap_of_smaller
+FROM shared s
+JOIN sizes sa ON s.source_a = sa.source
+JOIN sizes sb ON s.source_b = sb.source
+ORDER BY source_a, source_b
+""",
+    description="Cross-source contamination matrix: for every pair of "
+    "crawl sources, how many exact-content digests they share and what "
+    "fraction of the smaller source that overlap is — the audit a "
+    "pipeline publishes to catch one dump republishing another (or a "
+    "benchmark leaking into a crawl). Text is hashed in the scan "
+    "projection, the per-source digest sets deduplicate BEFORE the "
+    "self-join (one row per distinct (source, digest)), and the join "
+    "keys on the 32-byte digest — document bodies never shuffle. At "
+    "100 TB the digest relation is corpus-cardinality but slim, and "
+    "the equi-join output is bounded by true cross-source duplication.",
+    tags=("audit", "dedup", "observability", "pipeline"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.md5("text").alias("ch"))
+        .distinct()
+    )
+    sizes = h.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_hashes"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_hashes",
+            (
+                F.col("n_shared_hashes").cast("double")
+                / F.least("na", "nb")
+            ).alias("overlap_of_smaller"),
+        )
+        .orderBy("source_a", "source_b")
+    )

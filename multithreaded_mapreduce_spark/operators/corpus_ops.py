@@ -707,6 +707,17 @@ def _bpe_apply_merge(syms: F.Column, lhs: str, rhs: str) -> F.Column:
     tags=("text", "tokenizer", "bpe", "pipeline", "iterative"),
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, pair_cnt bigint"
+    ).orderBy("round")
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared BPE training loop: returns (merge table, final word
+    relation with post-merge symbol arrays + counts + original word)."""
     from ..plans.caching import tracked_persist
 
     docs = load_table(spark, sf_dir, "documents")
@@ -715,7 +726,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w").rlike(_BPE_WORD_RE))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.split("w", "").alias("syms"), "cnt")
+        .select("w", F.split("w", "").alias("syms"), "cnt")
         .transform(tracked_persist)
     )
     merges: list[tuple[int, str, str, int]] = []
@@ -745,6 +756,72 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = words.withColumn(
             "syms", _bpe_apply_merge(F.col("syms"), row["l"], row["r"])
         ).transform(tracked_persist)
-    return spark.createDataFrame(
-        merges, "round int, lhs string, rhs string, pair_cnt bigint"
-    ).orderBy("round")
+    return merges, words
+
+
+def _bpe_encode_oracle() -> str:
+    """The training rounds of ``_bpe_oracle`` with an encoding summary
+    as the final select (w0 carries the word string, so per-word char
+    counts come for free)."""
+    full = _bpe_oracle()
+    head, _tail = full.rsplit("SELECT * FROM", 1)
+    n = BPE_MERGE_ROUNDS
+    return (
+        head.rstrip().rstrip(",")
+        + f""",
+base AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
+         CAST(sum(cnt * length(word)) AS BIGINT) AS n_chars
+  FROM w0
+), enc AS (
+  SELECT CAST(sum(cnt * len(syms)) AS BIGINT) AS n_symbols
+  FROM w{n}
+), voc AS (
+  SELECT count(DISTINCT s) AS n_vocab
+  FROM (SELECT unnest(syms) AS s FROM w{n})
+)
+SELECT b.n_words, b.n_chars, e.n_symbols, CAST(v.n_vocab AS BIGINT) AS n_vocab,
+       CAST(e.n_symbols AS DOUBLE) / b.n_chars AS symbols_per_char
+FROM base b, enc e, voc v
+"""
+    )
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(),
+    description="Corpus encoding summary under the learned BPE merges — "
+    "the 'resulting token counts' half of tokenizer training: total "
+    "word instances, total characters, total symbols after the "
+    f"{BPE_MERGE_ROUNDS} learned merges, surviving vocabulary size, and "
+    "symbols-per-char (the compression the tokenizer buys). Reuses the "
+    "shared training loop, then three one-row aggregates over the "
+    "vocab-sized word relation; the ratio is an exact integer division "
+    "in both engines. Oracle: the same unrolled training CTEs with an "
+    "encoding-summary final select.",
+    tags=("text", "tokenizer", "bpe", "pipeline"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, words = _bpe_train(spark, sf_dir)
+    base = words.agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("w")).alias("n_chars"),
+    )
+    enc = words.agg(F.sum(F.col("cnt") * F.size("syms")).alias("n_symbols"))
+    voc = (
+        words.select(F.explode("syms").alias("s"))
+        .agg(F.count_distinct("s").alias("n_vocab"))
+    )
+    return (
+        base.crossJoin(enc)
+        .crossJoin(voc)
+        .select(
+            "n_words",
+            "n_chars",
+            "n_symbols",
+            "n_vocab",
+            (F.col("n_symbols").cast("double") / F.col("n_chars")).alias(
+                "symbols_per_char"
+            ),
+        )
+    )

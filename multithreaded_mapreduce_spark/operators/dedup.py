@@ -218,6 +218,120 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# asymmetric containment dedup: near-SUPERSET detection. Jaccard is
+# blind to a small document embedded in a much larger one (the union
+# term dilutes it); containment C(A→B) = |A∩B| / |A| is the standard
+# complementary signal a curation pipeline uses to drop quoted /
+# wrapped / concatenated copies while keeping the container.
+# ------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+CONTAINMENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS token
+  FROM documents
+), toks_clean AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks_clean GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS c
+  FROM toks_clean a
+  JOIN toks_clean b
+    ON a.token = b.token AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.contained_id, s.container_id,
+       CAST(s.c AS DOUBLE) / sa.n AS containment
+FROM shared s
+JOIN sizes sa ON s.contained_id = sa.doc_id
+WHERE CAST(s.c AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
+ORDER BY contained_id, container_id
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=CONTAINMENT_ORACLE,
+    description=f"Directed near-superset pairs: documents whose distinct-"
+    f"token set is >= {CONTAINMENT_THRESHOLD:.0%} covered by another "
+    "document's — the asymmetric complement of Jaccard that catches a "
+    "short doc quoted inside a long one (the union term hides it from "
+    "jaccard >= 0.8). Same set-collapse plan as dedup_jaccard_pairs "
+    "with the one-sided prune |B| >= t·|A| instead of the symmetric "
+    "size-ratio band; identical-set groups emit containment 1.0 both "
+    "ways. At 100 TB the same LSH banding fronts this verify — "
+    "containment >= t implies jaccard >= t/(1/t + 1 - t) on the "
+    "candidate side, so the bucketed candidates remain a superset.",
+    tags=("dedup", "neardup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").rlike(r"\S"))
+    )
+    tokset = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
+        ).alias("toks"),
+    )
+    groups = (
+        tokset.groupBy("toks")
+        .agg(F.min("doc_id").alias("gid"), F.collect_list("doc_id").alias("members"))
+        .select(
+            "gid",
+            "members",
+            F.transform("toks", lambda t: F.xxhash64(t)).alias("toks_h"),
+            F.size("toks").alias("n"),
+        )
+        .transform(tracked_persist)
+    )
+    a = groups.select(
+        F.col("gid").alias("ga"), F.col("toks_h").alias("ta"),
+        F.col("members").alias("m_a"), F.col("n").alias("na"),
+    )
+    b = groups.select(
+        F.col("gid").alias("gb"), F.col("toks_h").alias("tb"),
+        F.col("members").alias("m_b"), F.col("n").alias("nb"),
+    )
+    c = F.size(F.array_intersect("ta", "tb"))
+    cross = (
+        F.broadcast(a)
+        .join(
+            b,
+            (F.col("ga") != F.col("gb"))
+            # one-sided prune: |A∩B| <= nb, so c/na >= t requires
+            # nb >= t·na — the asymmetric analogue of jaccard's band
+            & (F.col("nb").cast("double") >= F.lit(CONTAINMENT_THRESHOLD) * F.col("na")),
+        )
+        .select("m_a", "m_b", "na", c.alias("c"))
+        .select(
+            "m_a",
+            "m_b",
+            (F.col("c").cast("double") / F.col("na")).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+    pairs = (
+        cross.select(F.explode("m_a").alias("contained_id"), "m_b", "containment")
+        .select("contained_id", F.explode("m_b").alias("container_id"), "containment")
+    )
+    # identical-set groups: every ordered pair of distinct members is
+    # mutually contained at 1.0 (matches the oracle's a.doc_id <> b.doc_id)
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("contained_id"), "members")
+        .select("contained_id", F.explode("members").alias("container_id"))
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id", F.lit(1.0).alias("containment"))
+    )
+    return pairs.unionByName(within)
+
+
+# ------------------------------------------------------------------
 # n-gram (shingle) Jaccard near-dup: order-sensitive variant
 # ------------------------------------------------------------------
 

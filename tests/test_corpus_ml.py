@@ -294,3 +294,21 @@ def test_bpe_learn_merges_hand_computed_and_greedy(spark, tmp_path):
         f"'{tmp_path}/documents.parquet/*.parquet'"
     )
     assert [tuple(r) for r in con.execute(q.oracle).fetchall()] == want
+
+
+def test_bpe_encode_matches_hand_computation(spark, tmp_path):
+    """Same fixture as the learn test: after the 3 learned merges,
+    'aaab'×3 encodes to 1 symbol and 'ab'×2 to 1 symbol — 5 symbols
+    over 16 chars, vocabulary {aaab, ab}."""
+    rows = [(i, "aaab") for i in range(3)] + [(10 + i, "ab") for i in range(2)]
+    spark.createDataFrame(
+        [(i, t, "en", "src0") for i, t in rows],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = Q["bpe_encode_corpus"].builder(spark, str(tmp_path)).collect()[0]
+    assert (r.n_words, r.n_chars, r.n_symbols, r.n_vocab) == (5, 16, 5, 2)
+    assert r.symbols_per_char == 5 / 16
+    # corpus-level sanity at the shared fixture scale: merges can only
+    # shrink the symbol stream, never below one symbol per word
+    s = Q["bpe_encode_corpus"].builder(spark, "/root/testdata/sf0.001").collect()[0]
+    assert s.n_words <= s.n_symbols <= s.n_chars

@@ -229,3 +229,28 @@ def test_winnowing_guarantee_and_density(spark, tmp_path):
     for i in (1, 2, 3):
         assert out[i].n_fps <= sub[i].n_spans, (i, out[i].n_fps, sub[i].n_spans)
         assert 0 <= out[i].shared_fps <= out[i].n_fps
+
+
+def test_containment_catches_jaccard_invisible_subsets(spark, tmp_path):
+    """Hand fixture: a 3-token doc fully inside an 11-token doc is
+    invisible to jaccard >= 0.8 (3/11) but must appear in the directed
+    containment output at 1.0; near-equal sets appear BOTH ways."""
+    a = " ".join(f"t{i}" for i in range(10))          # 10 tokens
+    b = a + " t10"                                     # superset, 11
+    c = "t0 t1 t2"                                     # tiny subset
+    spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.contained_id, r.container_id): round(r.containment, 6)
+        for r in Q["dedup_containment"].builder(spark, str(tmp_path)).collect()
+    }
+    assert got[(1, 2)] == 1.0                     # A ⊂ B
+    assert got[(2, 1)] == round(10 / 11, 6)       # B ~⊂ A (0.909 >= 0.9)
+    assert got[(3, 1)] == 1.0 and got[(3, 2)] == 1.0  # C ⊂ both
+    assert (1, 3) not in got and (2, 3) not in got    # not the reverse
+    # consistency with the exact jaccard set: every jaccard pair is
+    # containment-covered in at least the smaller->larger direction
+    exact = _pairs(Q["dedup_jaccard_pairs"].builder(spark, str(tmp_path)))
+    for da, db in exact:
+        assert (da, db) in got or (db, da) in got
