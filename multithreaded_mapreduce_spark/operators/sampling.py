@@ -399,3 +399,69 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: hex digits for the admission hash: 13 → values in [0, 2^52), every
+#: one exactly representable as a double, so u = units / 2^52 is an
+#: exact IEEE quotient in both engines.
+_QWS_DIGITS = 13
+_QWS_SCALE = float(1 << 52)
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=None,  # set below — composes doc_quality_composite's oracle
+    description="Quality-weighted deterministic sampling: each document "
+    "is admitted with probability quality_score/100 (the 0-100 "
+    "composite), decided by comparing an md5-derived uniform in [0,1) "
+    "against the score — no RNG, so the sample is reproducible across "
+    "runs, engines, and cluster sizes (the property temperature/domain "
+    "mixing need for auditable training mixes). The uniform's 13-hex "
+    "prefix is exact in a double; admission is one projection + filter "
+    "on top of the composite's scan — nothing new shuffles.",
+    tags=("sampling", "quality", "pipeline"),
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _spark_hex_id
+    from .quality_repetition import doc_quality_composite
+
+    scored = doc_quality_composite(spark, sf_dir).select("doc_id", "quality_score")
+    u = _spark_hex_id(F.col("doc_id").cast("string"), _QWS_DIGITS).cast(
+        "double"
+    ) / F.lit(_QWS_SCALE)
+    return (
+        scored.withColumn("u", u)
+        .filter(F.col("u") < F.col("quality_score").cast("double") / F.lit(100.0))
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+def _qws_oracle() -> str:
+    from .dedup import _oracle_hex_id
+    from .quality_repetition import doc_quality_composite  # noqa: F401
+
+    from ..plans.registry import _REGISTRY
+
+    comp = _REGISTRY["doc_quality_composite"].oracle
+    u = _oracle_hex_id("CAST(doc_id AS VARCHAR)", _QWS_DIGITS)
+    return f"""
+WITH comp AS (
+{comp}
+)
+SELECT doc_id, quality_score
+FROM comp
+WHERE CAST({u} AS DOUBLE) / {_QWS_SCALE!r} < CAST(quality_score AS DOUBLE) / 100.0
+ORDER BY doc_id
+"""
+
+
+# late-bind the oracle (the composite's oracle string is registered on
+# the same module-import pass)
+from ..plans.registry import _REGISTRY as _REG  # noqa: E402
+
+_q = _REG["quality_weighted_sample"]
+_REG["quality_weighted_sample"] = type(_q)(
+    _q.name, _q.builder, _qws_oracle(), _q.description, _q.tags
+)
+del _REG, _q

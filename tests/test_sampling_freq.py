@@ -159,3 +159,29 @@ def test_temperature_allocation_upsamples_low_resource(spark, sf_dir):
         if nat < 1.0 / len(rows):
             assert r.q >= nat - 1e-9, (r.source, r.q, nat)
         assert 0 <= r.alloc_docs <= r.n_docs
+
+
+def test_quality_weighted_sample_matches_independent_recompute(spark, sf_dir):
+    """The admission set must equal a from-scratch Python recompute
+    (hashlib md5 prefix vs score/100) over the composite's scores —
+    proving the deterministic-uniform contract independently of the
+    DuckDB oracle."""
+    import hashlib
+
+    Q = all_queries()
+    scored = {
+        r.doc_id: r.quality_score
+        for r in Q["doc_quality_composite"].builder(spark, sf_dir).collect()
+    }
+    want = {
+        d
+        for d, s in scored.items()
+        if int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16) / float(1 << 52)
+        < s / 100.0
+    }
+    got = {
+        r.doc_id
+        for r in Q["quality_weighted_sample"].builder(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < len(scored)  # neither empty nor everything
