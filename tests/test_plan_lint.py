@@ -190,3 +190,37 @@ def test_shared_relations_are_cached_or_single_pass(spark, sf_dir):
     ):
         scans, cache = counts(name)
         assert cache >= 2, f"{name}: shared relation no longer persisted"
+
+
+#: queries whose projections contain the 37-char entropy counts — the
+#: expression-blowup regression guard below pins them
+_ENTROPY_STAGED = (
+    "doc_quality_composite",
+    "pretraining_funnel_report",
+    "char_entropy_quality",
+)
+
+
+@pytest.mark.parametrize("name", _ENTROPY_STAGED)
+def test_entropy_counts_stay_staged(spark, sf_dir, name):
+    """Regression guard for the r5 janino blowup: each of the 37
+    length-after-replace counts must appear in the optimized plan a
+    BOUNDED number of times. Inlined (pre-r5), every entropy term
+    re-embedded all 37 replaces (~1.4k copies) — the generated method
+    blew janino's 64KB limit, whole-stage codegen fell back to
+    interpreted eval, and the scan re-computed subexpressions per row
+    (7.0 s → 0.4 s measured at sf0.1 after staging). Staged columns are
+    attributes, which CollapseProject must not re-inline into non-cheap
+    consumers; if a future refactor collapses them again, this count
+    explodes and the lint fires."""
+    df = _QUERIES[name].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n = plan.count("replace(")
+    # staged plans measure 23-161 occurrences (plan printing truncates
+    # long field lists, and persisted subtrees print more than once);
+    # the re-inlined blowup measures 2911 — the bound sits an order of
+    # magnitude below it
+    assert 0 < n <= 400, (
+        f"{name}: {n} replace( occurrences in the optimized plan — "
+        "entropy counts look re-inlined (janino/codegen regression)"
+    )
