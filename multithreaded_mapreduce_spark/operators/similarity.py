@@ -849,3 +849,253 @@ def knn_join_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= KNN_JOIN_K)
         .orderBy("query_id", "rnk")
     )
+
+
+# ------------------------------------------------------------------
+# Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+# the diversified top-k a retrieval pipeline serves when near-duplicate
+# neighbors crowd the raw cosine ranking — pick the best match, then
+# repeatedly pick the candidate maximizing
+#     λ·cos(q, d) − (1−λ)·max_{s ∈ selected} cos(d, s).
+# ------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_POOL = RESCORE_BUFFER  # candidate pool: the exact top-20 per query
+MMR_K = 5
+
+
+def _nz(c: Column) -> Column:
+    """+0.0-normalize: round() of a tiny negative yields -0.0, whose
+    sign survives into the value hash and into (-x) ordering keys —
+    adding literal 0.0 maps -0.0 → +0.0 and changes nothing else."""
+    return c + F.lit(0.0)
+
+
+def _mmr_oracle() -> str:
+    lam, om = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
+    rounds = []
+    for k in range(2, MMR_K + 1):
+        prev = f"selu{k - 1}"
+        rounds.append(
+            f"""sel{k} AS (
+  SELECT query_id, neighbor_id, {k} AS rnk, mmr_score FROM (
+    SELECT c.query_id, c.neighbor_id,
+           {lam} * c.cosine - {om} * m.maxsim AS mmr_score,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY {lam} * c.cosine - {om} * m.maxsim DESC,
+                                       c.neighbor_id) AS rn
+    FROM cand c
+    JOIN (
+      SELECT cc.query_id, cc.na AS neighbor_id, max(cc.sim) AS maxsim
+      FROM cc JOIN {prev} s
+        ON cc.query_id = s.query_id AND cc.nb = s.neighbor_id
+      GROUP BY 1, 2
+    ) m ON m.query_id = c.query_id AND m.neighbor_id = c.neighbor_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM {prev} s2
+      WHERE s2.query_id = c.query_id AND s2.neighbor_id = c.neighbor_id
+    )
+  ) WHERE rn = 1
+), selu{k} AS (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM sel{k}
+)"""
+        )
+    chained = ",\n".join(rounds)
+    return (
+        _DOT_CTE.format(n_queries=N_QUERIES)
+        + f"""
+, dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(sum(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM queries q
+  JOIN embeddings e ON e.vec_id != q.vec_id
+  CROSS JOIN dims
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(round(CAST(d.dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) + 0.0 AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nn ON d.neighbor_id = nn.vec_id
+), cand AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {MMR_POOL}
+), ccdots AS (
+  SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+         CAST(sum(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+  CROSS JOIN dims
+  GROUP BY 1, 2, 3
+), cc AS (
+  SELECT c.query_id, c.na, c.nb,
+         CAST(round(CAST(c.dot / (sqrt(na_.nsq) * sqrt(nb_.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) + 0.0 AS sim
+  FROM ccdots c
+  JOIN norms na_ ON c.na = na_.vec_id
+  JOIN norms nb_ ON c.nb = nb_.vec_id
+), sel1 AS (
+  SELECT query_id, neighbor_id, 1 AS rnk, cosine AS mmr_score FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), selu1 AS (SELECT * FROM sel1),
+{chained}
+SELECT query_id, rnk, neighbor_id, mmr_score
+FROM selu{MMR_K}
+ORDER BY query_id, rnk
+"""
+    )
+
+
+@register(
+    "knn_mmr_rerank",
+    oracle=_mmr_oracle(),
+    description=f"MMR diversified top-{MMR_K}: from each query's exact "
+    f"top-{MMR_POOL} cosine pool, greedily select λ·relevance − "
+    f"(1−λ)·max-similarity-to-selected (λ = {MMR_LAMBDA}) — the "
+    "re-ranking a retrieval pipeline applies when near-duplicate "
+    "neighbors crowd the raw ranking. Every selection round is a pure "
+    "DataFrame step (anti-join + max-sim aggregate + one min(struct) "
+    "argmax per query) — queries diversify in parallel with NO driver "
+    "round-trips; the candidate pool reuses the two-phase rescore "
+    "buffer, and the pool-pair similarity relation is "
+    f"{MMR_POOL}²-bounded per query. Oracle: the same greedy rounds "
+    "unrolled as chained CTEs.",
+    tags=("similarity", "knn", "mmr", "rerank"),
+)
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import norm_sq_fast
+    from ..plans.caching import tracked_persist
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding")
+    ).filter(F.col("embedding").isNotNull())
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_sq_fast("embedding").alias("q_nsq"),
+    )
+    neighbors = spread(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            norm_sq_fast("embedding").alias("n_nsq"),
+        )
+    )
+    prelim = (
+        F.broadcast(queries)
+        .crossJoin(neighbors)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_emb",
+            "neighbor_id",
+            "n_emb",
+            F.try_divide(
+                dot_fast("q_emb", "n_emb"),
+                F.sqrt(F.col("q_nsq") * F.col("n_nsq")),
+            ).alias("approx"),
+        )
+    )
+    buffer = _rescore_buffer(prelim)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    cand = (
+        buffer.select(
+            "query_id",
+            "neighbor_id",
+            "n_emb",
+            _nz(_rounded_cosine(F.col("q_emb"), F.col("n_emb"))).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+        .transform(tracked_persist)
+    )
+    cc = (
+        cand.select("query_id", F.col("neighbor_id").alias("na"), F.col("n_emb").alias("ea"))
+        .join(
+            cand.select(
+                F.col("query_id").alias("qid2"),
+                F.col("neighbor_id").alias("nb"),
+                F.col("n_emb").alias("eb"),
+            ),
+            (F.col("query_id") == F.col("qid2")) & (F.col("na") != F.col("nb")),
+        )
+        .select(
+            "query_id",
+            "na",
+            "nb",
+            _nz(_rounded_cosine(F.col("ea"), F.col("eb"))).alias("sim"),
+        )
+        .transform(tracked_persist)
+    )
+    lam, om = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    # round 1: pure relevance (empty selected set), min(struct) argmax —
+    # the cosine rides as payload so no -(-x) renegation touches it
+    b1 = cand.groupBy("query_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cosine")).alias("ns"),
+                F.col("neighbor_id").alias("nid"),
+                F.col("cosine").alias("sc"),
+            )
+        ).alias("b")
+    )
+    selu = b1.select(
+        "query_id",
+        F.col("b.nid").alias("neighbor_id"),
+        F.lit(1).alias("rnk"),
+        F.col("b.sc").alias("mmr_score"),
+    )
+    for k in range(2, MMR_K + 1):
+        maxsim = (
+            cc.join(
+                selu.select(
+                    F.col("query_id").alias("qs"),
+                    F.col("neighbor_id").alias("nb_sel"),
+                ),
+                (F.col("query_id") == F.col("qs")) & (F.col("nb") == F.col("nb_sel")),
+            )
+            .groupBy("query_id", F.col("na").alias("neighbor_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        rem = cand.join(
+            selu.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        score = F.lit(lam) * F.col("cosine") - F.lit(om) * F.col("maxsim")
+        bk = (
+            rem.join(maxsim, ["query_id", "neighbor_id"])
+            .select("query_id", "neighbor_id", score.alias("score"))
+            .groupBy("query_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score")).alias("ns"),
+                        F.col("neighbor_id").alias("nid"),
+                        F.col("score").alias("sc"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                "query_id",
+                F.col("b.nid").alias("neighbor_id"),
+                F.lit(k).alias("rnk"),
+                F.col("b.sc").alias("mmr_score"),
+            )
+        )
+        selu = selu.unionByName(bk)
+    return selu.orderBy("query_id", "rnk")

@@ -194,3 +194,46 @@ def test_rescore_hard_cap_bounds_tie_groups_and_adds_no_exchange(spark, tmp_path
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Sort ") <= 2, plan
+
+
+def test_mmr_diversifies_duplicate_neighbors(spark, tmp_path, sf_dir):
+    """Hand fixture: two identical top neighbors and one slightly-worse
+    but diverse one — plain cosine ranks (a1, a2, b); MMR must pick
+    (a1, b, a2), demoting the duplicate. Also: MMR rank 1 must equal
+    the bruteforce rank 1 for every query on the shared corpus."""
+    dim = 64
+
+    def v(*head):
+        return [float(x) for x in head] + [0.0] * (dim - len(head))
+
+    rows = [(0, v(1.0), 0)]                     # the query
+    rows += [(100, v(1.0, 0.1), 0), (101, v(1.0, 0.1), 0)]   # dup pair
+    rows += [(102, v(1.0, -0.1), 0)]            # diverse alternative
+    # other query slots (vec_id < 10) point far away so they don't
+    # perturb query 0's pool
+    for i in range(1, 10):
+        e = [0.0] * dim
+        e[10 + i] = 1.0
+        rows.append((i, e, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = [
+        r.neighbor_id
+        for r in Q["knn_mmr_rerank"].builder(spark, str(tmp_path)).collect()
+        if r.query_id == 0
+    ][:3]
+    # plain relevance order would be [100, 101, 102]
+    assert got == [100, 102, 101], got
+    # shared-corpus consistency: rank 1 is the pure-relevance winner
+    brute1 = {
+        r.query_id: r.neighbor_id
+        for r in Q["knn_cosine_bruteforce"].builder(spark, sf_dir).collect()
+        if r.rnk == 1
+    }
+    mmr1 = {
+        r.query_id: r.neighbor_id
+        for r in Q["knn_mmr_rerank"].builder(spark, sf_dir).collect()
+        if r.rnk == 1
+    }
+    assert mmr1 == brute1
