@@ -429,8 +429,13 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = _spark_hex_id(F.col("doc_id").cast("string"), _QWS_DIGITS).cast(
         "double"
     ) / F.lit(_QWS_SCALE)
+    # NULL doc_id is EXPLICITLY excluded on both sides: a doc with no id
+    # has no hashable admission key. (In Spark the NULL comparison would
+    # drop it anyway, but DuckDB's list_prepend(0, NULL) → [0] folds a
+    # NULL md5 to u = 0 and would admit it — adversarial-fixture find.)
     return (
-        scored.withColumn("u", u)
+        scored.filter(F.col("doc_id").isNotNull())
+        .withColumn("u", u)
         .filter(F.col("u") < F.col("quality_score").cast("double") / F.lit(100.0))
         .select("doc_id", "quality_score")
         .orderBy("doc_id")
@@ -451,7 +456,8 @@ WITH comp AS (
 )
 SELECT doc_id, quality_score
 FROM comp
-WHERE CAST({u} AS DOUBLE) / {_QWS_SCALE!r} < CAST(quality_score AS DOUBLE) / 100.0
+WHERE doc_id IS NOT NULL
+  AND CAST({u} AS DOUBLE) / {_QWS_SCALE!r} < CAST(quality_score AS DOUBLE) / 100.0
 ORDER BY doc_id
 """
 
