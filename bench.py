@@ -69,6 +69,14 @@ HEADLINE = (
     "bigram_logprob_scores",         # interpolated bigram LM scoring
     "embedding_top_pc",              # power-iteration top principal component
     "doc_quality_composite",         # 0-100 composite quality score
+    # r5: the round-5 operators above 0.4 s at sf0.1 — everything above
+    # this line is the r5 36-query set whose total is total_r5_comparable
+    "knn_mmr_rerank",                # MMR diversified top-k (checkpointed rounds)
+    "dedup_containment",             # asymmetric near-superset pairs
+    "bpe_learn_merges",              # 5-round BPE training loop
+    "bpe_encode_corpus",             # encoding summary under learned merges
+    "quality_weighted_sample",       # score-proportional deterministic admission
+    "source_overlap_matrix",         # cross-source contamination matrix
 )
 
 
@@ -127,6 +135,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     r3_set = HEADLINE[: HEADLINE.index("kmeans_lloyd")]
     r4_set = HEADLINE[: HEADLINE.index("pretraining_funnel_report")]
+    r5_set = HEADLINE[: HEADLINE.index("knn_mmr_rerank")]
     # the LSH auto hot-bucket decision (threshold/max/median bucket
     # size) — stamped for drift tracking (VERDICT r4 task 8)
     from multithreaded_mapreduce_spark.operators.dedup import LAST_LSH_DECISION
@@ -143,8 +152,10 @@ def main() -> None:
         "queries_median": medians,
         "total_r3_comparable": round(sum(timings[n] for n in r3_set), 3),
         "total_r4_comparable": round(sum(timings[n] for n in r4_set), 3),
+        "total_r5_comparable": round(sum(timings[n] for n in r5_set), 3),
         "median_total_r3_comparable": round(sum(medians[n] for n in r3_set), 3),
         "median_total_r4_comparable": round(sum(medians[n] for n in r4_set), 3),
+        "median_total_r5_comparable": round(sum(medians[n] for n in r5_set), 3),
         "runs_per_query": n_runs,
         "lsh_auto_decision": LAST_LSH_DECISION,
         "sf": _sf_from_dir(sf_dir),

@@ -977,7 +977,11 @@ ORDER BY query_id, rnk
 )
 def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import norm_sq_fast
-    from ..plans.caching import tracked_persist
+    from ..plans.caching import (
+        guard_checkpoint_result,
+        tracked_local_checkpoint,
+        tracked_persist,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id"), F.col("embedding")
@@ -1021,7 +1025,13 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MMR_POOL)
         .drop("rn")
-        .transform(tracked_persist)
+        # localCheckpoint, not persist: the rounds below reference this
+        # relation 2x each — with the 64-dim exact-decimal cosine
+        # expressions still in the logical plan, Catalyst re-analyzes
+        # them per round and driver time dominates (measured 19.5 s at
+        # sf0.1 persisted vs ~2.5 s checkpointed; the pagerank lesson,
+        # graph.py). The relation is queries x POOL rows.
+        .transform(tracked_local_checkpoint)
     )
     cc = (
         cand.select("query_id", F.col("neighbor_id").alias("na"), F.col("n_emb").alias("ea"))
@@ -1039,7 +1049,7 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nb",
             _nz(_rounded_cosine(F.col("ea"), F.col("eb"))).alias("sim"),
         )
-        .transform(tracked_persist)
+        .transform(tracked_local_checkpoint)
     )
     lam, om = MMR_LAMBDA, 1.0 - MMR_LAMBDA
     # round 1: pure relevance (empty selected set), min(struct) argmax —
@@ -1053,12 +1063,16 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     )
+    # each round's selected relation is REFERENCED TWICE by the next
+    # round (max-sim join + anti-join) — unpersisted, the recursive
+    # lineage re-executes earlier rounds ~3^k times (measured 25 s at
+    # sf0.1; 2.5 s persisted). The relations are (queries × k) rows.
     selu = b1.select(
         "query_id",
         F.col("b.nid").alias("neighbor_id"),
         F.lit(1).alias("rnk"),
         F.col("b.sc").alias("mmr_score"),
-    )
+    ).transform(tracked_local_checkpoint)
     for k in range(2, MMR_K + 1):
         maxsim = (
             cc.join(
@@ -1097,5 +1111,7 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.sc").alias("mmr_score"),
             )
         )
-        selu = selu.unionByName(bk)
-    return selu.orderBy("query_id", "rnk")
+        selu = selu.unionByName(bk).transform(tracked_local_checkpoint)
+    # fail-fast guard: the plan reads tracked checkpoint blocks, which
+    # the NEXT top-level build releases (see plans/caching.py)
+    return guard_checkpoint_result(selu.orderBy("query_id", "rnk"))
