@@ -52,6 +52,11 @@ DEFAULT_PROBE = (
     "media_frame_dedup",
     "knn_cosine_bruteforce",
     "bpe_learn_merges",
+    # r5 heavies
+    "knn_mmr_rerank",
+    "dedup_containment",
+    "bpe_encode_corpus",
+    "quality_weighted_sample",
 )
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -254,3 +254,28 @@ def test_containment_catches_jaccard_invisible_subsets(spark, tmp_path):
     exact = _pairs(Q["dedup_jaccard_pairs"].builder(spark, str(tmp_path)))
     for da, db in exact:
         assert (da, db) in got or (db, da) in got
+
+
+def test_containment_paths_are_equivalent_and_auto_decides(spark, sf_dir, monkeypatch):
+    """The prefix-filter and nested-loop candidate paths must produce
+    the identical directed pair set; the auto decision must pick the
+    nested loop on this hot-vocabulary corpus (witness stream exceeds
+    |G|^2) and memoize per corpus."""
+    import multithreaded_mapreduce_spark.operators.dedup as dd
+
+    def triples(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    monkeypatch.setenv("MMR_CONTAINMENT_PATH", "prefix")
+    via_prefix = triples(Q["dedup_containment"].builder(spark, sf_dir))
+    monkeypatch.setenv("MMR_CONTAINMENT_PATH", "nested")
+    via_nested = triples(Q["dedup_containment"].builder(spark, sf_dir))
+    assert via_prefix == via_nested
+    assert len(via_prefix) > 0
+    monkeypatch.delenv("MMR_CONTAINMENT_PATH", raising=False)
+    dd._CONTAIN_DECISION_CACHE.clear()
+    auto = triples(Q["dedup_containment"].builder(spark, sf_dir))
+    assert auto == via_nested
+    d = dd.LAST_CONTAINMENT_DECISION
+    assert d["use_prefix"] is (d["witness_rows"] < d["nested_pairs"])
+    assert len(dd._CONTAIN_DECISION_CACHE) == 1
