@@ -312,3 +312,48 @@ def test_bpe_encode_matches_hand_computation(spark, tmp_path):
     # shrink the symbol stream, never below one symbol per word
     s = Q["bpe_encode_corpus"].builder(spark, "/root/testdata/sf0.001").collect()[0]
     assert s.n_words <= s.n_symbols <= s.n_chars
+
+
+def test_bpe_apply_merge_edge_cases_match_python_reference(spark):
+    """The fold-based merge application must implement greedy
+    left-to-right non-overlapping replacement exactly — pinned against
+    a transparent Python reference on the tricky shapes: overlapping
+    self-pair runs, alternations, merged-symbol re-match bait."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_spark.operators.corpus_ops import _bpe_apply_merge
+
+    def py_ref(syms, lhs, rhs):
+        out = []
+        for s in syms:
+            if out and out[-1] == lhs and s == rhs:
+                out[-1] = lhs + rhs
+            else:
+                out.append(s)
+        return out
+
+    cases = [
+        (list("aaaa"), "a", "a"),      # run of 4 → [aa, aa]
+        (list("aaaaa"), "a", "a"),     # run of 5 → [aa, aa, a]
+        (list("ababab"), "a", "b"),    # alternation → [ab, ab, ab]
+        (list("ababab"), "b", "a"),    # offset alternation → [a, ba, ba, b]
+        (["ab", "a", "b"], "a", "b"),  # pre-existing symbol == merged string
+        (["a"], "a", "a"),             # single symbol, no pair
+        ([], "a", "b"),                # empty word
+        (["x", "a", "b", "b", "a"], "a", "b"),
+        (["aa", "a", "a", "aa"], "aa", "a"),  # multi-char lhs run bait
+    ]
+    df = spark.createDataFrame(
+        [(i, syms, lhs, rhs) for i, (syms, lhs, rhs) in enumerate(cases)],
+        "i int, syms array<string>, lhs string, rhs string",
+    )
+    rows = []
+    for i, (syms, lhs, rhs) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(_bpe_apply_merge(F.col("syms"), lhs, rhs).alias("m"))
+            .first()["m"]
+        )
+        rows.append((i, got, py_ref(syms, lhs, rhs)))
+    for i, got, want in rows:
+        assert got == want, (i, cases[i], got, want)
