@@ -142,14 +142,22 @@ def _load() -> None:
 #: in module registration order and is covered by the local gate
 #: (tests/test_oracle_parity.py).
 #:
-#: ROTATION (r5): rounds 1-4 drove 106 distinct queries through the
-#: driver's hash; this round repoints the window at 45 queries the
-#: driver has NEVER checked — all 16 round-4 operators first, then the
-#: batch-expressible streaming twins, format sources, samplers,
-#:  analytics stragglers, and the remaining dedup/similarity variants
-#: (cumulative driver-verified coverage 106 → 151 of 188 oracle-bearing),
-#: keeping 5 canaries for continuity with every previous round. Earlier
-#: windows remain covered by the local type-sensitive sf0.01 gate.
+#: ROTATION (r6): rounds 1-5 drove 147 distinct queries through the
+#: driver's hash (of 196 oracle-bearing as of the r6 pin). This round
+#: repoints the window at 45 of the 49 never-driver-checked queries:
+#: ``approx_count_distinct_parts`` first (the only query whose driver
+#: history is a FAIL — ``no_oracle`` in r1/r2 — never re-checked since
+#: the oracle landed), then the six round-5 operators, the round-5
+#: rows-only promotions, and the r1-era stragglers. Four low-risk
+#: queries with driver-green mechanical twins wait for r7
+#: (``media_text_frames`` ~ ``media_frame_dedup``,
+#: ``nation_revenue_share`` ~ ``segment_revenue_share``,
+#: ``length_gate_survivors`` ⊂ ``pretraining_funnel_report``,
+#: ``heavy_hitters_exact`` ~ ``heavy_hitters_cms``'s exact join side).
+#: Cumulative driver-verified coverage 147 → 192 of 196, keeping the
+#: same 5 canaries as every previous round. Earlier windows remain
+#: covered by the local type-sensitive sf0.01 gate
+#: (tests/test_oracle_parity.py).
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
     "wordcount",
@@ -157,58 +165,59 @@ FRONT_WINDOW: tuple[str, ...] = (
     "join_chain_revenue",
     "dedup_exact",
     "knn_cosine_bruteforce",
-    # round-4 operators (never driver-checked: registered post-pin)
-    "dedup_exact_substr",
-    "winnowing_fingerprints",
-    "char_entropy_quality",
-    "bigram_logprob_scores",
-    "embedding_top_pc",
-    "pretraining_funnel_report",
-    "vocab_oov_rates",
-    "embedding_drift_report",
-    "temperature_mix_allocation",
-    "media_frame_dedup",
-    "streaming_incremental_admission",
-    "libsvm_source_label_stats",
-    "events_mad_anomalies",
-    "orders_benford_audit",
-    "orders_reconciliation_audit",
-    "doc_quality_composite",
-    "bm25_doc_ranking",
-    # streaming (batch-expressible twins)
-    "streaming_tumbling_hourly",
-    "streaming_sliding_windows",
-    "streaming_enriched_segment_totals",
-    "streaming_dedup_exactly_once",
-    "streaming_click_purchase_join",
-    "streaming_click_purchase_left_join",
-    # BI analytics stragglers
-    "segment_revenue_share",
-    "priority_revenue_mom_growth",
-    "value_histogram",
-    "hourly_seasonality_profile",
-    # source connectors
-    "csv_source_orders_by_priority",
-    "json_source_events_hourly",
-    "xml_source_customer_segments",
-    "orc_source_lineitem_q6",
-    # sampling / ML prep
-    "train_test_split",
-    "stratified_sample",
-    "domain_mix_sample",
-    "weighted_sample_orders",
-    "split_leakage_audit",
-    # dedup / similarity variants
-    "dedup_simhash_verified",
-    "dedup_embedding_components",
-    "knn_cosine_filtered",
-    "knn_join_bruteforce",
-    "dedup_prefix_filter",
-    "dedup_edit_distance",
-    "dedup_bag_keep_best",
-    # text quality stragglers
-    "repetition_metrics",
-    "unigram_logprob_scores",
+    # the one query with unresolved driver-FAIL history (r1/r2)
+    "approx_count_distinct_parts",
+    # round-5 operators (never driver-checked: registered post-pin)
+    "bpe_learn_merges",
+    "bpe_encode_corpus",
+    "dedup_containment",
+    "knn_mmr_rerank",
+    "quality_weighted_sample",
+    "source_overlap_matrix",
+    # round-5 rows-only promotions
+    "streaming_user_sessions",
+    "streaming_stateful_user_totals",
+    "pack_sequences_ffd",
+    # aggregation / SQL-surface stragglers
+    "sql_group_by_all",
+    "price_percentiles_by_flag",
+    "approx_price_percentiles",
+    "global_quantile_binning",
+    "multi_distinct_order_profile",
+    "heavy_hitters_cms",
+    "hll_distinct_users_rollup",
+    "broadcast_lookup_udf",
+    # time-series / anomaly stragglers
+    "events_gapfill_resample",
+    "events_incremental_rollup",
+    "events_zscore_anomalies",
+    "events_time_weighted_avg",
+    "order_price_histogram",
+    "pricing_summary_unpivot",
+    "orders_merge_upsert",
+    "schema_evolution_orders",
+    # text / embedding stragglers
+    "tfidf_top_terms",
+    "top_ngrams",
+    "zipf_vocab_fit",
+    "ccnet_perplexity_buckets",
+    "pii_pattern_audit",
+    "embedding_label_centroids",
+    "embedding_standardize",
+    # co-occurrence / graph / sequence stragglers
+    "token_cooccurrence_pmi",
+    "brand_basket_lift",
+    "token_triangle_counts",
+    "user_event_sequences",
+    "user_purchase_sequences",
+    "user_active_streaks",
+    "event_transition_matrix",
+    # pipeline-prep stragglers
+    "decontaminate_ngram_overlap",
+    "pack_training_sequences",
+    "chunk_documents",
+    "dedup_chunks",
+    "data_quality_audit",
 )
 
 
