@@ -77,6 +77,10 @@ HEADLINE = (
     "bpe_encode_corpus",             # encoding summary under learned merges
     "quality_weighted_sample",       # score-proportional deterministic admission
     "source_overlap_matrix",         # cross-source contamination matrix
+    # r6: the round-6 operators above 0.4 s at sf0.1 — everything above
+    # this line is the r6 42-query set whose total is total_r6_comparable
+    "bpe_encode_documents",          # per-doc encoding under learned merges
+    "pack_bpe_sequences",            # prefix-sum packing of real BPE counts
 )
 
 
@@ -117,18 +121,32 @@ def main() -> None:
     # unchanged plans); one more sample per query materially improves
     # the odds that some run lands in a quiet window
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    # Two temporally-separated SWEEPS (VERDICT r5 task 5, permanent):
+    # CPU-steal episodes on this VM last minutes, so splitting the same
+    # n_runs total into two full passes over the query list puts each
+    # query's samples ~sweep-length apart — the per-pass subtotals
+    # bracket the steal band natively, and no same-code A/B re-run is
+    # ever needed to read a round-over-round delta.
+    per_pass = max(1, n_runs // 2)
+    pass_runs: list[dict[str, list[float]]] = []
+    for _pass in range(2):
+        this_pass: dict[str, list[float]] = {}
+        for name in HEADLINE:
+            q = queries[name]
+            runs: list[float] = []
+            for _ in range(per_pass):
+                release_tracked()  # builder-internal persists from the prior run
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                q.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
+            this_pass[name] = runs
+        pass_runs.append(this_pass)
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
-        q = queries[name]
-        runs: list[float] = []
-        for _ in range(n_runs):
-            release_tracked()  # builder-internal persists from the prior run
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            q.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
+        runs = sorted(pass_runs[0][name] + pass_runs[1][name])
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
 
@@ -136,6 +154,10 @@ def main() -> None:
     r3_set = HEADLINE[: HEADLINE.index("kmeans_lloyd")]
     r4_set = HEADLINE[: HEADLINE.index("pretraining_funnel_report")]
     r5_set = HEADLINE[: HEADLINE.index("knn_mmr_rerank")]
+    r6_set = HEADLINE[: HEADLINE.index("bpe_encode_documents")]
+
+    def _pass_subtotal(p: dict[str, list[float]], names) -> float:
+        return round(sum(min(p[n]) for n in names), 3)
     # the LSH auto hot-bucket decision (threshold/max/median bucket
     # size) — stamped for drift tracking (VERDICT r4 task 8)
     from multithreaded_mapreduce_spark.operators.dedup import LAST_LSH_DECISION
@@ -153,10 +175,25 @@ def main() -> None:
         "total_r3_comparable": round(sum(timings[n] for n in r3_set), 3),
         "total_r4_comparable": round(sum(timings[n] for n in r4_set), 3),
         "total_r5_comparable": round(sum(timings[n] for n in r5_set), 3),
+        "total_r6_comparable": round(sum(timings[n] for n in r6_set), 3),
         "median_total_r3_comparable": round(sum(medians[n] for n in r3_set), 3),
         "median_total_r4_comparable": round(sum(medians[n] for n in r4_set), 3),
         "median_total_r5_comparable": round(sum(medians[n] for n in r5_set), 3),
-        "runs_per_query": n_runs,
+        "median_total_r6_comparable": round(sum(medians[n] for n in r6_set), 3),
+        # same-code two-sweep band: [pass_a, pass_b] per comparable set
+        # — compare rounds quiet-to-quiet (the smaller element)
+        "steal_band": {
+            "total_r3_comparable": sorted(
+                _pass_subtotal(p, r3_set) for p in pass_runs
+            ),
+            "total_r5_comparable": sorted(
+                _pass_subtotal(p, r5_set) for p in pass_runs
+            ),
+            "total_r6_comparable": sorted(
+                _pass_subtotal(p, r6_set) for p in pass_runs
+            ),
+        },
+        "runs_per_query": per_pass * 2,
         "lsh_auto_decision": LAST_LSH_DECISION,
         "sf": _sf_from_dir(sf_dir),
     }

@@ -33,6 +33,8 @@ Scale notes (local[32] today, 1000 executors tomorrow):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -597,6 +599,12 @@ def pretraining_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------
 
 BPE_MERGE_ROUNDS = 5
+#: training-state rows per partition for the per-round jobs — the
+#: measured vocab count divided by this picks the state width (≥1,
+#: ≤32); env-overridable like the other memoized per-corpus knobs.
+_BPE_ROWS_PER_STATE_PART = int(
+    os.environ.get("SPARK_GRAFT_BPE_ROWS_PER_STATE_PART", "300000")
+)
 #: only lowercase-ASCII alphanumeric words enter training: the char-
 #: level symbol split must be byte-identical across engines (Spark
 #: splits UTF-16 code units, DuckDB splits UTF-8 graphemes — ASCII is
@@ -729,6 +737,17 @@ def _bpe_train(
         .select("w", F.split("w", "").alias("syms"), "cnt")
         .transform(tracked_persist)
     )
+    # Measured state-width decision (same memoized-knob pattern as the
+    # LSH hot-bucket and zscore chunk width): the expensive corpus scan
+    # materializes the persist at full parallelism via this count, then
+    # the 5 training rounds iterate on a state coalesced to match its
+    # MEASURED vocab size — a 31-word synthetic vocab collapses to one
+    # task per round (4.2 → ~1 s at sf0.1), a real 10M-word vocab keeps
+    # 32-way parallelism. coalesce reads cached partitions, no shuffle.
+    n_vocab = words.count()
+    state_parts = max(1, min(32, n_vocab // _BPE_ROWS_PER_STATE_PART))
+    if state_parts < 32:
+        words = words.coalesce(state_parts).transform(tracked_persist)
     merges: list[tuple[int, str, str, int]] = []
     for k in range(1, BPE_MERGE_ROUNDS + 1):
         pair_arr = F.when(
@@ -825,3 +844,187 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------------------
+# tokenizer → packing loop closure (VERDICT r6 task 2): the two
+# operators above learn merges and summarize the corpus-level result;
+# a packing pipeline consumes PER-DOCUMENT encoded sequences. These
+# close the last missing stage of the pretraining funnel: encode every
+# document under the learned merges, then pack the real BPE token
+# counts into fixed training sequences (instead of whitespace counts).
+#
+# Scale design: encoding is a broadcast join of the corpus token
+# stream against the VOCAB-SIZED trained word relation (distinct
+# eligible words with their post-merge symbol arrays) — the corpus is
+# scanned once, text never shuffles, and the only exchange is the
+# per-doc aggregate of (doc_id, pos, enc) slim rows. At 100 TB the
+# distinct-word relation is still vocab-scale (zipf-truncated, orders
+# of magnitude under the corpus); if it ever outgrew the broadcast
+# budget the join degrades to a hash shuffle on the 8-byte-ish word
+# key, not on text. Packing reuses the distributed prefix-sum
+# (pipeline_prep.pack_prefix_sum) — no single-partition window.
+# ------------------------------------------------------------------
+
+
+def _bpe_training_ctes() -> str:
+    """The unrolled training rounds of ``_bpe_oracle`` as a reusable
+    ``WITH`` prefix ending at the final word relation w{N} (shared by
+    the encoding-summary, per-document encoding, and BPE packing
+    oracles)."""
+    head, _tail = _bpe_oracle().rsplit("SELECT * FROM", 1)
+    return head.rstrip().rstrip(",")
+
+
+def _bpe_doc_ctes() -> str:
+    """Doc-side encoding CTEs appended to the training prefix:
+    ``ids`` (every non-NULL doc_id) and ``de`` (per-doc encoded
+    aggregates). The tie-break on the encoded string in the ORDER BY
+    is deterministic across engines because eligible words are
+    lowercase-ASCII (binary == lexicographic collation there)."""
+    n = BPE_MERGE_ROUNDS
+    return f""",
+d AS (
+  -- per-document emission is keyed by doc_id: the NULL-id orphan row
+  -- has no identity to emit under and is excluded identically in both
+  -- engines (same contract as pack_training_sequences)
+  SELECT doc_id, {_sql_tokens('lower(text)')} AS toks
+  FROM documents WHERE doc_id IS NOT NULL
+),
+dt AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM d, unnest(generate_series(1, len(toks))) AS u(i)
+  WHERE regexp_matches(toks[i], '{_BPE_WORD_RE}')
+),
+de AS (
+  SELECT dt.doc_id,
+         count(*) AS n_words,
+         CAST(sum(len(w.syms)) AS BIGINT) AS n_bpe_tokens,
+         md5(string_agg(array_to_string(w.syms, ' '), ' '
+             ORDER BY dt.pos, array_to_string(w.syms, ' '))) AS sequence_md5
+  FROM dt JOIN w{n} w ON dt.tok = w.word
+  GROUP BY dt.doc_id
+),
+ids AS (SELECT DISTINCT doc_id FROM d)
+"""
+
+
+def _bpe_doc_encoded(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared doc-side encoding: returns (ids, per_doc) where ``ids``
+    is every non-NULL doc_id and ``per_doc`` carries (doc_id, n_words,
+    n_bpe_tokens, sequence_md5) for docs with ≥1 training-eligible
+    word. Docs full of ineligible tokens (unicode, empty, NULL text)
+    surface via the caller's LEFT join with zero counts."""
+    _merges, words = _bpe_train(spark, sf_dir)
+    vocab = words.select(
+        F.col("w").alias("tok"),
+        F.concat_ws(" ", "syms").alias("enc"),
+        F.size("syms").alias("n_syms"),
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+    ).filter(F.col("tok").rlike(_BPE_WORD_RE))
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        # sort key (pos, enc): pos collisions only arise
+                        # from duplicate doc_ids; the enc tie-break makes
+                        # the concatenation order engine-identical
+                        F.sort_array(F.collect_list(F.struct("pos", "enc"))),
+                        lambda x: x["enc"],
+                    ),
+                )
+            ).alias("sequence_md5"),
+        )
+    )
+    return docs.select("doc_id").distinct(), per_doc
+
+
+@register(
+    "bpe_encode_documents",
+    oracle=_bpe_training_ctes()
+    + _bpe_doc_ctes()
+    + """
+SELECT ids.doc_id,
+       coalesce(de.n_words, 0) AS n_words,
+       coalesce(de.n_bpe_tokens, 0) AS n_bpe_tokens,
+       coalesce(de.sequence_md5, md5('')) AS sequence_md5
+FROM ids LEFT JOIN de USING (doc_id)
+ORDER BY doc_id
+""",
+    description="Per-document BPE encoding under the learned merges — "
+    "the sequences a packing pipeline consumes: eligible word count, "
+    "encoded token count, and an md5 certificate of the full encoded "
+    "symbol sequence in document token order. One corpus scan "
+    "broadcast-joined against the vocab-sized trained word relation; "
+    "text never shuffles. Oracle: the unrolled training CTEs plus a "
+    "positional re-encoding join.",
+    tags=("text", "tokenizer", "bpe", "pipeline"),
+)
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids, per_doc = _bpe_doc_encoded(spark, sf_dir)
+    return (
+        ids.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+            F.coalesce("sequence_md5", F.md5(F.lit(""))).alias("sequence_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pack_bpe_oracle() -> str:
+    from .pipeline_prep import pack_oracle_tail
+
+    return (
+        _bpe_training_ctes()
+        + _bpe_doc_ctes()
+        + """, t AS (
+  SELECT ids.doc_id, coalesce(de.n_bpe_tokens, 0) AS n_tokens
+  FROM ids LEFT JOIN de USING (doc_id)
+)"""
+        + pack_oracle_tail()
+    )
+
+
+@register(
+    "pack_bpe_sequences",
+    oracle=_pack_bpe_oracle(),
+    description="Pack documents (in doc_id order) into fixed "
+    "2048-token training sequences where tokens are the REAL encoded "
+    "BPE token counts from the learned tokenizer (not whitespace "
+    "counts) — the tokenize→encode→pack stage a pretraining pipeline "
+    "actually runs. Duplicate doc_ids collapse to one grouped count "
+    "(deterministic, unlike per-row packing of ambiguous id order). "
+    "Reuses the distributed prefix-sum packer; no single-partition "
+    "window. Oracle: training + encoding CTEs feeding the shared "
+    "cumsum packing tail.",
+    tags=("pipeline", "packing", "tokenizer", "bpe"),
+)
+def pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline_prep import pack_prefix_sum
+
+    ids, per_doc = _bpe_doc_encoded(spark, sf_dir)
+    toks = ids.join(
+        per_doc.select("doc_id", "n_bpe_tokens"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_tokens")
+    )
+    return pack_prefix_sum(toks)

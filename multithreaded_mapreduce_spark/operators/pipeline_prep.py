@@ -117,16 +117,11 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pack_training_sequences",
-    oracle=f"""
-WITH t AS (
-  -- packing is DEFINED by doc_id order: a row with no id has no
-  -- position in the pack (and the engines' NULL orderings disagree),
-  -- so unidentified rows are excluded identically in both engines
-  SELECT doc_id, len({_sql_tokens()}) AS n_tokens
-  FROM documents WHERE doc_id IS NOT NULL
-), c AS (
+def pack_oracle_tail() -> str:
+    """The cumsum + sequence-assignment half of the packing oracle,
+    over a preceding CTE ``t(doc_id, n_tokens)`` — shared with the
+    BPE-token packer (corpus_ops.pack_bpe_sequences)."""
+    return f""", c AS (
   SELECT doc_id, n_tokens,
          sum(n_tokens) OVER (ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -140,23 +135,17 @@ SELECT CAST((cum - n_tokens) // {MAX_SEQ_TOKENS} AS BIGINT) AS seq_id,
 FROM c
 GROUP BY 1
 ORDER BY seq_id
-""",
-    description="Pack documents (in doc_id order) into fixed "
-    f"{MAX_SEQ_TOKENS}-token training sequences by global running token "
-    "count, via a distributed prefix sum: per-chunk cumsum in parallel, "
-    "a one-row-per-chunk offset cascade, broadcast-joined back. No "
-    "single-partition window ever touches the full corpus.",
-    tags=("pipeline", "packing", "prefix-sum"),
-)
-def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL doc_id excluded in both engines — see the oracle comment
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id").isNotNull()
-    )
-    toks = docs.select(
-        "doc_id",
-        F.size(_tokens()).alias("n_tokens"),
-        F.floor(F.col("doc_id") / PACK_CHUNK).alias("chunk"),
+"""
+
+
+def pack_prefix_sum(toks: DataFrame) -> DataFrame:
+    """Distributed prefix-sum packer over a ``(doc_id, n_tokens)``
+    relation: per-chunk cumsum in parallel, a one-row-per-chunk offset
+    cascade, broadcast-joined back — no single-partition window ever
+    touches the full relation. Shared by the whitespace-token and
+    BPE-token packers."""
+    toks = toks.withColumn(
+        "chunk", F.floor(F.col("doc_id") / PACK_CHUNK)
     )
     w_local = (
         Window.partitionBy("chunk")
@@ -196,6 +185,32 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+WITH t AS (
+  -- packing is DEFINED by doc_id order: a row with no id has no
+  -- position in the pack (and the engines' NULL orderings disagree),
+  -- so unidentified rows are excluded identically in both engines
+  SELECT doc_id, len({_sql_tokens()}) AS n_tokens
+  FROM documents WHERE doc_id IS NOT NULL
+){pack_oracle_tail()}""",
+    description="Pack documents (in doc_id order) into fixed "
+    f"{MAX_SEQ_TOKENS}-token training sequences by global running token "
+    "count, via a distributed prefix sum: per-chunk cumsum in parallel, "
+    "a one-row-per-chunk offset cascade, broadcast-joined back. No "
+    "single-partition window ever touches the full corpus.",
+    tags=("pipeline", "packing", "prefix-sum"),
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL doc_id excluded in both engines — see the oracle comment
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    toks = docs.select("doc_id", F.size(_tokens()).alias("n_tokens"))
+    return pack_prefix_sum(toks)
 
 
 #: sliding-window chunking: window width / stride in tokens.

@@ -57,6 +57,9 @@ DEFAULT_PROBE = (
     "dedup_containment",
     "bpe_encode_corpus",
     "quality_weighted_sample",
+    # r6: tokenizer→packing closure
+    "bpe_encode_documents",
+    "pack_bpe_sequences",
 )
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

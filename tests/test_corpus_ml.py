@@ -357,3 +357,66 @@ def test_bpe_apply_merge_edge_cases_match_python_reference(spark):
         rows.append((i, got, py_ref(syms, lhs, rhs)))
     for i, got, want in rows:
         assert got == want, (i, cases[i], got, want)
+
+
+def test_bpe_encode_documents_sums_to_corpus_symbols(spark, sf_dir):
+    """Σ per-document encoded lengths must equal the corpus-level
+    symbol count (VERDICT r6 task 2 invariant): bpe_encode_documents
+    re-derives the encoding per document via the vocab join, while
+    bpe_encode_corpus sums cnt·len(syms) over the trained word
+    relation — sf0.001 has no NULL doc_ids, so the two populations
+    coincide and the totals must agree exactly."""
+    docs = Q["bpe_encode_documents"].builder(spark, sf_dir)
+    agg = docs.agg(
+        F.sum("n_bpe_tokens").alias("toks"), F.sum("n_words").alias("words")
+    ).collect()[0]
+    corpus = Q["bpe_encode_corpus"].builder(spark, sf_dir).collect()[0]
+    assert agg.toks == corpus.n_symbols
+    assert agg.words == corpus.n_words
+
+
+def test_bpe_encode_documents_hand_fixture(spark, tmp_path):
+    """Same aaab/ab fixture as the learn test: after the 3 learned
+    merges every word encodes to exactly one symbol equal to itself,
+    so each doc's sequence certificate is md5 of its own text."""
+    import hashlib
+
+    rows = [(i, "aaab") for i in range(3)] + [(10 + i, "ab") for i in range(2)]
+    spark.createDataFrame(
+        [(i, t, "en", "src0") for i, t in rows],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.sequence_md5)
+        for r in Q["bpe_encode_documents"].builder(spark, str(tmp_path)).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got == {
+        **{i: (1, 1, md5("aaab")) for i in range(3)},
+        **{10 + i: (1, 1, md5("ab")) for i in range(2)},
+    }
+
+
+def test_pack_bpe_sequences_conserves_tokens_and_docs(spark, sf_dir):
+    """Packing is a partition of the document stream: sequence token
+    totals and doc counts must conserve the per-document encoding, and
+    seq_ids must be contiguous from 0 with every non-final sequence
+    within one document of the 2048-token target."""
+    from multithreaded_mapreduce_spark.operators.pipeline_prep import (
+        MAX_SEQ_TOKENS,
+    )
+
+    enc = Q["bpe_encode_documents"].builder(spark, sf_dir)
+    tot = enc.agg(
+        F.sum("n_bpe_tokens").alias("toks"), F.count("*").alias("docs")
+    ).collect()[0]
+    packed = Q["pack_bpe_sequences"].builder(spark, sf_dir).collect()
+    assert sum(r.seq_tokens for r in packed) == tot.toks
+    assert sum(r.n_docs for r in packed) == tot.docs
+    assert [r.seq_id for r in packed] == list(range(len(packed)))
+    # every sequence but the last crosses the boundary: its cumulative
+    # end lies past its seq window start + MAX_SEQ_TOKENS only via the
+    # final doc, i.e. dropping the last doc's tokens leaves < MAX
+    max_doc = enc.agg(F.max("n_bpe_tokens")).collect()[0][0]
+    for r in packed[:-1]:
+        assert r.seq_tokens + max_doc >= MAX_SEQ_TOKENS
