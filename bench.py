@@ -158,9 +158,16 @@ def main() -> None:
 
     def _pass_subtotal(p: dict[str, list[float]], names) -> float:
         return round(sum(min(p[n]) for n in names), 3)
-    # the LSH auto hot-bucket decision (threshold/max/median bucket
-    # size) — stamped for drift tracking (VERDICT r4 task 8)
-    from multithreaded_mapreduce_spark.operators.dedup import LAST_LSH_DECISION
+    # the memoized per-corpus decisions (LSH hot-bucket, containment
+    # candidate path, jaccard broadcast guard, zscore chunk width) —
+    # stamped for drift tracking across rounds (VERDICT r4 task 8 /
+    # r5 task 8)
+    from multithreaded_mapreduce_spark.operators.anomaly import LAST_ZSCORE_DECISION
+    from multithreaded_mapreduce_spark.operators.dedup import (
+        LAST_CONTAINMENT_DECISION,
+        LAST_JACCARD_DECISION,
+        LAST_LSH_DECISION,
+    )
 
     # Round-over-round reads (ADVICE r4): min-of-N totals are only
     # comparable at the SAME n_runs (an extra sample biases the min
@@ -195,6 +202,9 @@ def main() -> None:
         },
         "runs_per_query": per_pass * 2,
         "lsh_auto_decision": LAST_LSH_DECISION,
+        "containment_auto_decision": LAST_CONTAINMENT_DECISION,
+        "jaccard_auto_decision": LAST_JACCARD_DECISION,
+        "zscore_auto_decision": LAST_ZSCORE_DECISION,
         "sf": _sf_from_dir(sf_dir),
     }
     line = json.dumps(result)

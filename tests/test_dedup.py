@@ -277,5 +277,65 @@ def test_containment_paths_are_equivalent_and_auto_decides(spark, sf_dir, monkey
     auto = triples(Q["dedup_containment"].builder(spark, sf_dir))
     assert auto == via_nested
     d = dd.LAST_CONTAINMENT_DECISION
-    assert d["use_prefix"] is (d["witness_rows"] < d["nested_pairs"])
+    assert d["use_prefix"] is (
+        (d["witness_rows"] < d["nested_pairs"]) or d["nested_capped"]
+    )
     assert len(dd._CONTAIN_DECISION_CACHE) == 1
+
+
+def test_containment_nested_cap_forces_prefix(spark, sf_dir, monkeypatch):
+    """ADVICE r5: past the absolute group-count cap the nested loop is
+    never selected, whatever the witness estimate says — the |G|²
+    stream (and its broadcast) must stay bounded. With the cap forced
+    to 1 group the auto decision must flip to the prefix path and
+    still produce the identical pair set."""
+    import multithreaded_mapreduce_spark.operators.dedup as dd
+
+    def triples(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    monkeypatch.setenv("MMR_CONTAINMENT_PATH", "nested")
+    via_nested = triples(Q["dedup_containment"].builder(spark, sf_dir))
+    monkeypatch.delenv("MMR_CONTAINMENT_PATH", raising=False)
+    monkeypatch.setattr(dd, "_NESTED_MAX_GROUPS", 1)
+    dd._CONTAIN_DECISION_CACHE.clear()
+    capped = triples(Q["dedup_containment"].builder(spark, sf_dir))
+    d = dd.LAST_CONTAINMENT_DECISION
+    dd._CONTAIN_DECISION_CACHE.clear()
+    assert d["nested_capped"] is True
+    assert d["use_prefix"] is True
+    assert capped == via_nested
+
+
+def test_jaccard_broadcast_guard_both_sides(spark, sf_dir, monkeypatch):
+    """VERDICT r6 task 3: the pairwise broadcast path is gated on a
+    MEASURED bytes estimate of the collapsed-group relation. Forced
+    paths must agree; a 1-byte budget must flip the auto decision to
+    the token-postings equi-join (value-identical by construction —
+    same integer c/na/nb feeding the same double)."""
+    import multithreaded_mapreduce_spark.operators.dedup as dd
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    monkeypatch.setenv("MMR_JACCARD_PATH", "broadcast")
+    via_broadcast = rows(Q["dedup_jaccard_pairs"].builder(spark, sf_dir))
+    monkeypatch.setenv("MMR_JACCARD_PATH", "postings")
+    via_postings = rows(Q["dedup_jaccard_pairs"].builder(spark, sf_dir))
+    assert via_broadcast == via_postings
+    assert len(via_broadcast) > 0
+    monkeypatch.delenv("MMR_JACCARD_PATH", raising=False)
+    # under the default budget this corpus broadcasts
+    dd._JACCARD_DECISION_CACHE.clear()
+    auto = rows(Q["dedup_jaccard_pairs"].builder(spark, sf_dir))
+    assert auto == via_broadcast
+    assert dd.LAST_JACCARD_DECISION["use_broadcast"] is True
+    assert dd.LAST_JACCARD_DECISION["est_bytes"] > 0
+    # over budget: the decision flips, output is unchanged
+    monkeypatch.setattr(dd, "_BROADCAST_BUDGET_BYTES", 1)
+    dd._JACCARD_DECISION_CACHE.clear()
+    fallback = rows(Q["dedup_jaccard_pairs"].builder(spark, sf_dir))
+    d = dd.LAST_JACCARD_DECISION
+    dd._JACCARD_DECISION_CACHE.clear()
+    assert d["use_broadcast"] is False
+    assert fallback == via_broadcast
