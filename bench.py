@@ -167,6 +167,7 @@ def main() -> None:
         LAST_CONTAINMENT_DECISION,
         LAST_JACCARD_DECISION,
         LAST_LSH_DECISION,
+        LAST_NGRAM_DFCUT_DECISION,
     )
 
     # Round-over-round reads (ADVICE r4): min-of-N totals are only
@@ -205,6 +206,7 @@ def main() -> None:
         "containment_auto_decision": LAST_CONTAINMENT_DECISION,
         "jaccard_auto_decision": LAST_JACCARD_DECISION,
         "zscore_auto_decision": LAST_ZSCORE_DECISION,
+        "ngram_dfcut_auto_decision": LAST_NGRAM_DFCUT_DECISION,
         "sf": _sf_from_dir(sf_dir),
     }
     line = json.dumps(result)

@@ -530,6 +530,37 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_N = 3
 NGRAM_JACCARD_THRESHOLD = 0.5
 
+#: hot-shingle df-cut (VERDICT r5 task 4 — the production knob
+#: SCALE.md named but didn't code): a shingle present in more than
+#: NUM/DEN of the shingle-bearing documents is boilerplate — its
+#: posting list contributes O(df²) pair rows while carrying no dedup
+#: signal — and is dropped from BOTH engines' shingle space before the
+#: pair join. The cut is an exact integer fraction (df·DEN > n_docs·NUM)
+#: rather than an interpolated df-quantile so DuckDB replays the
+#: decision bit-for-bit; 1/2 is the classic "more than half the corpus"
+#: boilerplate bar. Disable with MMR_NGRAM_DF_CUT=off (test knob — the
+#: cut-fires fixture and the no-op-equality test exercise both sides).
+NGRAM_DF_CUT_NUM = 1
+NGRAM_DF_CUT_DEN = 2
+
+#: the exact cut needs a df pass over the shingle stream (~2.4 s of
+#: pure overhead at sf0.1 when nothing crosses — measured), so whether
+#: to run it is a memoized per-corpus decision probed on a
+#: DETERMINISTIC 1/16 doc sample (xxhash64(doc_id) mod — engine- and
+#: run-independent): corpora whose sample is smaller than
+#: _NGRAM_PROBE_MIN_DOCS always take the exact cut (it is cheap
+#: there, and every oracle fixture lands in this bucket), larger ones
+#: engage only if some sampled shingle's df reaches HALF the cut
+#: fraction. A true-boilerplate shingle (df > 1/2) sampling below 1/4
+#: on a ≥200-doc sample has probability exp(-2·200·0.0625) ≈ 1e-11 —
+#: the probe cannot realistically miss, and the 2× margin means
+#: near-threshold shingles that could go either way always trigger
+#: the exact pass.
+_NGRAM_PROBE_MOD = 16
+_NGRAM_PROBE_MIN_DOCS = 200
+_NGRAM_DFCUT_DECISION_CACHE: dict[tuple, dict] = {}
+LAST_NGRAM_DFCUT_DECISION: dict = {}
+
 NGRAM_JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS ts
@@ -541,11 +572,19 @@ WITH toks AS (
                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
                 ELSE CAST([] AS VARCHAR[]) END)) AS shingle
   FROM toks
+), dfc AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM sh
+), kept AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN dfc USING (shingle), nd
+  WHERE df * {NGRAM_DF_CUT_DEN} <= n_docs * {NGRAM_DF_CUT_NUM}
 ), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
 ), shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT s.doc_a, s.doc_b,
@@ -565,7 +604,11 @@ ORDER BY doc_a, doc_b
     f"{NGRAM_JACCARD_THRESHOLD}: unlike the token-set variant, shingles "
     "see word ORDER, so reshuffled bags of the same words stop matching. "
     "Same blocked equi-join shape — the join key is a shingle hash, and "
-    "the shuffle never carries document text.",
+    "the shuffle never carries document text. Boilerplate shingles "
+    f"(doc frequency > {NGRAM_DF_CUT_NUM}/{NGRAM_DF_CUT_DEN} of the "
+    "shingle-bearing docs) are df-cut from both engines' shingle space "
+    "before the pair join — the exact-integer production knob that "
+    "caps hot posting lists' O(df²) pair blowup.",
     tags=("dedup", "neardup", "jaccard", "ngram"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,6 +645,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle column is immune: generator outputs can't be pushed past
     # the Generate.
     sh = tok_df.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    # hot-shingle df-cut (see NGRAM_DF_CUT_* above): the HOT set is by
+    # construction tiny (true boilerplate), so it broadcasts into a
+    # left-anti prune of the shingle stream; the df aggregate is one
+    # extra map-side-combined pass over the (already persisted) stream
+    # — the price that caps the pair join's O(df²) hot-posting blowup
+    global LAST_NGRAM_DFCUT_DECISION
+    cut_env = os.environ.get("MMR_NGRAM_DF_CUT", "")
+    if cut_env == "force":
+        engage = True
+        LAST_NGRAM_DFCUT_DECISION = {"forced": "force", "engage": True}
+    elif cut_env == "off":
+        engage = False
+        LAST_NGRAM_DFCUT_DECISION = {"forced": "off", "engage": False}
+    else:
+        key = (os.path.realpath(sf_dir), NGRAM_DF_CUT_NUM, NGRAM_DF_CUT_DEN)
+        if key not in _NGRAM_DFCUT_DECISION_CACHE:
+            # doc_id is a scan column, so the sample predicate pushes
+            # BELOW the tokenize chain — the probe scans 1/16 of the
+            # corpus, once per corpus (memoized)
+            sample = sh.filter(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(_NGRAM_PROBE_MOD)) == 0
+            )
+            sd = int(
+                sample.agg(F.count_distinct("doc_id").alias("d")).first()["d"]
+            )
+            mdf_row = (
+                sample.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(F.max("df").alias("m"))
+                .first()
+            )
+            mdf = int(mdf_row["m"] or 0)
+            _NGRAM_DFCUT_DECISION_CACHE[key] = {
+                "sample_docs": sd,
+                "sample_max_df": mdf,
+                "engage": sd < _NGRAM_PROBE_MIN_DOCS
+                or mdf * NGRAM_DF_CUT_DEN * 2 >= sd * NGRAM_DF_CUT_NUM,
+            }
+        LAST_NGRAM_DFCUT_DECISION = _NGRAM_DFCUT_DECISION_CACHE[key]
+        engage = LAST_NGRAM_DFCUT_DECISION["engage"]
+    if engage:
+        sh = sh.transform(tracked_persist)
+        dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        nd = sh.agg(F.count_distinct("doc_id").alias("n_docs"))
+        hot = (
+            dfc.crossJoin(F.broadcast(nd))
+            .filter(
+                F.col("df") * NGRAM_DF_CUT_DEN
+                > F.col("n_docs") * NGRAM_DF_CUT_NUM
+            )
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

@@ -339,3 +339,104 @@ def test_jaccard_broadcast_guard_both_sides(spark, sf_dir, monkeypatch):
     dd._JACCARD_DECISION_CACHE.clear()
     assert d["use_broadcast"] is False
     assert fallback == via_broadcast
+
+
+def test_ngram_df_cut_noop_when_no_shingle_crosses(spark, sf_dir, monkeypatch):
+    """VERDICT r5 task 4: on a corpus where no shingle's doc frequency
+    crosses NUM/DEN of the docs (the production sf fixtures — word-soup
+    trigram diversity keeps every df tiny), the df-cut must be a pure
+    no-op: pair-set equality with the cut disabled."""
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    with_cut = rows(Q["dedup_ngram_jaccard"].builder(spark, sf_dir))
+    monkeypatch.setenv("MMR_NGRAM_DF_CUT", "off")
+    without = rows(Q["dedup_ngram_jaccard"].builder(spark, sf_dir))
+    assert with_cut == without
+    assert len(with_cut) > 0
+
+
+def test_ngram_df_cut_fires_on_boilerplate_and_matches_oracle(
+    spark, tmp_path, monkeypatch
+):
+    """When a boilerplate phrase rides in EVERY document, its shingles
+    alone push unrelated docs over the 0.5 jaccard bar (3 shared of 5
+    shingles = 0.6). The df-cut must remove exactly those pairs while
+    keeping genuine duplicates, and the DuckDB oracle (which carries
+    the same exact-integer cut) must agree bit-for-bit."""
+    import duckdb
+
+    boiler = "b1 b2 b3 b4 b5"
+    rows_in = [(i, f"{boiler} u{i}", "en", "src0") for i in range(10)]
+    rows_in += [(100, "z1 z2 z3 z4 z5 z6", "en", "src0"),
+                (101, "z1 z2 z3 z4 z5 z6", "en", "src0")]
+    spark.createDataFrame(
+        rows_in, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    q = Q["dedup_ngram_jaccard"]
+    got = sorted(tuple(r) for r in q.builder(spark, str(tmp_path)).collect())
+    # only the genuine duplicate pair survives the cut
+    assert got == [(100, 101, 1.0)]
+    # without the cut the boilerplate manufactures all 45 cross pairs
+    monkeypatch.setenv("MMR_NGRAM_DF_CUT", "off")
+    uncut = sorted(tuple(r) for r in q.builder(spark, str(tmp_path)).collect())
+    monkeypatch.delenv("MMR_NGRAM_DF_CUT", raising=False)
+    assert len(uncut) == 45 + 1
+    # the registered oracle replays the same cut
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    assert [tuple(r) for r in con.execute(q.oracle).fetchall()] == [(100, 101, 1.0)]
+
+
+def test_ngram_df_cut_probe_engages_and_disengages(spark, tmp_path, monkeypatch):
+    """The memoized sampling probe must (a) DISENGAGE the df pass on a
+    large corpus with no hot shingle — the plan then equals the cut-off
+    plan — and (b) ENGAGE on a large corpus where boilerplate rides in
+    every doc, removing exactly the boilerplate-manufactured pairs."""
+    import multithreaded_mapreduce_spark.operators.dedup as dd
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # (a) 4000 docs, every trigram unique to its doc
+    uniq = [(i, f"a{i} b{i} c{i} d{i}", "en", "src0") for i in range(4000)]
+    d_a = tmp_path / "uniq"
+    spark.createDataFrame(
+        uniq, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(d_a / "documents.parquet"))
+    dd._NGRAM_DFCUT_DECISION_CACHE.clear()
+    got = rows(Q["dedup_ngram_jaccard"].builder(spark, str(d_a)))
+    dec = dict(dd.LAST_NGRAM_DFCUT_DECISION)
+    assert dec["engage"] is False, dec
+    assert dec["sample_docs"] >= dd._NGRAM_PROBE_MIN_DOCS
+    monkeypatch.setenv("MMR_NGRAM_DF_CUT", "off")
+    assert got == rows(Q["dedup_ngram_jaccard"].builder(spark, str(d_a)))
+    monkeypatch.delenv("MMR_NGRAM_DF_CUT", raising=False)
+    # memoized: a second build must reuse the cached decision
+    assert len(dd._NGRAM_DFCUT_DECISION_CACHE) == 1
+    Q["dedup_ngram_jaccard"].builder(spark, str(d_a)).count()
+    assert len(dd._NGRAM_DFCUT_DECISION_CACHE) == 1
+    assert dd.LAST_NGRAM_DFCUT_DECISION == dec
+
+    # (b) 4000 docs sharing a boilerplate phrase + unique tails: without
+    # the cut every cross pair scores 3/5 = 0.6; the probe must fire the
+    # exact pass and the cut must erase all of them
+    boiler = [(i, f"b1 b2 b3 b4 b5 u{i}", "en", "src0") for i in range(4000)]
+    d_b = tmp_path / "boiler"
+    spark.createDataFrame(
+        boiler, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(d_b / "documents.parquet"))
+    dd._NGRAM_DFCUT_DECISION_CACHE.clear()
+    got_b = rows(Q["dedup_ngram_jaccard"].builder(spark, str(d_b)))
+    dec_b = dict(dd.LAST_NGRAM_DFCUT_DECISION)
+    dd._NGRAM_DFCUT_DECISION_CACHE.clear()
+    assert dec_b["engage"] is True, dec_b
+    assert dec_b["sample_max_df"] * 2 * dd.NGRAM_DF_CUT_DEN >= (
+        dec_b["sample_docs"] * dd.NGRAM_DF_CUT_NUM
+    )
+    assert got_b == []
