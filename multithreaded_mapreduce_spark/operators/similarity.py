@@ -279,88 +279,14 @@ def knn_sketch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_K = 16       # coarse centroids
 IVF_N_PROBE = 4  # clusters searched per query
-IVF_SEED = 42
-
-
-@register(
-    "knn_ivf_ann",
-    oracle=None,  # KMeans centroids are engine-specific → rows-only;
-    # recall vs the oracle-checked brute force is asserted in tests
-    description=f"IVF ANN top-{TOP_K}: a seeded KMeans({IVF_K}) coarse "
-    f"quantizer partitions the corpus into inverted lists; each query "
-    f"probes its {IVF_N_PROBE} nearest centroids and exact-reranks only "
-    "those lists. The index is built once and reused at serving time; "
-    "corpus vectors shuffle once on cluster id. Probing and reranking "
-    "are pure Column folds — no Python in the search path.",
-    tags=("similarity", "knn", "ann", "ivf"),
-)
-def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    vecs = emb.withColumn(
-        "features", array_to_vector(F.col("embedding").cast("array<double>"))
-    )
-    # --- index build (train once; at scale this persists with the table)
-    model = KMeans(k=IVF_K, seed=IVF_SEED, maxIter=5).fit(vecs)
-    corpus = model.transform(vecs).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
-        F.col("prediction").alias("cluster"),
-    )
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cluster int, centroid array<double>",
-    )
-    # --- probe: each query ranks all K centroids (K is tiny) by L2
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    l2 = F.aggregate(
-        F.zip_with(
-            F.col("q_emb").cast("array<double>"),
-            F.col("centroid"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pw = W.partitionBy("query_id").orderBy(F.col("dist"), F.col("cluster"))
-    probes = (
-        F.broadcast(queries)
-        .crossJoin(F.broadcast(centroids))
-        .select("query_id", "q_emb", "cluster", l2.alias("dist"))
-        .withColumn("prb", F.row_number().over(pw))
-        .filter(F.col("prb") <= IVF_N_PROBE)
-        .select("query_id", "q_emb", "cluster")
-    )
-    # --- search: only the probed inverted lists get the exact fold
-    scored = (
-        probes.join(corpus, "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .orderBy("query_id", "rnk")
-    )
-
-
 IVF_EXACT_ITERS = 2  # Lloyd rounds for the deterministic quantizer
 
 
 def _build_ivf_exact_oracle() -> str:
     """Unrolled deterministic-IVF oracle: the shared Lloyd CTE builds
     the identical quantizer, then inverted lists, probe sets, and the
-    exact-decimal cosine rerank — full value parity, unlike the
-    engine-seeded ``knn_ivf_ann``."""
+    exact-decimal cosine rerank — full value parity, unlike an
+    engine-seeded KMeans quantizer ever could."""
     from .vectors import _km_assign_sql, _km_dist_sql, lloyd_cte
 
     return (
@@ -413,11 +339,12 @@ ORDER BY query_id, rnk
     description=f"IVF ANN top-{TOP_K} with a DETERMINISTIC coarse "
     f"quantizer: {IVF_EXACT_ITERS}-round exact-decimal Lloyd's k-means "
     f"({IVF_K} centroids seeded from the smallest vec_ids) replaces the "
-    "engine-seeded MLlib KMeans of knn_ivf_ann, so the inverted lists, "
+    "engine-seeded MLlib KMeans variant it retired in r6, so the "
+    "inverted lists, "
     f"probe sets ({IVF_N_PROBE} nearest centroids per query), and the "
     "exact cosine rerank are all bit-identical to an unrolled DuckDB "
     "oracle — the IVF family's banding decision itself is value-hash-"
-    "checked, not just its recall. Same search plan as knn_ivf_ann: "
+    "checked, not just its recall. Classic IVF search plan: "
     "corpus shuffles once on cluster id, probes broadcast, and the "
     "rerank is two-phase like the bruteforce (cheap double cosine "
     "ranks every candidate, only the top buffer pays the oracle-stable "

@@ -224,3 +224,61 @@ def test_entropy_counts_stay_staged(spark, sf_dir, name):
         f"{name}: {n} replace( occurrences in the optimized plan — "
         "entropy counts look re-inlined (janino/codegen regression)"
     )
+
+
+#: 0.75 × spark.sql.codegen.hugeMethodLimit (65535): methods past the
+#: limit silently fall back to interpreted evaluation per subtree —
+#: the r5 janino regression cost 3× before anything visibly failed.
+#: The lint bound sits below the cliff so drift fails CI first.
+_CODEGEN_METHOD_BOUND = 49152
+
+
+def _codegen_stats(df):
+    """(n_subtrees, max maxMethodCodeSize) of the EXECUTED plan — the
+    collect finalizes AQE so codegenString sees the real stages."""
+    import re as _re
+
+    df.collect()
+    spark = df.sparkSession
+    mod = getattr(
+        spark._jvm.org.apache.spark.sql.execution.debug, "package$"
+    ).__getattr__("MODULE$")
+    s = mod.codegenString(df._jdf.queryExecution().executedPlan())
+    n = int(_re.search(r"Found (\d+) WholeStageCodegen", s).group(1))
+    sizes = [int(x) for x in _re.findall(r"maxMethodCodeSize:(\d+)", s)]
+    return n, (max(sizes) if sizes else 0)
+
+
+@pytest.mark.parametrize("name", _ENTROPY_STAGED)
+def test_staged_plans_stay_within_codegen_budget(spark, sf_dir, name):
+    """VERDICT r5 task 6: the funnel/composite/entropy physical plans
+    must keep WholeStageCodegen spans AND keep every generated method
+    comfortably under janino's fallback limit — the bytecode-size twin
+    of the replace( -count lint above (which bounds the expression
+    TREE; this bounds what it compiles to)."""
+    n, mx = _codegen_stats(_QUERIES[name].builder(spark, sf_dir))
+    assert n >= 1, f"{name}: no WholeStageCodegen subtree in the executed plan"
+    assert 0 < mx <= _CODEGEN_METHOD_BOUND, (
+        f"{name}: max generated method {mx} B exceeds the lint bound "
+        f"{_CODEGEN_METHOD_BOUND} — giant-tree inlining regression"
+    )
+
+
+def test_codegen_budget_lint_detects_blowup(spark):
+    """Negative control: the pre-staging build shape — one long
+    replace chain re-embedded into every output column (what
+    CollapseProject produced before r5 staged the entropy counts) —
+    must blow past the lint bound, proving the metric fires."""
+    from pyspark.sql import functions as F
+
+    c = F.col("id").cast("string")
+    for i in range(150):
+        c = F.regexp_replace(c, f"x{i}", f"y{i}")
+    big = spark.range(10).select(
+        *[(F.length(c) + F.lit(j)).alias(f"c{j}") for j in range(80)]
+    )
+    n, mx = _codegen_stats(big)
+    assert n >= 1
+    assert mx > _CODEGEN_METHOD_BOUND, (
+        f"negative control only reached {mx} B — lint would not fire"
+    )
