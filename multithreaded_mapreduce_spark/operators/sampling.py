@@ -463,11 +463,14 @@ ORDER BY doc_id
 
 
 # late-bind the oracle (the composite's oracle string is registered on
-# the same module-import pass)
+# the same module-import pass). dataclasses.replace keeps every other
+# field by NAME, so a future QueryDef field reorder can't silently
+# mis-assign them (ADVICE r5).
+import dataclasses  # noqa: E402
+
 from ..plans.registry import _REGISTRY as _REG  # noqa: E402
 
-_q = _REG["quality_weighted_sample"]
-_REG["quality_weighted_sample"] = type(_q)(
-    _q.name, _q.builder, _qws_oracle(), _q.description, _q.tags
+_REG["quality_weighted_sample"] = dataclasses.replace(
+    _REG["quality_weighted_sample"], oracle=_qws_oracle()
 )
-del _REG, _q
+del _REG

@@ -125,6 +125,31 @@ class CheckpointBackedDataFrame(_ClassicDataFrame):
         self._mmr_check()
         return super().toLocalIterator(*a, **k)
 
+    def isEmpty(self):
+        self._mmr_check()
+        return super().isEmpty()
+
+    def foreach(self, f):
+        self._mmr_check()
+        return super().foreach(f)
+
+    def foreachPartition(self, f):
+        self._mmr_check()
+        return super().foreachPartition(f)
+
+    def toJSON(self, use_unicode=True):
+        self._mmr_check()
+        return super().toJSON(use_unicode)
+
+    def writeTo(self, table):
+        self._mmr_check()
+        return super().writeTo(table)
+
+    @property
+    def rdd(self):
+        self._mmr_check()
+        return super().rdd
+
     @property
     def write(self):
         self._mmr_check()

@@ -80,4 +80,19 @@ def test_stale_checkpoint_result_fails_fast_with_clear_error(spark, sf_dir):
         df.collect()
     with pytest.raises(RuntimeError, match="stale checkpoint-backed"):
         df.count()
+    # ADVICE r5 completeness: the remaining action entry points are
+    # guarded too — a stale handle driven through any of them must hit
+    # the same explanatory error, never the raw missing-block crash
+    with pytest.raises(RuntimeError, match="stale checkpoint-backed"):
+        df.isEmpty()
+    with pytest.raises(RuntimeError, match="stale checkpoint-backed"):
+        df.foreach(lambda r: None)
+    with pytest.raises(RuntimeError, match="stale checkpoint-backed"):
+        df.foreachPartition(lambda it: None)
+    with pytest.raises(RuntimeError, match="stale checkpoint-backed"):
+        df.toJSON()
+    with pytest.raises(RuntimeError, match="stale checkpoint-backed"):
+        df.writeTo("t")
+    with pytest.raises(RuntimeError, match="stale checkpoint-backed"):
+        df.rdd
     release_tracked()
