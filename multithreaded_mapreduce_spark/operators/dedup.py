@@ -1349,6 +1349,81 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cluster-aware split: train fraction as an exact integer ratio and
+#: the md5-uniform digit width (same fold as quality_weighted_sample).
+SPLIT_TRAIN_NUM = 9
+SPLIT_TRAIN_DEN = 10
+SPLIT_HEX_DIGITS = 8
+
+
+@register(
+    "cluster_aware_split",
+    oracle=_CC_EDGES_CTE
+    + f""", comp AS (
+  SELECT node AS doc_id, min(r) AS cluster_id
+  FROM reach GROUP BY node
+), base AS (
+  -- split assignment is keyed by doc_id: the NULL-id orphan row has
+  -- no identity to assign and is excluded identically in both engines
+  -- (same contract as pack_training_sequences)
+  SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL
+), assigned AS (
+  SELECT b.doc_id, coalesce(c.cluster_id, b.doc_id) AS cluster_id
+  FROM base b LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_oracle_hex_id(
+           "'split:' || CAST(cluster_id AS VARCHAR)", SPLIT_HEX_DIGITS
+       )} * {SPLIT_TRAIN_DEN}
+            < {SPLIT_TRAIN_NUM} * {16 ** SPLIT_HEX_DIGITS}
+            THEN 'train' ELSE 'holdout' END AS split
+FROM assigned
+ORDER BY doc_id
+""",
+    description=f"Cluster-aware train/holdout split "
+    f"({SPLIT_TRAIN_NUM}/{SPLIT_TRAIN_DEN} train): every document in a "
+    "near-dup component (connected components over the jaccard>=0.8 "
+    "pair graph; singletons are their own cluster) lands in the SAME "
+    "split, assigned by an md5-uniform draw on the cluster id — the "
+    "production fix for the train/test leakage split_leakage_audit "
+    "DETECTS (a doc-level split strands near-identical twins on "
+    "opposite sides of the eval boundary). Deterministic, no RNG, "
+    "reproducible on any cluster size; the per-doc relation only joins "
+    "the (pairs-sized) component labels. Oracle: the components "
+    "recursive CTE + the same exact-integer hex fold.",
+    tags=("dedup", "sampling", "split", "pipeline", "components", "iterative"),
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+        .distinct()
+    )
+    assigned = base.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    u = _spark_hex_id(
+        F.concat(F.lit("split:"), F.col("cluster_id").cast("string")),
+        SPLIT_HEX_DIGITS,
+    )
+    out = assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(
+            u * SPLIT_TRAIN_DEN < SPLIT_TRAIN_NUM * (16 ** SPLIT_HEX_DIGITS),
+            F.lit("train"),
+        )
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    ).orderBy("doc_id")
+    # the component labels read tracked checkpoint blocks — same
+    # fail-fast contract as dedup_components itself
+    return guard_checkpoint_result(out)
+
+
 # ------------------------------------------------------------------
 # SimHash (rows-only)
 # ------------------------------------------------------------------

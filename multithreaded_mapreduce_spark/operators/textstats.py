@@ -430,6 +430,67 @@ def pii_pattern_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pii_redact_documents",
+    oracle="""
+SELECT doc_id,
+"""
+    + ",\n".join(
+        f"       len(regexp_extract_all(text, '{p}')) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    + """,
+       md5("""
+    + "".join(
+        f"regexp_replace(" for _ in PII_PATTERNS
+    )
+    + "text"
+    + "".join(
+        f", '{p}', '<{k.upper()}>', 'g')" for k, p in PII_PATTERNS.items()
+    )
+    + """) AS redacted_md5,
+       length("""
+    + "".join(
+        f"regexp_replace(" for _ in PII_PATTERNS
+    )
+    + "text"
+    + "".join(
+        f", '{p}', '<{k.upper()}>', 'g')" for k, p in PII_PATTERNS.items()
+    )
+    + """) AS redacted_len
+FROM documents
+ORDER BY doc_id
+""",
+    description="PII redaction — the TRANSFORM counterpart of "
+    "pii_pattern_audit's detection scan: every email/phone/IPv4/SSN "
+    "match is replaced by its typed placeholder (<EMAIL>, <PHONE>, "
+    "<IPV4>, <SSN>), applied in a fixed pattern order in both engines, "
+    "with per-document match counts on the ORIGINAL text plus an md5 "
+    "certificate and length of the redacted text (the release "
+    "pipeline writes the redacted column; the certificate makes the "
+    "transform itself value-hash-checkable without shipping text "
+    "through the comparator). Pure projection — one scan, zero "
+    "shuffles, embarrassingly parallel at 100 TB; patterns live in "
+    "the common Java-regex/RE2 dialect subset (PII_PATTERNS above). "
+    "NULL text propagates NULL counts/certificate identically.",
+    tags=("text", "pii", "quality", "pipeline"),
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    red = F.col("text")
+    for k, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, f"<{k.upper()}>")
+    return docs.select(
+        "doc_id",
+        *[
+            F.regexp_count("text", F.lit(p)).alias(f"n_{k}")
+            for k, p in PII_PATTERNS.items()
+        ],
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
 #: Zipf fit window: rank-frequency regression runs over the top-K
 #: vocabulary only (the head is where Zipf's law binds; the long tail
 #: of hapaxes flattens any fit and costs a full-vocab sort).

@@ -185,3 +185,99 @@ def test_quality_weighted_sample_matches_independent_recompute(spark, sf_dir):
     }
     assert got == want
     assert 0 < len(got) < len(scored)  # neither empty nor everything
+
+
+def test_cluster_aware_split_never_splits_near_dup_pairs(spark, sf_dir):
+    """The point of the operator: every jaccard>=0.8 pair must land in
+    ONE split (the doc-level md5 split provably strands some pair
+    across the boundary on this corpus — the leakage split_leakage_
+    audit exists to catch); the split covers every non-NULL doc exactly
+    once and both labels actually occur."""
+    from multithreaded_mapreduce_spark.operators.dedup import (
+        SPLIT_HEX_DIGITS,
+        SPLIT_TRAIN_DEN,
+        SPLIT_TRAIN_NUM,
+        _spark_hex_id,
+    )
+    from pyspark.sql import functions as F
+
+    Q = all_queries()
+    split = {
+        r.doc_id: r.split
+        for r in Q["cluster_aware_split"].builder(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in Q["dedup_jaccard_pairs"].builder(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture lost its near-dup pairs"
+    assert all(split[a] == split[b] for a, b in pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_ids = docs.filter(F.col("doc_id").isNotNull()).select("doc_id").distinct().count()
+    assert len(split) == n_ids
+    assert set(split.values()) <= {"train", "holdout"}
+    # negative control: the naive doc-keyed split DOES strand at least
+    # one near-dup pair across the boundary on this corpus
+    naive_rows = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.when(
+                _spark_hex_id(
+                    F.concat(F.lit("split:"), F.col("doc_id").cast("string")),
+                    SPLIT_HEX_DIGITS,
+                )
+                * SPLIT_TRAIN_DEN
+                < SPLIT_TRAIN_NUM * (16 ** SPLIT_HEX_DIGITS),
+                F.lit("train"),
+            )
+            .otherwise(F.lit("holdout"))
+            .alias("split"),
+        )
+        .collect()
+    )
+    naive = {r.doc_id: r.split for r in naive_rows}
+    assert any(naive[a] != naive[b] for a, b in pairs), (
+        "corpus no longer demonstrates doc-level leakage — pick a wider "
+        "fixture or drop the control"
+    )
+
+
+def test_pii_redaction_matches_python_reference(spark, tmp_path):
+    """Planted-PII fixture: the redacted-text certificate must equal a
+    transparent Python re.sub reference applied in the same pattern
+    order, and the counts must see every planted match."""
+    import hashlib
+    import re as pyre
+
+    from multithreaded_mapreduce_spark.operators.textstats import PII_PATTERNS
+
+    rows = [
+        (1, "contact jane.doe@example.com or 555-123-4567 today", "en", "s0"),
+        (2, "server 192.168.1.1 ssn 123-45-6789 email a@b.io", "en", "s0"),
+        (3, "no pii here at all", "en", "s0"),
+        (4, None, "en", "s0"),
+        (5, "double a@b.co c@d.org and 10.0.0.1 10.0.0.2", "en", "s0"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    Q = all_queries()
+    got = {
+        r.doc_id: r
+        for r in Q["pii_redact_documents"].builder(spark, str(tmp_path)).collect()
+    }
+    for doc_id, text, _, _ in rows:
+        r = got[doc_id]
+        if text is None:
+            assert r.redacted_md5 is None and r.redacted_len is None
+            continue
+        red = text
+        counts = {}
+        for k, p in PII_PATTERNS.items():
+            counts[k] = len(pyre.findall(p, text))
+            red = pyre.sub(p, f"<{k.upper()}>", red)
+        assert r.redacted_md5 == hashlib.md5(red.encode()).hexdigest(), doc_id
+        assert r.redacted_len == len(red)
+        for k in PII_PATTERNS:
+            assert getattr(r, f"n_{k}") == counts[k], (doc_id, k)
