@@ -81,6 +81,8 @@ HEADLINE = (
     # this line is the r6 42-query set whose total is total_r6_comparable
     "bpe_encode_documents",          # per-doc encoding under learned merges
     "pack_bpe_sequences",            # prefix-sum packing of real BPE counts
+    "pii_redact_documents",          # typed-placeholder PII redaction scan
+    "cluster_aware_split",           # leakage-proof split over components
 )
 
 

@@ -60,6 +60,11 @@ DEFAULT_PROBE = (
     # r6: tokenizer→packing closure
     "bpe_encode_documents",
     "pack_bpe_sequences",
+    # r6: redaction + leakage-proof split (and the components operator
+    # they exposed as a never-probed >1 s blind spot)
+    "pii_redact_documents",
+    "cluster_aware_split",
+    "dedup_components",
 )
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
