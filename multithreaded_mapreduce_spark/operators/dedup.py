@@ -1260,6 +1260,70 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contracted_components(pairs: DataFrame, extra_nodes=None) -> DataFrame:
+    """Contraction-based hash-to-min connected components over a
+    SINGLE-ORIENTED (ga, gb) pair relation; returns (node, label) with
+    label = min node id of the component.
+
+    Each round: (1) every label class takes the min over its neighbor
+    classes (symmetry recovered inside the aggregate — edges are
+    materialized one-oriented, halving the checkpoint), (2) node labels
+    update through their class, (3) the edge set is REWRITTEN onto the
+    new labels, self-loops dropped, duplicates collapsed. Clique-ish
+    near-dup components become self-loops after round 1, so the
+    dominant Ω(|pairs|) scan happens once — plain propagation re-joined
+    the full pair set every round and measured exp 1.24 at 10× (r6);
+    contraction leaves only the geometric tail (exp 1.02, input-bound).
+    Converges in O(log n) rounds on any graph; ``extra_nodes`` adds
+    isolated nodes that must appear in the output (e.g. multi-member
+    identical-set groups with no cross-group neighbor)."""
+    ek = pairs.transform(tracked_local_checkpoint)
+    nodes = ek.select(F.col("ga").alias("node")).union(
+        ek.select(F.col("gb").alias("node"))
+    )
+    if extra_nodes is not None:
+        nodes = nodes.union(extra_nodes)
+    labels = (
+        nodes.distinct()
+        .withColumn("label", F.col("node"))
+        .transform(tracked_local_checkpoint)
+    )
+    for _ in range(20):
+        nbr = (
+            ek.union(ek.select(F.col("gb").alias("ga"), F.col("ga").alias("gb")))
+            .groupBy(F.col("ga").alias("lbl"))
+            .agg(F.min("gb").alias("nbr_min"))
+        )
+        relab = labels.join(nbr, labels.label == nbr.lbl, "left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        ).transform(tracked_local_checkpoint)
+        changed = relab.filter(F.col("old_label") != F.col("label")).count()
+        labels = relab.select("node", "label")
+        if changed == 0:
+            break
+        mapping = relab.select("old_label", "label").distinct()
+        ma = mapping.select(
+            F.col("old_label").alias("ga"), F.col("label").alias("la")
+        )
+        mb = mapping.select(
+            F.col("old_label").alias("gb"), F.col("label").alias("lb")
+        )
+        ek = (
+            ek.join(ma, "ga")
+            .join(mb, "gb")
+            .filter(F.col("la") != F.col("lb"))
+            .select(
+                F.least("la", "lb").alias("ga"),
+                F.greatest("la", "lb").alias("gb"),
+            )
+            .distinct()
+            .transform(tracked_local_checkpoint)
+        )
+    return labels
+
+
 # ------------------------------------------------------------------
 # near-dup clustering: connected components over the pair graph
 # ------------------------------------------------------------------
@@ -1315,8 +1379,9 @@ ORDER BY doc_id
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r6: propagation runs on the COLLAPSED GROUP graph, not the
     # member-expanded doc graph — a 50-member identical-set group is
-    # one node instead of 1225 within-pairs, so every round's shuffle
-    # is |groups|-sized (15.1 → 3.7 s at sf0.1, identical output).
+    # one node instead of 1225 within-pairs, so every shuffle is
+    # |groups|-sized (with the contraction helper: 15.1 → 8.7 s at
+    # sf0.1, 205 → 91 s at 10×, identical output).
     # Correctness: gid = min(member doc_id), so min-label over group
     # components = min doc_id over the doc component; the quotient is
     # exact because (a) within-group doc pairs collapse into the node
@@ -1331,69 +1396,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("x.gid") < F.col("y.gid"))
         .select(F.col("x.gid").alias("ga"), F.col("y.gid").alias("gb"))
     )
-    # ONE orientation per pair — symmetry is recovered inside the
-    # neighbor-min aggregate, halving the materialized edge volume
-    ek = (
-        cross.select("ga", "gb").union(bridge).transform(tracked_local_checkpoint)
-    )
     # node set = groups in any edge, plus multi-member groups (their
     # members are within-group jaccard-1.0 pairs at doc level, so they
     # belong to the output even with no cross-group neighbor)
-    labels = (
-        ek.select(F.col("ga").alias("node"))
-        .union(ek.select(F.col("gb").alias("node")))
-        .union(
-            groups.filter(F.size("members") >= 2).select(
-                F.col("gid").alias("node")
-            )
-        )
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .transform(tracked_local_checkpoint)
+    labels = _contracted_components(
+        cross.select("ga", "gb").union(bridge),
+        extra_nodes=groups.filter(F.size("members") >= 2).select(
+            F.col("gid").alias("node")
+        ),
     )
-    # Contraction-based hash-to-min CC (r6): each round (1) every LABEL
-    # CLASS takes the min over its neighbor classes, (2) node labels
-    # update through their class, and (3) the edge set is REWRITTEN
-    # onto the new labels with self-loops dropped and duplicates
-    # collapsed. On clique-ish near-dup graphs the entire clique
-    # becomes self-loops after round 1, so the dominant Ω(|pairs|)
-    # scan happens ONCE instead of once per round — the plain
-    # propagation loop re-joined all ~700k group pairs (sf0.1) every
-    # round and measured exp 1.24 at 10×; contraction leaves only the
-    # geometric tail. Converges in O(log n) rounds on any graph.
-    for _ in range(20):
-        nbr = (
-            ek.union(ek.select(F.col("gb").alias("ga"), F.col("ga").alias("gb")))
-            .groupBy(F.col("ga").alias("lbl"))
-            .agg(F.min("gb").alias("nbr_min"))
-        )
-        relab = labels.join(nbr, labels.label == nbr.lbl, "left").select(
-            "node",
-            F.col("label").alias("old_label"),
-            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-        ).transform(tracked_local_checkpoint)
-        changed = relab.filter(F.col("old_label") != F.col("label")).count()
-        labels = relab.select("node", "label")
-        if changed == 0:
-            break
-        mapping = relab.select("old_label", "label").distinct()
-        ma = mapping.select(
-            F.col("old_label").alias("ga"), F.col("label").alias("la")
-        )
-        mb = mapping.select(
-            F.col("old_label").alias("gb"), F.col("label").alias("lb")
-        )
-        ek = (
-            ek.join(ma, "ga")
-            .join(mb, "gb")
-            .filter(F.col("la") != F.col("lb"))
-            .select(
-                F.least("la", "lb").alias("ga"),
-                F.greatest("la", "lb").alias("gb"),
-            )
-            .distinct()
-            .transform(tracked_local_checkpoint)
-        )
     # expand group labels back to member docs; distinct collapses the
     # duplicate-id case (both of its groups carry the merged label)
     out = (
@@ -1887,38 +1898,14 @@ ORDER BY vec_id
     tags=("dedup", "embedding", "components", "iterative"),
 )
 def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_embedding_pairs(spark, sf_dir).select("vec_a", "vec_b")
-    edges = pairs.union(
-        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
-    ).transform(tracked_local_checkpoint)
-    labels = (
-        edges.select(F.col("vec_a").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .transform(tracked_local_checkpoint)
+    # pairs are single-oriented (vec_a < vec_b) — exactly the shape the
+    # shared contraction-CC helper consumes (r6: same rewrite as
+    # dedup_components; identical output, Ω(|pairs|) paid once)
+    labels = _contracted_components(
+        dedup_embedding_pairs(spark, sf_dir).select(
+            F.col("vec_a").alias("ga"), F.col("vec_b").alias("gb")
+        )
     )
-    for _ in range(20):
-        nbr = (
-            edges.join(labels, edges.vec_b == labels.node)
-            .groupBy(edges.vec_a.alias("node"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-            )
-            .transform(tracked_local_checkpoint)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
     # fail-fast guard: the plan reads tracked checkpoint blocks, which
     # the NEXT top-level build releases (see plans/caching.py)
     return guard_checkpoint_result(
