@@ -65,6 +65,7 @@ DEFAULT_PROBE = (
     "pii_redact_documents",
     "cluster_aware_split",
     "dedup_components",
+    "dedup_embedding_components",
 )
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
