@@ -1277,6 +1277,13 @@ def _contracted_components(pairs: DataFrame, extra_nodes=None) -> DataFrame:
     Converges in O(log n) rounds on any graph; ``extra_nodes`` adds
     isolated nodes that must appear in the output (e.g. multi-member
     identical-set groups with no cross-group neighbor)."""
+    # NOTE (measured, kept on purpose): a tracked persist for the
+    # initial edge set looks cheaper than localCheckpoint (no disk
+    # write) but a same-window A/B at sf0.1 read persist slightly
+    # SLOWER (10.1-10.5 vs 9.8 s) — round 1 reads the edges ~5 times
+    # (nodes both endpoints, the symmetric nbr union, the relabel) and
+    # each cache read re-pays deserialization that checkpoint block
+    # reads do not, eating the saved write.
     ek = pairs.transform(tracked_local_checkpoint)
     nodes = ek.select(F.col("ga").alias("node")).union(
         ek.select(F.col("gb").alias("node"))
