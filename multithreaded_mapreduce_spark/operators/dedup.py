@@ -1295,6 +1295,7 @@ def _contracted_components(pairs: DataFrame, extra_nodes=None) -> DataFrame:
         .withColumn("label", F.col("node"))
         .transform(tracked_local_checkpoint)
     )
+    converged = False
     for _ in range(20):
         nbr = (
             ek.union(ek.select(F.col("gb").alias("ga"), F.col("ga").alias("gb")))
@@ -1305,10 +1306,28 @@ def _contracted_components(pairs: DataFrame, extra_nodes=None) -> DataFrame:
             "node",
             F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-        ).transform(tracked_local_checkpoint)
+        )
+        # pointer-jumping: labels form a forest of decreasing pointers;
+        # two label-of-label compositions compress chains ~8× per round
+        # (neighbor-min alone shrinks a PATH by only one hop per round
+        # — linear, found by the randomized path-graph property test),
+        # so the 20-round cap covers any realistic component diameter
+        for _jump in range(2):
+            rep = relab.select(
+                F.col("node").alias("_rep"), F.col("label").alias("_rep_label")
+            )
+            relab = relab.join(
+                rep, relab.label == rep._rep, "left"
+            ).select(
+                "node",
+                "old_label",
+                F.coalesce("_rep_label", "label").alias("label"),
+            )
+        relab = relab.transform(tracked_local_checkpoint)
         changed = relab.filter(F.col("old_label") != F.col("label")).count()
         labels = relab.select("node", "label")
         if changed == 0:
+            converged = True
             break
         mapping = relab.select("old_label", "label").distinct()
         ma = mapping.select(
@@ -1327,6 +1346,12 @@ def _contracted_components(pairs: DataFrame, extra_nodes=None) -> DataFrame:
             )
             .distinct()
             .transform(tracked_local_checkpoint)
+        )
+    if not converged:
+        # fail fast: a silent cap-exit would hand back PARTIAL labels
+        raise RuntimeError(
+            "_contracted_components did not converge in 20 rounds — "
+            "component diameter beyond the pointer-jump budget"
         )
     return labels
 

@@ -907,7 +907,6 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.caching import (
         guard_checkpoint_result,
         tracked_local_checkpoint,
-        tracked_persist,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(

@@ -1,0 +1,127 @@
+"""Seeded randomized property checks for the round-6 primitives —
+batch-style (many random cases per Spark job), deterministic seeds, no
+hypothesis flakiness. These cover shapes the corpus fixtures cannot
+enumerate: arbitrary graphs for the contraction-CC helper, arbitrary
+symbol runs for the BPE merge fold, arbitrary token-count streams for
+the prefix-sum packer."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _union_find_labels(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_contracted_components_matches_union_find(spark):
+    """The contraction-CC helper must agree with a transparent
+    union-find on random graphs — paths, cliques, isolated chunks —
+    including label = MIN node id per component."""
+    from multithreaded_mapreduce_spark.operators.dedup import (
+        _contracted_components,
+    )
+    from multithreaded_mapreduce_spark.plans.caching import release_tracked
+
+    rng = random.Random(1729)
+    for trial, (n, m) in enumerate([(40, 25), (60, 90), (30, 5), (50, 49)]):
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.sample(range(n), 2)
+            edges.add((min(a, b), max(a, b)))
+        # a long path stresses the contraction's round budget
+        if trial == 3:
+            edges = {(i, i + 1) for i in range(n - 1)}
+        pairs = spark.createDataFrame(
+            sorted(edges), "ga long, gb long"
+        )
+        labels = {
+            r.node: r.label
+            for r in _contracted_components(pairs).collect()
+        }
+        release_tracked()
+        want = _union_find_labels(n, edges)
+        touched = {a for e in edges for a in e}
+        assert set(labels) == touched, f"trial {trial}: node set"
+        for node in touched:
+            assert labels[node] == want[node], (trial, node)
+
+
+def test_bpe_apply_merge_matches_python_on_random_runs(spark):
+    """Greedy left-to-right non-overlapping merge over 300 random
+    symbol arrays (alphabet chosen so self-pairs, overlaps, and
+    already-merged symbols all occur) — one Spark job against a
+    transparent Python fold."""
+    from multithreaded_mapreduce_spark.operators.corpus_ops import (
+        _bpe_apply_merge,
+    )
+
+    def py_merge(syms, lhs, rhs):
+        out = []
+        for s in syms:
+            if out and out[-1] == lhs and s == rhs:
+                out[-1] = lhs + rhs
+            else:
+                out.append(s)
+        return out
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "ab", "aa", "c"]
+    cases = [
+        [rng.choice(alphabet) for _ in range(rng.randrange(0, 12))]
+        for _ in range(300)
+    ]
+    for lhs, rhs in [("a", "a"), ("a", "b"), ("ab", "a"), ("c", "c")]:
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)], "i int, syms array<string>"
+        )
+        got = {
+            r.i: r.m
+            for r in df.select(
+                "i", _bpe_apply_merge(F.col("syms"), lhs, rhs).alias("m")
+            ).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == py_merge(c, lhs, rhs), (lhs, rhs, c, got[i])
+
+
+def test_pack_prefix_sum_matches_python_simulation(spark):
+    """The distributed prefix-sum packer must equal a sequential
+    python cumsum pack on random token-count streams with gaps,
+    zeros, and oversized documents."""
+    from multithreaded_mapreduce_spark.operators.pipeline_prep import (
+        MAX_SEQ_TOKENS,
+        pack_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    doc_ids = sorted(rng.sample(range(10_000), 800))
+    toks = [
+        (d, rng.choice([0, 1, 5, 100, 900, 2047, 2048, 5000]))
+        for d in doc_ids
+    ]
+    df = spark.createDataFrame(toks, "doc_id long, n_tokens long")
+    got = {r.seq_id: (r.n_docs, r.seq_tokens, r.first_doc_id, r.last_doc_id)
+           for r in pack_prefix_sum(df).collect()}
+    want = {}
+    cum = 0
+    for d, n in toks:
+        seq = cum // MAX_SEQ_TOKENS
+        cum += n
+        nd, st, fd, ld = want.get(seq, (0, 0, d, d))
+        want[seq] = (nd + 1, st + n, min(fd, d), max(ld, d))
+    assert got == want
