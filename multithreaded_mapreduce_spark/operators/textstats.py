@@ -491,6 +491,89 @@ def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: ASCII character classes for the script profile — like PII_PATTERNS,
+#: every class lives in the exact common Java-regex/RE2 dialect subset
+#: (verified identical on the unicode edge strings): no \p{...} (the
+#: engines' unicode-property tables differ), no \s (Java includes
+#: \x0B, RE2 \f — explicit list instead), no \x escapes (syntaxes
+#: differ). non-ASCII falls out as the remainder. CAVEAT: astral-plane
+#: chars (emoji) count 2 in Spark's UTF-16 length and 1 in DuckDB's —
+#: the corpus and edge fixtures are BMP-only, same contract as every
+#: other length() consumer here.
+SCRIPT_CLASSES = {
+    "alpha": "[A-Za-z]",
+    "digit": "[0-9]",
+    "space": "[ \\t\\n\\r]",
+    "punct": "[!-/:-@\\[-`{-~]",
+}
+
+
+@register(
+    "script_char_profile",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, length(text) AS n_chars_m,
+"""
+    + ",\n".join(
+        f"         len(regexp_extract_all(text, '{p}')) AS n_{k}"
+        for k, p in SCRIPT_CLASSES.items()
+    )
+    + """
+  FROM documents
+)
+SELECT doc_id, n_alpha, n_digit, n_space, n_punct,
+       n_chars_m - n_alpha - n_digit - n_space - n_punct AS n_non_ascii,
+       CAST(round(CAST(CAST(n_chars_m - n_alpha - n_digit - n_space - n_punct
+                 AS DOUBLE) / nullif(n_chars_m, 0) AS DECIMAL(30,12)), 4)
+            AS DOUBLE) AS non_ascii_ratio
+FROM m
+ORDER BY doc_id
+""",
+    description="Per-document script/character-class profile — the "
+    "C4/CCNet-style non-ASCII gate signal: counts of ASCII alpha / "
+    "digit / whitespace / punctuation characters, the non-ASCII "
+    "remainder, and its ratio (NULL on empty text, the nullif "
+    "contract). Classes live in the shared Java-regex/RE2 dialect "
+    "subset (SCRIPT_CLASSES above — no \\p, no \\s, no hex escapes). "
+    "Pure projection: one scan, zero shuffles, embarrassingly "
+    "parallel at 100 TB.",
+    tags=("text", "quality", "script"),
+)
+def script_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        *[
+            F.regexp_count("text", F.lit(p)).alias(f"n_{k}")
+            for k, p in SCRIPT_CLASSES.items()
+        ],
+    )
+    non_ascii = (
+        F.col("n_chars_m")
+        - F.col("n_alpha")
+        - F.col("n_digit")
+        - F.col("n_space")
+        - F.col("n_punct")
+    )
+    return counts.select(
+        "doc_id",
+        "n_alpha",
+        "n_digit",
+        "n_space",
+        "n_punct",
+        non_ascii.alias("n_non_ascii"),
+        F.round(
+            (non_ascii.cast("double") / F.nullif(F.col("n_chars_m"), F.lit(0))).cast(
+                "decimal(30,12)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("non_ascii_ratio"),
+    ).orderBy("doc_id")
+
+
 #: Zipf fit window: rank-frequency regression runs over the top-K
 #: vocabulary only (the head is where Zipf's law binds; the long tail
 #: of hapaxes flattens any fit and costs a full-vocab sort).
