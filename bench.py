@@ -83,6 +83,7 @@ HEADLINE = (
     "pack_bpe_sequences",            # prefix-sum packing of real BPE counts
     "pii_redact_documents",          # typed-placeholder PII redaction scan
     "cluster_aware_split",           # leakage-proof split over components
+    "script_char_profile",           # ASCII-class counts + non-ASCII ratio
 )
 
 

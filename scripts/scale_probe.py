@@ -66,6 +66,7 @@ DEFAULT_PROBE = (
     "cluster_aware_split",
     "dedup_components",
     "dedup_embedding_components",
+    "script_char_profile",
 )
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
