@@ -84,6 +84,8 @@ HEADLINE = (
     "pii_redact_documents",          # typed-placeholder PII redaction scan
     "cluster_aware_split",           # leakage-proof split over components
     "script_char_profile",           # ASCII-class counts + non-ASCII ratio
+    "corpus_snapshot_diff",          # digest-keyed corpus versioning diff
+    "packing_efficiency_report",     # fill-ratio / pad-waste report
 )
 
 

@@ -348,3 +348,68 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+#: snapshot-diff role play over the single documents table (the same
+#: convention as corpus_ops.NEW_BATCH_SOURCE / the every-97th-doc eval
+#: set): snapshot A is the corpus without the src19 crawl batch;
+#: snapshot B is today's corpus where every 13th doc was re-crawled
+#: (deterministic ' rev2' suffix) and every 17th doc was taken down.
+SNAP_NEW_SOURCE = "src19"
+SNAP_REVISE_MOD = 13
+SNAP_DROP_MOD = 17
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, md5(text) AS dig
+  FROM documents WHERE source <> '{SNAP_NEW_SOURCE}'
+), b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {SNAP_REVISE_MOD} = 0
+                  THEN text || ' rev2' ELSE text END) AS dig
+  FROM documents WHERE doc_id % {SNAP_DROP_MOD} <> 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.dig IS DISTINCT FROM b.dig THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+ORDER BY doc_id, status
+""",
+    description="Corpus snapshot diff — the versioning audit between "
+    "two corpus states: per-doc added / removed / changed / unchanged "
+    "by 32-byte content digest over a full outer join on doc_id "
+    "(snapshot role-play documented at SNAP_* above; NULL-id rows "
+    "never join and surface on their own side, exactly like the "
+    "oracle). At 100 TB only (doc_id, digest) pairs shuffle — text "
+    "never moves; the diff is one exchange per side plus the join.",
+    tags=("warehouse", "audit", "pipeline"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("source") != SNAP_NEW_SOURCE).select(
+        F.col("doc_id").alias("a_id"), F.md5("text").alias("a_dig")
+    )
+    b = docs.filter(F.col("doc_id") % SNAP_DROP_MOD != 0).select(
+        F.col("doc_id").alias("b_id"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % SNAP_REVISE_MOD == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text"))
+        ).alias("b_dig"),
+    )
+    joined = a.join(b, a.a_id == b.b_id, "full_outer")
+    status = (
+        F.when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("b_id").isNull(), F.lit("removed"))
+        .when(~F.col("a_dig").eqNullSafe(F.col("b_dig")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce("a_id", "b_id").alias("doc_id"), status.alias("status")
+    ).orderBy("doc_id", "status")

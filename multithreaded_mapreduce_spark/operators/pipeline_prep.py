@@ -447,3 +447,58 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(ffd, "chunk long, bin_id long, n_docs long, bin_tokens long")
         .orderBy("chunk", "bin_id")
     )
+
+
+@register(
+    "packing_efficiency_report",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({_sql_tokens()}) AS n_tokens
+  FROM documents WHERE doc_id IS NOT NULL
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+), s AS (
+  SELECT CAST((cum - n_tokens) // {MAX_SEQ_TOKENS} AS BIGINT) AS seq_id,
+         CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+  FROM c GROUP BY 1
+)
+SELECT count(*) AS n_sequences,
+       CAST(coalesce(sum(seq_tokens), 0) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(CASE WHEN seq_tokens >= {MAX_SEQ_TOKENS}
+                          THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS full_sequences,
+       CAST(round(CAST(CAST(sum(seq_tokens) AS DOUBLE)
+                 / nullif(count(*) * {MAX_SEQ_TOKENS}, 0) AS DECIMAL(30,12)), 4)
+            AS DOUBLE) AS fill_ratio
+FROM s
+""",
+    description="Packing-efficiency report over the whitespace-token "
+    f"packer: sequence count, packed token total, sequences at the "
+    f"{MAX_SEQ_TOKENS}-token boundary, and the fill ratio (tokens / "
+    "capacity — what padding would waste at training time). Composes "
+    "pack_prefix_sum into a one-row aggregate; an empty corpus yields "
+    "one (0, 0, 0, NULL) row — the nullif keeps the ratio NULL, not NaN.",
+    tags=("pipeline", "packing"),
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = pack_training_sequences(spark, sf_dir)
+    cap = F.count(F.lit(1)) * MAX_SEQ_TOKENS
+    return packed.agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.coalesce(F.sum("seq_tokens"), F.lit(0)).cast("bigint").alias("total_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("seq_tokens") >= MAX_SEQ_TOKENS, 1).otherwise(0)),
+            F.lit(0),
+        ).cast("bigint").alias("full_sequences"),
+        F.round(
+            (F.sum("seq_tokens").cast("double") / F.nullif(cap, F.lit(0))).cast(
+                "decimal(30,12)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("fill_ratio"),
+    )

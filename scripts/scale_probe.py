@@ -67,6 +67,8 @@ DEFAULT_PROBE = (
     "dedup_components",
     "dedup_embedding_components",
     "script_char_profile",
+    "corpus_snapshot_diff",
+    "packing_efficiency_report",
 )
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
