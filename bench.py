@@ -86,6 +86,10 @@ HEADLINE = (
     "script_char_profile",           # ASCII-class counts + non-ASCII ratio
     "corpus_snapshot_diff",          # digest-keyed corpus versioning diff
     "packing_efficiency_report",     # fill-ratio / pad-waste report
+    # dedup_cluster_keep_best is deliberately NOT benched: its cost is
+    # the components stage plus one doc-count join — cost-identical to
+    # cluster_aware_split above, which already regression-tracks that
+    # plan class (probe row in SCALE.md instead)
 )
 
 

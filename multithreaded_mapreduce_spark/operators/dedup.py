@@ -2223,3 +2223,74 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .sortWithinPartitions("doc_id")
     )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=_CC_EDGES_CTE
+    + """, comp AS (
+  SELECT node AS doc_id, min(r) AS cluster_id
+  FROM reach GROUP BY node
+), base AS (
+  -- one row per (doc_id, n_chars): the duplicate-id fixture keeps both
+  -- of its rows, identically in both engines (same contract as the
+  -- splitter: NULL ids have no identity to keep or drop)
+  SELECT DISTINCT doc_id, n_chars FROM documents WHERE doc_id IS NOT NULL
+), assigned AS (
+  SELECT b.doc_id, b.n_chars, coalesce(c.cluster_id, b.doc_id) AS cluster_id
+  FROM base b LEFT JOIN comp c USING (doc_id)
+), rep AS (
+  SELECT cluster_id, doc_id AS rep_doc_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY coalesce(n_chars, -1) DESC, doc_id) AS rn
+    FROM assigned
+  ) WHERE rn = 1
+)
+SELECT a.doc_id, a.cluster_id, a.doc_id = r.rep_doc_id AS keep
+FROM assigned a JOIN rep r USING (cluster_id)
+ORDER BY doc_id, cluster_id
+""",
+    description="Quality-aware near-dup cluster collapse — the curation "
+    "step after clustering: every jaccard>=0.8 component keeps exactly "
+    "one representative, the LONGEST member (coalesce(n_chars,-1) "
+    "desc, doc_id tie-break — a min(struct) single aggregate, no "
+    "window over the corpus), and every other member is flagged for "
+    "drop; singletons keep themselves. Composes the contraction-CC "
+    "labels with one doc-count-sized join. The keep rule is the "
+    "production default (keep the most complete copy), unlike "
+    "dedup_components' min-id canonical or dedup_bag_keep_best's "
+    "bag-level collapse.",
+    tags=("dedup", "components", "pipeline", "iterative"),
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "n_chars")
+        .distinct()
+    )
+    assigned = base.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    rep = assigned.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.coalesce("n_chars", F.lit(-1))).alias("neg_chars"),
+                F.col("doc_id").alias("d"),
+            )
+        )["d"].alias("rep_doc_id")
+    )
+    out = (
+        assigned.join(rep, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("rep_doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id", "cluster_id")
+    )
+    return guard_checkpoint_result(out)

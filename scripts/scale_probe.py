@@ -69,6 +69,7 @@ DEFAULT_PROBE = (
     "script_char_profile",
     "corpus_snapshot_diff",
     "packing_efficiency_report",
+    "dedup_cluster_keep_best",
 )
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

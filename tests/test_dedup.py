@@ -440,3 +440,45 @@ def test_ngram_df_cut_probe_engages_and_disengages(spark, tmp_path, monkeypatch)
         dec_b["sample_docs"] * dd.NGRAM_DF_CUT_NUM
     )
     assert got_b == []
+
+
+def test_cluster_keep_best_one_rep_per_cluster_and_longest_wins(spark, sf_dir):
+    """Exactly one kept doc per cluster; the kept doc has the maximal
+    n_chars in its cluster (min doc_id on ties); total coverage equals
+    the distinct (doc_id, n_chars) base; every near-dup pair shares a
+    cluster so at most one side survives."""
+    from pyspark.sql import functions as F
+
+    rows = Q["dedup_cluster_keep_best"].builder(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "n_chars")
+        .distinct()
+        .collect()
+    )
+    assert len(rows) == len(base)
+    chars = {}
+    for r in base:
+        c = r.n_chars if r.n_chars is not None else -1
+        chars[r.doc_id] = max(c, chars.get(r.doc_id, -1))
+    clusters: dict = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    for cid, members in clusters.items():
+        kept = sorted({m.doc_id for m in members if m.keep})
+        assert len(kept) == 1, (cid, kept)
+        best = max(chars[m.doc_id] for m in members)
+        cands = sorted(m.doc_id for m in members if chars[m.doc_id] == best)
+        assert kept[0] == cands[0], (cid, kept, cands)
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in Q["dedup_jaccard_pairs"].builder(spark, sf_dir).collect()
+    ]
+    cluster_of = {r.doc_id: r.cluster_id for r in rows}
+    keep_of = {}
+    for r in rows:
+        keep_of[r.doc_id] = keep_of.get(r.doc_id, False) or r.keep
+    for a, b in pairs:
+        assert cluster_of[a] == cluster_of[b]
+        assert not (keep_of[a] and keep_of[b]) or a == b
