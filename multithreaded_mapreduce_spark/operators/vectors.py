@@ -97,9 +97,12 @@ WITH dims AS (
   FROM dims GROUP BY dim
 )
 SELECT d.vec_id,
-       list(CAST(round(CAST((d.v - st.sx / st.n)
-              / sqrt((st.sxx - st.sx * st.sx / st.n) / (st.n - 1))
-            AS DECIMAL(30,12)), 4) AS DOUBLE) ORDER BY d.dim) AS zvec
+       string_agg(
+         coalesce(CAST(CAST(round(CAST((d.v - st.sx / st.n)
+                   / sqrt((st.sxx - st.sx * st.sx / st.n) / (st.n - 1))
+                 AS DECIMAL(30,12)), 4) AS DECIMAL(20,4)) AS VARCHAR),
+                  'null'),
+         '|' ORDER BY d.dim) AS zvec
 FROM dims d JOIN st USING (dim)
 GROUP BY d.vec_id
 ORDER BY d.vec_id
@@ -108,7 +111,12 @@ ORDER BY d.vec_id
     "matrix (feature scaling before clustering/ANN): posexplode to slim "
     "(vec_id, dim, value) rows, per-dim mean/std from exact decimal "
     "power sums (map-side-combined to 64 rows), broadcast back, then "
-    "re-assemble each vector with array_sort ∘ collect_list. The stats "
+    "re-assemble each vector with array_sort ∘ collect_list. The "
+    "output vector is serialized '|'-joined fixed-scale DECIMAL(20,4) "
+    "strings (NULL components spelled 'null'), not a raw array column: "
+    "driver-side result canonicalizers sort through pandas, which "
+    "cannot hash list cells, so every registered query's final schema "
+    "must be scalar (enforced by tests/test_plan_lint.py). The stats "
     "branch re-scans the exploded projection — at 100 TB persist the "
     "slim projection or accept the second column-pruned scan.",
     tags=("vectors", "embeddings", "ml-prep", "aggregate"),
@@ -133,15 +141,25 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     std = F.sqrt(
         F.try_divide(F.col("sxx") - F.col("sx") * F.col("sx") / nd, nd - 1)
     )
-    z = F.round(F.try_divide(v - mean, std).cast("decimal(30,12)"), 4).cast("double")
+    # fixed-scale decimal string per component: DECIMAL(20,4)::string
+    # renders identically ("x.xxxx", no sign on zero, trailing zeros
+    # kept) in Spark and DuckDB, so the joined string is bit-stable
+    z = F.round(F.try_divide(v - mean, std).cast("decimal(30,12)"), 4).cast(
+        "decimal(20,4)"
+    )
     return (
         dims.join(F.broadcast(stats), "dim")
         .select("vec_id", "dim", z.alias("z"))
         .groupBy("vec_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "z"))),
-                lambda s: s["z"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "z"))),
+                    lambda s: F.coalesce(
+                        s["z"].cast("string"), F.lit("null")
+                    ),
+                ),
+                "|",
             ).alias("zvec")
         )
         .orderBy("vec_id")

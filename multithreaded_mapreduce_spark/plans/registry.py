@@ -142,21 +142,24 @@ def _load() -> None:
 #: in module registration order and is covered by the local gate
 #: (tests/test_oracle_parity.py).
 #:
-#: ROTATION (r6): rounds 1-5 drove 147 distinct queries through the
-#: driver's hash (of 196 oracle-bearing as of the r6 pin). This round
-#: repoints the window at 45 of the 49 never-driver-checked queries:
-#: ``approx_count_distinct_parts`` first (the only query whose driver
-#: history is a FAIL — ``no_oracle`` in r1/r2 — never re-checked since
-#: the oracle landed), then the six round-5 operators, the round-5
-#: rows-only promotions, and the r1-era stragglers. Four low-risk
-#: queries with driver-green mechanical twins wait for r7
-#: (``media_text_frames`` ~ ``media_frame_dedup``,
-#: ``nation_revenue_share`` ~ ``segment_revenue_share``,
-#: ``length_gate_survivors`` ⊂ ``pretraining_funnel_report``,
-#: ``heavy_hitters_exact`` ~ ``heavy_hitters_cms``'s exact join side).
-#: Cumulative driver-verified coverage 147 → 192 of 196, keeping the
-#: same 5 canaries as every previous round. Earlier windows remain
-#: covered by the local type-sensitive sf0.01 gate
+#: ROTATION (r7): rounds 1-6 drove 191 distinct queries through the
+#: driver's hash (of 204 oracle-bearing as of the r7 pin; r6 went
+#: 49/50 green — the one ``err`` was ``embedding_standardize``'s raw
+#: ``array<double>`` output crashing the driver's pandas
+#: canonicalizer, fixed this round and lint-banned for good in
+#: tests/test_plan_lint.py::test_final_schema_is_scalar). This window
+#: closes the catalog: guaranteed slots for ALL 13 queries without a
+#: driver-green row — ``embedding_standardize`` (re-check after the
+#: array_join fix), the four r5-deferred low-risk twins
+#: (``media_text_frames``, ``nation_revenue_share``,
+#: ``length_gate_survivors``, ``heavy_hitters_exact``) and the eight
+#: r6 operators — plus any operators new this round, with the
+#: remaining slots spent re-greening one representative per module
+#: family from the r1-r4 era (TPC-H joins, dedup heavies including the
+#: r6 contraction-CC rewrite, sources, streaming twins, sampling,
+#: analytics). Cumulative driver-verified coverage 191 -> 204 of 204,
+#: keeping the same 5 canaries as every previous round. Earlier
+#: windows remain covered by the local type-sensitive sf0.01 gate
 #: (tests/test_oracle_parity.py).
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
@@ -165,59 +168,60 @@ FRONT_WINDOW: tuple[str, ...] = (
     "join_chain_revenue",
     "dedup_exact",
     "knn_cosine_bruteforce",
-    # the one query with unresolved driver-FAIL history (r1/r2)
-    "approx_count_distinct_parts",
-    # round-5 operators (never driver-checked: registered post-pin)
-    "bpe_learn_merges",
-    "bpe_encode_corpus",
-    "dedup_containment",
-    "knn_mmr_rerank",
-    "quality_weighted_sample",
-    "source_overlap_matrix",
-    # round-5 rows-only promotions
-    "streaming_user_sessions",
-    "streaming_stateful_user_totals",
-    "pack_sequences_ffd",
-    # aggregation / SQL-surface stragglers
-    "sql_group_by_all",
-    "price_percentiles_by_flag",
-    "approx_price_percentiles",
-    "global_quantile_binning",
-    "multi_distinct_order_profile",
-    "heavy_hitters_cms",
-    "hll_distinct_users_rollup",
-    "broadcast_lookup_udf",
-    # time-series / anomaly stragglers
-    "events_gapfill_resample",
-    "events_incremental_rollup",
-    "events_zscore_anomalies",
-    "events_time_weighted_avg",
-    "order_price_histogram",
-    "pricing_summary_unpivot",
-    "orders_merge_upsert",
-    "schema_evolution_orders",
-    # text / embedding stragglers
-    "tfidf_top_terms",
-    "top_ngrams",
-    "zipf_vocab_fit",
-    "ccnet_perplexity_buckets",
-    "pii_pattern_audit",
-    "embedding_label_centroids",
+    # the r6 driver err: array output crashed the comparator; fixed
     "embedding_standardize",
-    # co-occurrence / graph / sequence stragglers
-    "token_cooccurrence_pmi",
-    "brand_basket_lift",
-    "token_triangle_counts",
-    "user_event_sequences",
-    "user_purchase_sequences",
-    "user_active_streaks",
-    "event_transition_matrix",
-    # pipeline-prep stragglers
-    "decontaminate_ngram_overlap",
-    "pack_training_sequences",
-    "chunk_documents",
-    "dedup_chunks",
-    "data_quality_audit",
+    # r6 operators (never driver-checked: registered post-pin)
+    "bpe_encode_documents",
+    "pack_bpe_sequences",
+    "pii_redact_documents",
+    "cluster_aware_split",
+    "script_char_profile",
+    "corpus_snapshot_diff",
+    "packing_efficiency_report",
+    "dedup_cluster_keep_best",
+    # the four r5-deferred twins
+    "media_text_frames",
+    "nation_revenue_share",
+    "length_gate_survivors",
+    "heavy_hitters_exact",
+    # re-greens: dedup heavies (incl. the r6 contraction-CC rewrite)
+    "dedup_components",
+    "dedup_embedding_components",
+    "dedup_jaccard_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_verified",
+    "dedup_simhash_verified",
+    "dedup_exact_substr",
+    "winnowing_fingerprints",
+    # re-greens: similarity / vectors
+    "knn_ivf_exact_ann",
+    "knn_quantized_ann",
+    "kmeans_lloyd",
+    "embedding_top_pc",
+    # re-greens: text quality / corpus
+    "doc_quality_composite",
+    "pretraining_funnel_report",
+    "language_id",
+    "repetition_metrics",
+    # re-greens: TPC-H spread (incl. the bridged variants)
+    "q3_shipping_priority",
+    "q7_volume_shipping",
+    "q9_profit_by_nation",
+    "q18_large_volume_customers",
+    "q2_min_cost_supplier",
+    "q20_concentrated_shippers",
+    # re-greens: sources / sessions / streaming twins
+    "csv_source_orders_by_priority",
+    "xml_source_customer_segments",
+    "wordcount_custom_source",
+    "orc_source_lineitem_q6",
+    "user_sessions",
+    "events_session_window_native",
+    "streaming_dedup_exactly_once",
+    # re-greens: sampling / warehouse analytics
+    "train_test_split",
+    "split_leakage_audit",
+    "scd2_customer_history",
 )
 
 

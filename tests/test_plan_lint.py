@@ -282,3 +282,72 @@ def test_codegen_budget_lint_detects_blowup(spark):
     assert mx > _CODEGEN_METHOD_BOUND, (
         f"negative control only reached {mx} B — lint would not fire"
     )
+
+
+# --------------------------------------------------------------------------
+# Output-schema lint: no complex-typed columns in a final result
+# --------------------------------------------------------------------------
+
+#: VERDICT r6 task 2: the driver's result canonicalizer sorts result
+#: frames through pandas, and pandas cannot hash list/dict cells — a
+#: query whose FINAL schema carries ArrayType/MapType/StructType ends
+#: the driver check in ``err`` instead of a verdict (the r6
+#: ``embedding_standardize`` crash: its raw ``array<double>`` zvec was
+#: the only such column in the whole registry). Complex types are fine
+#: INSIDE a plan; the lint bans them only from the output schema of
+#: oracle-bearing queries. Rows-only queries are exempt (the driver
+#: only counts their rows), and streaming builders are excluded here
+#: as in the other lints (their schemas are asserted by their own
+#: tests and their oracle-bearing twins are already driver-green with
+#: scalar schemas).
+_COMPLEX = ("ArrayType", "MapType", "StructType")
+
+_ORACLE_LINTABLE = sorted(
+    n
+    for n, q in _QUERIES.items()
+    if q.oracle is not None and "streaming" not in q.tags
+)
+
+
+def _complex_columns(schema) -> list[str]:
+    return [
+        f.name
+        for f in schema.fields
+        if type(f.dataType).__name__ in _COMPLEX
+    ]
+
+
+@pytest.mark.parametrize("name", _ORACLE_LINTABLE)
+def test_final_schema_is_scalar(spark, sf_dir, name):
+    bad = _complex_columns(_QUERIES[name].builder(spark, sf_dir).schema)
+    assert not bad, (
+        f"{name}: complex-typed output column(s) {bad} — the driver's "
+        "pandas canonicalizer cannot hash list/dict cells (r6 "
+        "embedding_standardize err). Serialize through array_join/"
+        "to_json/md5 or explode to scalar rows before returning."
+    )
+
+
+def test_scalar_schema_lint_detects_arrays(spark):
+    """Negative control: embedding_standardize's PRE-fix output shape
+    (collect_list reassembled into a raw array<double> column) must be
+    flagged, proving the lint fires on the exact schema that crashed
+    the r6 driver comparator."""
+    from pyspark.sql import functions as F
+
+    prefix = (
+        spark.range(8)
+        .select(
+            (F.col("id") % 2).alias("vec_id"),
+            F.col("id").cast("double").alias("z"),
+            F.col("id").alias("dim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "z"))),
+                lambda s: s["z"],
+            ).alias("zvec")
+        )
+    )
+    assert _complex_columns(prefix.schema) == ["zvec"]
