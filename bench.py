@@ -20,7 +20,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from multithreaded_mapreduce_spark.plans.caching import release_tracked  # noqa: E402
+from multithreaded_mapreduce_spark.plans.caching import (  # noqa: E402
+    release_result_memos,
+    release_tracked,
+    result_memo_stats,
+)
 from multithreaded_mapreduce_spark.plans.registry import all_queries  # noqa: E402
 from multithreaded_mapreduce_spark.session import get_spark  # noqa: E402
 
@@ -136,7 +140,16 @@ def main() -> None:
     # query's samples ~sweep-length apart — the per-pass subtotals
     # bracket the steal band natively, and no same-code A/B re-run is
     # ever needed to read a round-over-round delta.
-    per_pass = max(1, n_runs // 2)
+    # ADVICE r6: an odd run count would silently round down (5 -> 4
+    # effective runs) and break the "min-of-N only comparable at the
+    # same n_runs" rule — reject it instead of quietly adjusting
+    if n_runs < 2 or n_runs % 2:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_RUNS={n_runs}: must be an even count >= 2 "
+            "(two temporally-separated sweeps of n_runs/2 each; an odd "
+            "value would silently change the effective sample count)"
+        )
+    per_pass = n_runs // 2
     pass_runs: list[dict[str, list[float]]] = []
     for _pass in range(2):
         this_pass: dict[str, list[float]] = {}
@@ -145,6 +158,11 @@ def main() -> None:
             runs: list[float] = []
             for _ in range(per_pass):
                 release_tracked()  # builder-internal persists from the prior run
+                # evict the cross-query result memos (the shared CC
+                # labels) so every timed run pays the FULL cold plan —
+                # keeps per-query numbers comparable round-over-round;
+                # the warm memo-hit cost is measured separately below
+                release_result_memos()
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 q.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -159,6 +177,29 @@ def main() -> None:
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
 
+    # CC-memo measurement (VERDICT r6 task 5): the three components
+    # consumers share one memoized label pass when run back-to-back in
+    # a session (the driver gate / a real pipeline) — time the trio
+    # once cold-then-warm, OUTSIDE the headline totals, and stamp it.
+    cc_trio = ("dedup_components", "cluster_aware_split", "dedup_cluster_keep_best")
+    release_tracked()
+    release_result_memos()
+    spark.catalog.clearCache()
+    cc_warm: dict[str, float] = {}
+    for name in cc_trio:
+        release_tracked()  # keep per-build persists released; memo stays
+        t0 = time.perf_counter()
+        queries[name].builder(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        cc_warm[name] = round(time.perf_counter() - t0, 3)
+    cc_memo_stamp = {
+        "trio_seconds": cc_warm,
+        "trio_total": round(sum(cc_warm.values()), 3),
+        "stats": result_memo_stats("jaccard_doc_components"),
+    }
+    release_result_memos()
+
     total = round(sum(timings.values()), 3)
     r3_set = HEADLINE[: HEADLINE.index("kmeans_lloyd")]
     r4_set = HEADLINE[: HEADLINE.index("pretraining_funnel_report")]
@@ -172,6 +213,7 @@ def main() -> None:
     # stamped for drift tracking across rounds (VERDICT r4 task 8 /
     # r5 task 8)
     from multithreaded_mapreduce_spark.operators.anomaly import LAST_ZSCORE_DECISION
+    from multithreaded_mapreduce_spark.operators import dedup as _dedup
     from multithreaded_mapreduce_spark.operators.dedup import (
         LAST_CONTAINMENT_DECISION,
         LAST_JACCARD_DECISION,
@@ -216,6 +258,11 @@ def main() -> None:
         "jaccard_auto_decision": LAST_JACCARD_DECISION,
         "zscore_auto_decision": LAST_ZSCORE_DECISION,
         "ngram_dfcut_auto_decision": LAST_NGRAM_DFCUT_DECISION,
+        # shared-CC memo: first entry cold (miss), the next two are
+        # memo hits — the pipeline-shaped cost of the components trio
+        "cc_memo_decision": cc_memo_stamp,
+        # label-sized CC relations broadcast vs shuffle (node ceiling)
+        "cc_bcast_auto_decision": _dedup.LAST_CC_BCAST_DECISION,
         "sf": _sf_from_dir(sf_dir),
     }
     line = json.dumps(result)

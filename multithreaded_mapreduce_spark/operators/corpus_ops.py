@@ -747,7 +747,14 @@ def _bpe_train(
     n_vocab = words.count()
     state_parts = max(1, min(32, n_vocab // _BPE_ROWS_PER_STATE_PART))
     if state_parts < 32:
+        wide = words
         words = words.coalesce(state_parts).transform(tracked_persist)
+        # materialize the coalesced copy from the cached wide partitions
+        # (a cache-read pass, not a rescan), then drop the wide copy —
+        # otherwise BOTH vocab-relation caches stay resident for the
+        # rest of the build (ADVICE r6)
+        words.count()
+        wide.unpersist()
     merges: list[tuple[int, str, str, int]] = []
     for k in range(1, BPE_MERGE_ROUNDS + 1):
         pair_arr = F.when(

