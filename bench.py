@@ -94,6 +94,13 @@ HEADLINE = (
     # the components stage plus one doc-count join — cost-identical to
     # cluster_aware_split above, which already regression-tracks that
     # plan class (probe row in SCALE.md instead)
+    # r7: the round-7 operators above 0.4 s at sf0.1 — everything above
+    # this line is the r7 49-query set whose total is total_r7_comparable
+    "dedup_components",              # contraction-CC (VERDICT r6 task 4)
+    "knn_pq_ann",                    # product-quantized ANN + codebook train
+    "dedup_threshold_sweep",         # one-pass multi-threshold calibration
+    "hard_negative_mining",          # cross-label nearest negatives
+    "shingle_novelty_scores",        # first-seen shingle fraction per doc
 )
 
 
@@ -205,6 +212,7 @@ def main() -> None:
     r4_set = HEADLINE[: HEADLINE.index("pretraining_funnel_report")]
     r5_set = HEADLINE[: HEADLINE.index("knn_mmr_rerank")]
     r6_set = HEADLINE[: HEADLINE.index("bpe_encode_documents")]
+    r7_set = HEADLINE[: HEADLINE.index("dedup_components")]
 
     def _pass_subtotal(p: dict[str, list[float]], names) -> float:
         return round(sum(min(p[n]) for n in names), 3)
@@ -235,10 +243,12 @@ def main() -> None:
         "total_r4_comparable": round(sum(timings[n] for n in r4_set), 3),
         "total_r5_comparable": round(sum(timings[n] for n in r5_set), 3),
         "total_r6_comparable": round(sum(timings[n] for n in r6_set), 3),
+        "total_r7_comparable": round(sum(timings[n] for n in r7_set), 3),
         "median_total_r3_comparable": round(sum(medians[n] for n in r3_set), 3),
         "median_total_r4_comparable": round(sum(medians[n] for n in r4_set), 3),
         "median_total_r5_comparable": round(sum(medians[n] for n in r5_set), 3),
         "median_total_r6_comparable": round(sum(medians[n] for n in r6_set), 3),
+        "median_total_r7_comparable": round(sum(medians[n] for n in r7_set), 3),
         # same-code two-sweep band: [pass_a, pass_b] per comparable set
         # — compare rounds quiet-to-quiet (the smaller element)
         "steal_band": {
@@ -250,6 +260,9 @@ def main() -> None:
             ),
             "total_r6_comparable": sorted(
                 _pass_subtotal(p, r6_set) for p in pass_runs
+            ),
+            "total_r7_comparable": sorted(
+                _pass_subtotal(p, r7_set) for p in pass_runs
             ),
         },
         "runs_per_query": per_pass * 2,

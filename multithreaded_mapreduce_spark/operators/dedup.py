@@ -36,6 +36,9 @@ from ..plans.registry import register
 from ..sources.tables import load_table, spread
 
 JACCARD_THRESHOLD = 0.8
+#: shingle width shared by the ngram-jaccard family and the novelty
+#: scorer (defined up here: both sections' oracles interpolate it)
+NGRAM_N = 3
 COSINE_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal; max ≈ 0.47
 
 # ------------------------------------------------------------------
@@ -257,6 +260,206 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this is the query's largest relation — same policy as the other
     # pair producers since r4)
     return pairs.unionByName(within)
+
+
+# ------------------------------------------------------------------
+# threshold sweep: the "which dedup threshold?" calibration report
+# ------------------------------------------------------------------
+
+#: sweep grid over the jaccard pair relation — bounded below by the
+#: base JACCARD_THRESHOLD (pairs under it are never materialized)
+SWEEP_THRESHOLDS = (0.80, 0.85, 0.90, 0.95, 1.00)
+
+_SWEEP_PAIRS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS token
+  FROM documents
+), toks_clean AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks_clean GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM toks_clean a
+  JOIN toks_clean b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT s.doc_a, s.doc_b,
+         CAST(s.c AS DOUBLE) / (sa.n + sb.n - s.c) AS jaccard
+  FROM shared s
+  JOIN sizes sa ON s.doc_a = sa.doc_id
+  JOIN sizes sb ON s.doc_b = sb.doc_id
+  WHERE CAST(s.c AS DOUBLE) / (sa.n + sb.n - s.c) >= {JACCARD_THRESHOLD}
+)
+"""
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=_SWEEP_PAIRS_CTE
+    + f""", thr AS (
+  SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in SWEEP_THRESHOLDS)}])
+         AS threshold
+), melt AS (
+  SELECT jaccard, doc_a AS d FROM pairs
+  UNION ALL
+  SELECT jaccard, doc_b AS d FROM pairs
+)
+SELECT t.threshold,
+       (SELECT count(*) FROM pairs p
+         WHERE p.jaccard >= t.threshold) AS n_pairs,
+       (SELECT count(DISTINCT m.d) FROM melt m
+         WHERE m.jaccard >= t.threshold) AS n_docs
+FROM thr t
+ORDER BY t.threshold
+""",
+    description="Dedup-threshold calibration sweep: pair and affected-"
+    "document counts at every candidate jaccard cut in ONE pass over "
+    "the >= 0.8 pair relation — the report a curation team reads "
+    "before committing to a near-dup threshold (too low deletes "
+    "paraphrases, too high keeps boilerplate). The pair relation is "
+    "computed once (persisted) and each count is a conditional "
+    "aggregate, so the sweep costs one pair materialization plus two "
+    "tiny aggregation passes regardless of how many thresholds are "
+    "graded; thresholds below the base cut would need a cheaper-"
+    "threshold pair pass, which is why the grid starts at the "
+    "production 0.8.",
+    tags=("dedup", "neardup", "jaccard", "report"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_jaccard_pairs(spark, sf_dir).transform(tracked_persist)
+    np_cols = [
+        F.coalesce(
+            F.sum(F.when(F.col("jaccard") >= F.lit(t), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"np_{i}")
+        for i, t in enumerate(SWEEP_THRESHOLDS)
+    ]
+    nd_cols = [
+        F.count_distinct(
+            F.when(F.col("jaccard") >= F.lit(t), F.col("d"))
+        ).alias(f"nd_{i}")
+        for i, t in enumerate(SWEEP_THRESHOLDS)
+    ]
+    agg_pairs = pairs.agg(*np_cols)
+    melted = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("d"), "jaccard"
+    )
+    agg_docs = melted.agg(*nd_cols)
+    one = agg_pairs.crossJoin(agg_docs)
+    stack = ", ".join(
+        f"{t}D, np_{i}, nd_{i}" for i, t in enumerate(SWEEP_THRESHOLDS)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(SWEEP_THRESHOLDS)}, {stack}) "
+            "AS (threshold, n_pairs, n_docs)"
+        )
+    ).orderBy("threshold")
+
+
+# ------------------------------------------------------------------
+# shingle novelty: how much of each doc is first-seen content?
+# ------------------------------------------------------------------
+
+
+@register(
+    "shingle_novelty_scores",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS ts
+  FROM documents WHERE doc_id IS NOT NULL
+), sh_raw AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(ts) >= {NGRAM_N}
+                THEN list_transform(range(1, len(ts) - {NGRAM_N - 2}),
+                                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh_raw
+), first_seen AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(round(CAST(
+         CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS DECIMAL(30,12)), 6) AS DOUBLE) AS novelty
+FROM sh s JOIN first_seen f USING (shingle)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+    description=f"Per-document novelty against the whole corpus: the "
+    f"fraction of a doc's distinct {NGRAM_N}-token shingles whose "
+    "FIRST occurrence (smallest doc_id — ingestion order on this "
+    "corpus) is this document. Boilerplate-heavy docs score near 0, "
+    "fresh content near 1 — the per-doc signal behind 'keep the "
+    "earliest, drop re-crawls' retention policies, and the document-"
+    "level view of what decontaminate/ExactSubstr decide span-by-"
+    "span. Shingles hash to 8-byte longs before the shuffle (text "
+    "never shuffles); the novelty join is shingle-hash equi-keyed, "
+    "so the plan is two map-side-combinable aggregates on the same "
+    "key. NULL-id docs have no identity to attribute novelty to and "
+    "are excluded identically in both engines (splitter contract).",
+    tags=("dedup", "ngram", "text", "quality"),
+)
+def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    # same tokenize-in-own-projection rule as dedup_ngram_jaccard: a
+    # bound column evaluates the split once per row
+    tok_df = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0).alias("ts"),
+    )
+    ts = F.col("ts")
+    shingle_arr = F.when(
+        F.size(ts) >= NGRAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - (NGRAM_N - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ts, i, NGRAM_N))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # distinct collapses the duplicate-id fixture's repeated rows the
+    # same way the oracle's SELECT DISTINCT does
+    sh = (
+        tok_df.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        .distinct()
+        .transform(tracked_persist)
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(
+                (novel.cast("double") / F.count(F.lit(1))).cast(
+                    "decimal(30,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ------------------------------------------------------------------
@@ -538,7 +741,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram (shingle) Jaccard near-dup: order-sensitive variant
 # ------------------------------------------------------------------
 
-NGRAM_N = 3
 NGRAM_JACCARD_THRESHOLD = 0.5
 
 #: hot-shingle df-cut (VERDICT r5 task 4 — the production knob

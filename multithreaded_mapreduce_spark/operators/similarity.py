@@ -1041,3 +1041,420 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fail-fast guard: the plan reads tracked checkpoint blocks, which
     # the NEXT top-level build releases (see plans/caching.py)
     return guard_checkpoint_result(selu.orderBy("query_id", "rnk"))
+
+
+# ------------------------------------------------------------------
+# hard-negative mining: nearest vectors with a DIFFERENT label
+# ------------------------------------------------------------------
+
+HARD_NEG_K = 5
+
+
+@register(
+    "hard_negative_mining",
+    oracle=_DOT_CTE.format(n_queries=N_QUERIES).replace(
+        "SELECT vec_id, embedding FROM embeddings",
+        "SELECT vec_id, embedding, label FROM embeddings",
+    )
+    + f"""
+, dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label AS n_label,
+         CAST(sum(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM queries q
+  JOIN embeddings e ON e.label != q.label AND e.vec_id != q.vec_id
+  CROSS JOIN dims
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT d.query_id, d.neighbor_id, d.n_label,
+         CAST(round(CAST(d.dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nn ON d.neighbor_id = nn.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, n_label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, n_label, cosine, rnk
+FROM ranked WHERE rnk <= {HARD_NEG_K}
+ORDER BY query_id, rnk
+""",
+    description=f"Hard-negative mining for contrastive training: for "
+    f"each anchor (the {N_QUERIES} query vectors), the top-{HARD_NEG_K} "
+    "most-cosine-similar vectors whose label DIFFERS — maximally "
+    "confusable negatives, the batch-construction step behind triplet/"
+    "InfoNCE pipelines (random negatives are too easy; these sit at "
+    "the decision boundary). The label inequality lives in the join "
+    "condition so only cross-label pairs are ever scored; the two-"
+    "phase ranking (cheap double cosine for the buffer cut, exact "
+    "decimal rescore of the buffer) is shared with every other kNN "
+    "variant. NULL-label vectors compare UNKNOWN on both engines and "
+    "mine nothing. At 100 TB the anchor set broadcasts and the corpus "
+    "streams — no shuffle of embeddings.",
+    tags=("similarity", "knn", "ml-prep", "sampling"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        norm_sq_fast("embedding").alias("q_nsq"),
+    )
+    neighbors = spread(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            F.col("embedding").alias("n_emb"),
+            norm_sq_fast("embedding").alias("n_nsq"),
+        )
+    )
+    prelim = (
+        F.broadcast(queries)
+        .join(
+            neighbors,
+            (F.col("q_label") != F.col("n_label"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "neighbor_id",
+            "n_label",
+            "n_emb",
+            # try_divide: zero-vector norms → NULL approx, ranked last
+            F.try_divide(
+                dot_fast("q_emb", "n_emb"),
+                F.sqrt(F.col("q_nsq") * F.col("n_nsq")),
+            ).alias("approx"),
+        )
+    )
+    buffer = _rescore_buffer(prelim)
+    scored = buffer.select(
+        "query_id",
+        "neighbor_id",
+        "n_label",
+        _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ------------------------------------------------------------------
+# product-quantized ANN (deterministic codebooks → fully oracle-checked)
+# ------------------------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_SUBDIM = 8   # dims per subspace (PQ_M * PQ_SUBDIM = 64)
+PQ_K = 8        # centroids per subspace codebook (3-bit codes)
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
+    """Deterministic PQ codebooks: per subspace, PQ_K seeds = the
+    sub-vectors of the PQ_K smallest vec_ids, then ONE Lloyd update
+    (assign by ordered-IEEE-fold distance with smallest-k tie-break,
+    re-center with exact-decimal means snapped to 6 dp, empty clusters
+    keep their seed) — the kmeans_lloyd recipe per subspace, so a SQL
+    oracle replays every value bit-for-bit. Returns
+    {m: {k: [PQ_SUBDIM floats]}} ({} on an empty corpus). Driver state
+    is bounded: the seed collect is <= PQ_K rows, the mean collect is
+    <= PQ_M*PQ_K*PQ_SUBDIM = 512 rows (the MLlib driver-state
+    pattern, same budget note as lloyd_centroids)."""
+    from .vectors import DECV, lloyd_vectors
+
+    emb = lloyd_vectors(spark, sf_dir)
+    seeds = emb.orderBy("vec_id").limit(PQ_K).collect()
+    if not seeds:
+        return {}
+    cents = {
+        m: {
+            i: [float(x) for x in r.v[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]]
+            for i, r in enumerate(seeds)
+        }
+        for m in range(PQ_M)
+    }
+    assigns = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        _pq_best(m, cents[m])["k"].alias("k"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("a"),
+    ).select("vec_id", F.col("a.m").alias("m"), F.col("a.k").alias("k"))
+    xj = emb.select("vec_id", F.posexplode("v").alias("dim", "x")).select(
+        "vec_id",
+        (F.col("dim") / PQ_SUBDIM).cast("int").alias("m"),
+        F.pmod(F.col("dim"), F.lit(PQ_SUBDIM)).cast("int").alias("j"),
+        "x",
+    )
+    means = (
+        assigns.join(xj, ["vec_id", "m"])
+        .groupBy("m", "k", "j")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("x").cast(DECV)).cast("double")
+                    / F.count(F.lit(1))
+                ).cast("decimal(30,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("c")
+        )
+        .collect()
+    )
+    got = {(r.m, r.k, r.j): float(r.c) for r in means}
+    return {
+        m: {
+            k: [
+                got.get((m, k, j), cents[m][k][j])
+                for j in range(len(cents[m][k]))
+            ]
+            for k in cents[m]
+        }
+        for m in cents
+    }
+
+
+def _pq_best(m: int, cents_m: dict):
+    """Min (d, k, c) struct for subspace ``m``: distance of the row's
+    m-th sub-slice of ``v`` to each literal centroid as the same
+    ordered IEEE fold the oracle's list_reduce replays; struct order
+    (d, k, c) breaks distance ties on the smallest centroid id (c is
+    never compared — (d, k) is unique)."""
+    sub = F.slice(F.col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.array(*[F.lit(float(c)) for c in cents_m[k]]).alias("c"),
+            )
+            for k in sorted(cents_m)
+        ]
+    )
+    dists = F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(sub, s["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            ).alias("d"),
+            s["k"].alias("k"),
+            s["c"].alias("c"),
+        ),
+    )
+    return F.array_min(dists)
+
+
+def _build_pq_oracle() -> str:
+    """Unrolled deterministic-PQ oracle: per-subspace seed/assign/
+    re-center CTEs build the identical codebooks, every vector encodes
+    to its nearest centroid per subspace, reconstructions drive the
+    approx ranking, and the buffer gets the exact-decimal cosine
+    rescore — the same two-phase shape as the other kNN oracles."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform({x}.sv, (a, i) -> (a - {c}.c[i]) * (a - {c}.c[i]))), "
+        "(acc, y) -> acc + y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+), x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM e
+), xj AS (
+  SELECT vec_id, CAST(dim // {PQ_SUBDIM} AS INT) AS m,
+         CAST(dim % {PQ_SUBDIM} AS INT) AS j, x
+  FROM x
+), xs AS (
+  SELECT vec_id, m, list(x ORDER BY j) AS sv FROM xj GROUP BY vec_id, m
+), seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, vec_id
+  FROM e ORDER BY vec_id LIMIT {PQ_K}
+), c0 AS (
+  SELECT s.k, xs.m, xs.sv AS c FROM seed s JOIN xs USING (vec_id)
+), d0 AS (
+  SELECT xs.vec_id, xs.m, c0.k, {fold.format(x="xs", c="c0")} AS d
+  FROM xs JOIN c0 USING (m)
+), a0 AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM d0
+  ) WHERE rn = 1
+), c1m AS (
+  SELECT a0.m, a0.k, xj.j,
+         CAST(round(CAST(CAST(sum(CAST(xj.x AS DECIMAL(38,12))) AS DOUBLE)
+              / count(*) AS DECIMAL(30,12)), 6) AS DOUBLE) AS c
+  FROM a0 JOIN xj ON a0.vec_id = xj.vec_id AND a0.m = xj.m
+  GROUP BY 1, 2, 3
+), c0j AS (
+  SELECT k, m, generate_subscripts(c, 1) - 1 AS j, unnest(c) AS c
+  FROM c0
+), c1 AS (
+  SELECT c0j.m, c0j.k, c0j.j, coalesce(c1m.c, c0j.c) AS c
+  FROM c0j LEFT JOIN c1m
+    ON c0j.m = c1m.m AND c0j.k = c1m.k AND c0j.j = c1m.j
+), c1l AS (
+  SELECT m, k, list(c ORDER BY j) AS c FROM c1 GROUP BY m, k
+), d1 AS (
+  SELECT xs.vec_id, xs.m, c1l.k, {fold.format(x="xs", c="c1l")} AS d
+  FROM xs JOIN c1l USING (m)
+), code AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM d1
+  ) WHERE rn = 1
+), rx AS (
+  SELECT cd.vec_id, cd.m * {PQ_SUBDIM} + c1j.j AS dim, c1j.c AS rxv
+  FROM code cd
+  JOIN (SELECT m, k, generate_subscripts(c, 1) - 1 AS j, unnest(c) AS c
+        FROM c1l) c1j
+    ON c1j.m = cd.m AND c1j.k = cd.k
+), norms AS (
+  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(30,20))) AS DOUBLE) AS nsq
+  FROM x GROUP BY 1
+), rnorms AS (
+  SELECT vec_id,
+         CAST(sum(CAST(rxv * rxv AS DECIMAL(30,20))) AS DOUBLE) AS rnsq
+  FROM rx GROUP BY 1
+), adots AS (
+  SELECT xq.vec_id AS query_id, rx.vec_id AS neighbor_id,
+         CAST(sum(CAST(xq.x * rx.rxv AS DECIMAL(30,20))) AS DOUBLE) AS adot
+  FROM x xq
+  JOIN rx ON rx.dim = xq.dim AND rx.vec_id != xq.vec_id
+  WHERE xq.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+), prelim AS (
+  SELECT a.query_id, a.neighbor_id,
+         row_number() OVER (PARTITION BY a.query_id
+                            ORDER BY a.adot / (sqrt(nq.nsq) * sqrt(rn.rnsq))
+                                     DESC, a.neighbor_id) AS prnk
+  FROM adots a
+  JOIN norms nq ON a.query_id = nq.vec_id
+  JOIN rnorms rn ON a.neighbor_id = rn.vec_id
+), buffer AS (
+  SELECT query_id, neighbor_id FROM prelim WHERE prnk <= {RESCORE_BUFFER}
+), exact_dots AS (
+  SELECT b.query_id, b.neighbor_id,
+         CAST(sum(CAST(xq.x * xn.x AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM buffer b
+  JOIN x xq ON xq.vec_id = b.query_id
+  JOIN x xn ON xn.vec_id = b.neighbor_id AND xn.dim = xq.dim
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(round(CAST(d.dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) AS cosine
+  FROM exact_dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nn ON d.neighbor_id = nn.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY query_id, rnk
+"""
+
+
+@register(
+    "knn_pq_ann",
+    oracle=_build_pq_oracle(),
+    description=f"Product-quantized ANN top-{TOP_K} with DETERMINISTIC "
+    f"codebooks: {PQ_M} subspaces x {PQ_SUBDIM} dims, {PQ_K} centroids "
+    "each (one exact-decimal Lloyd update from smallest-vec_id seeds — "
+    "the kmeans_lloyd recipe per subspace), every vector compressed to "
+    f"{PQ_M} 3-bit codes, candidates ranked by cosine against the "
+    "codebook RECONSTRUCTION, and only the rescore buffer fetches true "
+    "vectors for the exact-decimal rerank. The search plan is the real "
+    "PQ shape: the scored relation carries (vec_id, codes) — "
+    f"{PQ_M} bytes instead of 256 — so at 100 TB the ANN scan reads "
+    "a ~30x smaller index and the full-precision corpus is touched "
+    "only by the buffer-sized rerank join. Codebooks, codes, and "
+    "reconstructions are all bit-identical to the unrolled DuckDB "
+    "oracle (ordered IEEE folds + snapped decimal means), so the "
+    "whole index — not just its recall — is value-hash-checked.",
+    tags=("similarity", "knn", "ann", "quantization", "vectors"),
+)
+def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import lloyd_vectors
+
+    cents = _pq_codebooks(spark, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [], "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE, rnk INT"
+        )
+    emb = lloyd_vectors(spark, sf_dir)
+    # --- encode: codes + reconstruction in ONE projection (the best
+    # struct per subspace carries its centroid along, so no join)
+    bests = [_pq_best(m, cents[m]) for m in range(PQ_M)]
+    recon = F.flatten(F.array(*[b["c"] for b in bests]))
+    neighbors = spread(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            recon.alias("recon"),
+        ).withColumn("rnsq", norm_sq_fast("recon"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_emb"),
+        norm_sq_fast("v").alias("q_nsq"),
+    )
+    prelim = (
+        F.broadcast(queries)
+        .crossJoin(neighbors)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_emb",
+            "neighbor_id",
+            # try_divide: a zero (or zero-reconstruction) vector's norm
+            # product is 0 — NULL approx on both engines, ranked last
+            F.try_divide(
+                dot_fast("q_emb", "recon"),
+                F.sqrt(F.col("q_nsq") * F.col("rnsq")),
+            ).alias("approx"),
+        )
+    )
+    # tie-safe + hard-capped buffer cut — see _rescore_buffer
+    buffer = _rescore_buffer(prelim)
+    # rerank fetches TRUE vectors for the buffer only (the PQ deal:
+    # codes in the index, full precision only for the survivors)
+    truth = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("n_emb")
+    )
+    scored = buffer.join(truth, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        _rounded_cosine(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
+    )

@@ -193,11 +193,14 @@ FRONT_WINDOW: tuple[str, ...] = (
     "dedup_simhash_verified",
     "dedup_exact_substr",
     "winnowing_fingerprints",
+    # operators new this round (never driver-checked)
+    "knn_pq_ann",
+    "hard_negative_mining",
+    "dedup_threshold_sweep",
+    "shingle_novelty_scores",
     # re-greens: similarity / vectors
     "knn_ivf_exact_ann",
-    "knn_quantized_ann",
     "kmeans_lloyd",
-    "embedding_top_pc",
     # re-greens: text quality / corpus
     "doc_quality_composite",
     "pretraining_funnel_report",
@@ -215,11 +218,9 @@ FRONT_WINDOW: tuple[str, ...] = (
     "xml_source_customer_segments",
     "wordcount_custom_source",
     "orc_source_lineitem_q6",
-    "user_sessions",
     "events_session_window_native",
     "streaming_dedup_exactly_once",
     # re-greens: sampling / warehouse analytics
-    "train_test_split",
     "split_leakage_audit",
     "scd2_customer_history",
 )

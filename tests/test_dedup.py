@@ -482,3 +482,60 @@ def test_cluster_keep_best_one_rep_per_cluster_and_longest_wins(spark, sf_dir):
     for a, b in pairs:
         assert cluster_of[a] == cluster_of[b]
         assert not (keep_of[a] and keep_of[b]) or a == b
+
+
+def test_threshold_sweep_monotone_and_anchored(spark, sf_dir):
+    """The sweep is non-increasing in the threshold, its 0.8 row equals
+    the registered pair relation's own counts, and every grid point is
+    present even when empty."""
+    from multithreaded_mapreduce_spark.operators.dedup import SWEEP_THRESHOLDS
+
+    rows = {
+        r.threshold: r
+        for r in Q["dedup_threshold_sweep"].builder(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == sorted(SWEEP_THRESHOLDS)
+    seq = [rows[t] for t in sorted(rows)]
+    for lo, hi in zip(seq, seq[1:]):
+        assert lo.n_pairs >= hi.n_pairs
+        assert lo.n_docs >= hi.n_docs
+    pairs = Q["dedup_jaccard_pairs"].builder(spark, sf_dir).collect()
+    assert rows[0.8].n_pairs == len(pairs)
+    docs = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert rows[0.8].n_docs == len(docs)
+    exact = [r for r in pairs if r.jaccard >= 1.0]
+    assert rows[1.0].n_pairs == len(exact)
+
+
+def test_shingle_novelty_bounds_and_conservation(spark, sf_dir):
+    """novelty ∈ [0, 1]; the smallest shingle-bearing doc_id is fully
+    novel; Σ n_novel over docs = the number of distinct shingles in the
+    corpus (each shingle is novel exactly once — in its first doc)."""
+    rows = Q["shingle_novelty_scores"].builder(spark, sf_dir).collect()
+    assert rows, "corpus has shingle-bearing docs"
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert 0 <= r.n_novel <= r.n_shingles
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.n_novel == first.n_shingles and first.novelty == 1.0
+    from pyspark.sql import functions as F
+
+    from multithreaded_mapreduce_spark.operators.dedup import NGRAM_N
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id").isNotNull()
+    )
+    ts = F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+    sh = F.when(
+        F.size(ts) >= NGRAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - (NGRAM_N - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ts, i, NGRAM_N))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    n_distinct = (
+        docs.select(F.explode(sh).alias("s")).select("s").distinct().count()
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct
