@@ -1035,3 +1035,67 @@ def pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_tokens")
     )
     return pack_prefix_sum(toks)
+
+
+@register(
+    "tokenizer_fertility_report",
+    oracle=_bpe_training_ctes()
+    + _bpe_doc_ctes()
+    + """,
+src AS (
+  SELECT DISTINCT doc_id, source FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT s.source,
+       count(*) AS n_docs,
+       CAST(sum(coalesce(de.n_words, 0)) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(de.n_bpe_tokens, 0)) AS BIGINT) AS n_bpe_tokens,
+       CAST(round(CAST(
+         CAST(sum(coalesce(de.n_bpe_tokens, 0)) AS DOUBLE)
+           / nullif(sum(coalesce(de.n_words, 0)), 0)
+         AS DECIMAL(30,12)), 6) AS DOUBLE) AS fertility
+FROM src s LEFT JOIN de USING (doc_id)
+GROUP BY s.source
+ORDER BY s.source
+""",
+    description="Tokenizer fertility per source under the learned BPE "
+    "merges: eligible-word and encoded-token totals plus fertility = "
+    "tokens/word — the number every tokenizer evaluation reports "
+    "(high-fertility sources burn context budget; the signal behind "
+    "'train a bigger vocab' or 'drop this source' calls). Composes "
+    "the shared per-document encoding (one corpus scan broadcast-"
+    "joined against the vocab-sized trained relation) with a "
+    "source-level rollup; docs with zero eligible words still count "
+    "toward n_docs, and an all-ineligible source reports NULL "
+    "fertility identically in both engines. NULL-id docs are excluded "
+    "(no identity), NULL source is its own group.",
+    tags=("text", "tokenizer", "bpe", "report", "pipeline"),
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ids, per_doc = _bpe_doc_encoded(spark, sf_dir)
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "source")
+        .distinct()
+    )
+    sum_w = F.sum(F.coalesce("n_words", F.lit(0)))
+    sum_t = F.sum(F.coalesce("n_bpe_tokens", F.lit(0)))
+    return (
+        base.join(per_doc.select("doc_id", "n_words", "n_bpe_tokens"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            sum_w.cast("bigint").alias("n_words"),
+            sum_t.cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.try_divide(
+                    sum_t.cast("double"),
+                    F.when(sum_w == 0, F.lit(None)).otherwise(sum_w),
+                ).cast("decimal(30,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("fertility"),
+        )
+        .orderBy("source")
+    )

@@ -474,3 +474,70 @@ _REG["quality_weighted_sample"] = dataclasses.replace(
     _REG["quality_weighted_sample"], oracle=_qws_oracle()
 )
 del _REG
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified k-fold assignment
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+_KFOLD_DIGITS = 8
+
+
+def _kfold_oracle() -> str:
+    from .dedup import _oracle_hex_id
+
+    u = _oracle_hex_id("'fold:' || CAST(doc_id AS VARCHAR)", _KFOLD_DIGITS)
+    return f"""
+WITH base AS (
+  SELECT DISTINCT doc_id, source FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id, source,
+       CAST({u} % {KFOLD_K} AS INT) AS fold
+FROM base
+ORDER BY doc_id, source
+"""
+
+
+@register(
+    "stratified_kfold_assignment",
+    description=f"Deterministic {KFOLD_K}-fold cross-validation "
+    "assignment: fold = md5-uniform draw on the doc_id, reproducible "
+    "on any cluster size with no RNG and no shuffle (a pure scan "
+    "projection) — every executor computes the same fold for the same "
+    "document, so CV splits survive repartitioning, retries, and "
+    "re-runs. Stratification is free downstream: the fold draw is "
+    "independent of source, so within every stratum the folds are "
+    "md5-uniform (the same property quality_weighted_sample and "
+    "cluster_aware_split build on). NULL-id docs have no identity to "
+    "fold and are excluded identically in both engines.",
+    tags=("sampling", "ml-prep", "split"),
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _spark_hex_id
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "source")
+        .distinct()
+    )
+    u = _spark_hex_id(
+        F.concat(F.lit("fold:"), F.col("doc_id").cast("string")),
+        _KFOLD_DIGITS,
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        F.pmod(u, F.lit(KFOLD_K)).cast("int").alias("fold"),
+    ).orderBy("doc_id", "source")
+
+
+import dataclasses as _dc  # noqa: E402
+
+from ..plans.registry import _REGISTRY as _REG2  # noqa: E402
+
+_REG2["stratified_kfold_assignment"] = _dc.replace(
+    _REG2["stratified_kfold_assignment"], oracle=_kfold_oracle()
+)
+del _REG2

@@ -1182,28 +1182,43 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
         }
         for m in range(PQ_M)
     }
-    assigns = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        _pq_best(m, cents[m])["k"].alias("k"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("a"),
-    ).select("vec_id", F.col("a.m").alias("m"), F.col("a.k").alias("k"))
-    xj = emb.select("vec_id", F.posexplode("v").alias("dim", "x")).select(
-        "vec_id",
-        (F.col("dim") / PQ_SUBDIM).cast("int").alias("m"),
-        F.pmod(F.col("dim"), F.lit(PQ_SUBDIM)).cast("int").alias("j"),
-        "x",
+    # one scan, zero joins: each row emits (m, k, j, x) cells directly —
+    # the chosen centroid id rides along in the same flattened struct
+    # array as the sub-vector values, so the mean aggregate is the only
+    # exchange (64 slim cells per vector). The assignment is STAGED as
+    # real k{m} columns first: referencing _pq_best inside the transform
+    # lambda would re-evaluate the whole 8-centroid distance fold per
+    # ELEMENT (the r5 higher-order-fn argument-recompute trap), and a
+    # multi-referenced staged column is safe from CollapseProject
+    # re-inlining.
+    staged = emb.select(
+        "v",
+        *[_pq_best(m, cents[m])["k"].alias(f"k{m}") for m in range(PQ_M)],
+    )
+    def _cell_fn(m: int):
+        # bind m via closure: a `m=m` default would change the lambda's
+        # visible arity and break PySpark's higher-order-function binding
+        return lambda x, j: F.struct(
+            F.lit(m).alias("m"),
+            F.col(f"k{m}").alias("k"),
+            j.cast("int").alias("j"),
+            x.alias("x"),
+        )
+
+    cells = F.flatten(
+        F.array(
+            *[
+                F.transform(
+                    F.slice(F.col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM),
+                    _cell_fn(m),
+                )
+                for m in range(PQ_M)
+            ]
+        )
     )
     means = (
-        assigns.join(xj, ["vec_id", "m"])
+        staged.select(F.explode(cells).alias("c"))
+        .select("c.m", "c.k", "c.j", "c.x")
         .groupBy("m", "k", "j")
         .agg(
             F.round(

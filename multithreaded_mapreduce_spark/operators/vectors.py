@@ -686,3 +686,142 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding outlier report: distance-to-own-centroid z-scores
+# --------------------------------------------------------------------------
+
+#: z-score threshold above which a vector is flagged as a label outlier
+OUTLIER_Z = 2.0
+
+
+@register(
+    "embedding_outlier_report",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+), x AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM e
+), cent AS (
+  SELECT label, dim,
+         CAST(round(CAST(CAST(sum(CAST(v AS {DEC})) AS DOUBLE) / count(*)
+                         AS DECIMAL(30,12)), 6) AS DOUBLE) AS c
+  FROM x GROUP BY label, dim
+), centl AS (
+  SELECT label, list(c ORDER BY dim) AS c FROM cent GROUP BY label
+), xl AS (
+  SELECT vec_id, label,
+         list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+  FROM e
+), dist AS (
+  SELECT xl.vec_id, xl.label,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(xl.v, (a, i) -> (a - cl.c[i]) * (a - cl.c[i]))),
+           (acc, y) -> acc + y) AS d
+  FROM xl JOIN centl cl USING (label)
+), st AS (
+  SELECT label, count(*) AS n,
+         CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS sd,
+         CAST(sum(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS sdd
+  FROM dist GROUP BY label
+)
+SELECT dist.vec_id, dist.label,
+       CAST(round(CAST(dist.d AS DECIMAL(30,12)), 6) AS DOUBLE) AS dist,
+       CAST(round(CAST((dist.d - st.sd / st.n)
+              / sqrt((st.sdd - st.sd * st.sd / st.n) / (st.n - 1))
+            AS DECIMAL(30,12)), 6) AS DOUBLE) AS z,
+       CAST(round(CAST((dist.d - st.sd / st.n)
+              / sqrt((st.sdd - st.sd * st.sd / st.n) / (st.n - 1))
+            AS DECIMAL(30,12)), 6) AS DOUBLE) > {OUTLIER_Z} AS is_outlier
+FROM dist JOIN st USING (label)
+ORDER BY vec_id
+""",
+    description=f"Label-outlier detection over the embedding matrix — "
+    "the mislabeled/noisy-vector screen an ML data-cleaning pass runs "
+    "before contrastive training: squared L2 distance from every "
+    "vector to its OWN label centroid (snapped exact-decimal means, "
+    "ordered IEEE distance folds — bit-identical across engines), "
+    "per-label distance moments from exact decimal power sums, and a "
+    f"z-score flag at z > {OUTLIER_Z}. Degenerate labels (one member, "
+    "or identical members with zero distance spread) get NULL z and "
+    "NULL flag identically in both engines (try_divide ~ DuckDB NULL "
+    "division). Two slim shuffles: |labels|x64 centroid cells and "
+    "|labels| moment rows — vectors themselves never shuffle (the "
+    "centroid relation broadcasts back).",
+    tags=("vectors", "embeddings", "ml-prep", "quality", "aggregate"),
+)
+def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    )
+    # generate over the RAW column, cast after: a posexplode over the
+    # transformed array makes Catalyst infer size(transform(...)) > 0
+    # and push the whole per-element cast chain into the FileScan as a
+    # DataFilter (the plan-lint trap dedup_jaccard_pairs documents)
+    dims = base.select("label", F.posexplode("embedding").alias("dim", "x")).select(
+        "label", "dim", F.col("x").cast("double").alias("x")
+    )
+    emb = base.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda y: y.cast("double")).alias("v"),
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(
+            F.round(
+                (F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1)))
+                .cast("decimal(30,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("c")
+        )
+    )
+    centl = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("c")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    dist = emb.join(F.broadcast(centl), "label").select(
+        "vec_id", "label", d.alias("d")
+    )
+    st = dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("d").cast("decimal(38,12)")).cast("double").alias("sd"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sdd"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sd") / nd
+    std = F.sqrt(
+        F.try_divide(F.col("sdd") - F.col("sd") * F.col("sd") / nd, nd - 1)
+    )
+    z = F.round(
+        F.try_divide(F.col("d") - mean, std).cast("decimal(30,12)"), 6
+    ).cast("double")
+    return (
+        dist.join(F.broadcast(st), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("d").cast("decimal(30,12)"), 6)
+            .cast("double")
+            .alias("dist"),
+            z.alias("z"),
+            (z > OUTLIER_Z).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )

@@ -198,13 +198,15 @@ FRONT_WINDOW: tuple[str, ...] = (
     "hard_negative_mining",
     "dedup_threshold_sweep",
     "shingle_novelty_scores",
+    "tokenizer_fertility_report",
+    "embedding_outlier_report",
+    "stratified_kfold_assignment",
     # re-greens: similarity / vectors
     "knn_ivf_exact_ann",
     "kmeans_lloyd",
     # re-greens: text quality / corpus
     "doc_quality_composite",
     "pretraining_funnel_report",
-    "language_id",
     "repetition_metrics",
     # re-greens: TPC-H spread (incl. the bridged variants)
     "q3_shipping_priority",
@@ -214,11 +216,9 @@ FRONT_WINDOW: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q20_concentrated_shippers",
     # re-greens: sources / sessions / streaming twins
-    "csv_source_orders_by_priority",
     "xml_source_customer_segments",
     "wordcount_custom_source",
     "orc_source_lineitem_q6",
-    "events_session_window_native",
     "streaming_dedup_exactly_once",
     # re-greens: sampling / warehouse analytics
     "split_leakage_audit",

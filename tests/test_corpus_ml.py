@@ -420,3 +420,114 @@ def test_pack_bpe_sequences_conserves_tokens_and_docs(spark, sf_dir):
     max_doc = enc.agg(F.max("n_bpe_tokens")).collect()[0][0]
     for r in packed[:-1]:
         assert r.seq_tokens + max_doc >= MAX_SEQ_TOKENS
+
+
+def test_tokenizer_fertility_consistent_with_doc_encoding(spark, sf_dir):
+    """The per-source rollup must tie out exactly against the
+    registered per-document encoding: summed word/token counts per
+    source, fertility = tokens/words at 6 dp, NULL on all-ineligible
+    sources, and n_docs covering every non-NULL-id doc."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    Q = all_queries()
+    rep = {r.source: r for r in Q["tokenizer_fertility_report"].builder(spark, sf_dir).collect()}
+    per_doc = Q["bpe_encode_documents"].builder(spark, sf_dir).collect()
+    src = {
+        (r.doc_id, r.source)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "source")
+        .distinct()
+        .collect()
+    }
+    by_doc = {r.doc_id: r for r in per_doc}
+    want = {}
+    for doc_id, source in src:
+        w = want.setdefault(source, [0, 0, 0])
+        w[0] += 1
+        w[1] += by_doc[doc_id].n_words
+        w[2] += by_doc[doc_id].n_bpe_tokens
+    assert set(rep) == set(want)
+    for source, (n_docs, n_words, n_tokens) in want.items():
+        r = rep[source]
+        assert (r.n_docs, r.n_words, r.n_bpe_tokens) == (n_docs, n_words, n_tokens)
+        if n_words == 0:
+            assert r.fertility is None
+        else:
+            snapped = float(
+                (Decimal(n_tokens) / Decimal(n_words)).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
+            assert r.fertility == snapped
+            # every eligible word encodes to >= 1 symbol
+            assert r.fertility >= 1.0
+
+
+def test_embedding_outliers_match_numpy_zscores(spark, sf_dir):
+    """Transparent replay: per-label centroids (6-dp snapped means),
+    squared distances, sample-std z-scores recomputed in plain Python
+    over the raw parquet must reproduce the operator's dist/z/flag."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def snap(v):
+        # mirror the engines exactly: CAST(x AS DECIMAL(30,12)) first
+        # (Spark double->decimal == Decimal(repr(x)) quantized 12dp),
+        # THEN round to 6 — the two-step snap can differ from a direct
+        # 6-dp quantize on .5-boundary values
+        d12 = Decimal(repr(v)).quantize(Decimal(1).scaleb(-12), ROUND_HALF_UP)
+        return float(d12.quantize(Decimal(1).scaleb(-6), ROUND_HALF_UP))
+
+    Q = all_queries()
+    rows = Q["embedding_outlier_report"].builder(spark, sf_dir).collect()
+    raw = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("label").isNotNull() & F.col("embedding").isNotNull())
+        .collect()
+    )
+    by_label = {}
+    for r in raw:
+        by_label.setdefault(r.label, []).append((r.vec_id, [float(x) for x in r.embedding]))
+    got = {r.vec_id: r for r in rows}
+    n_checked = 0
+    for label, vecs in by_label.items():
+        dim = max(len(v) for _i, v in vecs)
+        cents = []
+        for d in range(dim):
+            xs = [v[d] for _i, v in vecs if d < len(v)]
+            # exact decimal mean, snapped — mirrors the operator
+            # each element is quantized to 6 dp by the money-DEC
+            # (decimal(30,6)) cast BEFORE the sum; then decimal sum ->
+            # DOUBLE, then double division — the engines' exact order
+            q6 = lambda v: Decimal(repr(v)).quantize(
+                Decimal(1).scaleb(-6), ROUND_HALF_UP
+            )
+            tot = sum(q6(x) for x in xs)
+            cents.append(snap(float(tot) / len(xs)))
+        dists = {}
+        for vid, v in vecs:
+            d = 0.0
+            for a, c in zip(v, cents):
+                d = d + (a - c) * (a - c)
+            dists[vid] = d
+        n = len(dists)
+        q12 = lambda v: Decimal(repr(v)).quantize(
+            Decimal(1).scaleb(-12), ROUND_HALF_UP
+        )
+        sd = float(sum(q12(x) for x in dists.values()))
+        sdd = float(sum(q12(x * x) for x in dists.values()))
+        mean = sd / n
+        var = (sdd - sd * sd / n) / (n - 1) if n > 1 else None
+        for vid, d in dists.items():
+            r = got[vid]
+            assert r.dist == snap(d), (vid, r.dist, d)
+            if var is None or var < 0 or var == 0:
+                assert r.z is None and r.is_outlier is None
+            else:
+                z = snap((d - mean) / (var ** 0.5))
+                assert r.z == z, (vid, r.z, z)
+                assert r.is_outlier == (z > 2.0)
+            n_checked += 1
+    assert n_checked == len(rows)

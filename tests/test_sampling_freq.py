@@ -281,3 +281,39 @@ def test_pii_redaction_matches_python_reference(spark, tmp_path):
         assert r.redacted_len == len(red)
         for k in PII_PATTERNS:
             assert getattr(r, f"n_{k}") == counts[k], (doc_id, k)
+
+
+def test_kfold_assignment_deterministic_balanced_and_stratified(spark, sf_dir):
+    """Every non-NULL-id doc gets exactly one fold per (doc_id, source)
+    row, folds are in [0, K), the assignment is bit-stable across
+    rebuilds, and within each source the fold histogram is roughly
+    uniform (md5-uniform draw — no fold may be empty-or-hot beyond a
+    generous band on the fixture sizes)."""
+    from collections import Counter
+
+    from multithreaded_mapreduce_spark.operators.sampling import KFOLD_K
+
+    Q = all_queries()
+    a = Q["stratified_kfold_assignment"].builder(spark, sf_dir).collect()
+    b = Q["stratified_kfold_assignment"].builder(spark, sf_dir).collect()
+    assert [(r.doc_id, r.source, r.fold) for r in a] == [
+        (r.doc_id, r.source, r.fold) for r in b
+    ]
+    assert all(0 <= r.fold < KFOLD_K for r in a)
+    per_source = {}
+    for r in a:
+        per_source.setdefault(r.source, Counter())[r.fold] += 1
+    total = Counter()
+    for c in per_source.values():
+        total.update(c)
+    n = sum(total.values())
+    assert n == len(a)
+    # global uniformity: each fold within [0.4x, 1.8x] of the fair share
+    fair = n / KFOLD_K
+    for k in range(KFOLD_K):
+        assert 0.4 * fair <= total[k] <= 1.8 * fair, (k, total[k], fair)
+    # the fold depends only on doc_id: a doc in two sources folds equally
+    by_doc = {}
+    for r in a:
+        by_doc.setdefault(r.doc_id, set()).add(r.fold)
+    assert all(len(s) == 1 for s in by_doc.values())
