@@ -541,3 +541,87 @@ _REG2["stratified_kfold_assignment"] = _dc.replace(
     _REG2["stratified_kfold_assignment"], oracle=_kfold_oracle()
 )
 del _REG2
+
+
+# ---------------------------------------------------------------------------
+# k-fold leakage report: near-dup pairs straddling CV folds
+# ---------------------------------------------------------------------------
+
+
+def _kfold_leakage_oracle() -> str:
+    from .dedup import _SWEEP_PAIRS_CTE, _oracle_hex_id
+
+    def fold(col: str) -> str:
+        u = _oracle_hex_id(f"'fold:' || CAST({col} AS VARCHAR)", _KFOLD_DIGITS)
+        return f"({u} % {KFOLD_K})"
+
+    return (
+        _SWEEP_PAIRS_CTE
+        + f"""
+SELECT count(*) AS n_pairs,
+       CAST(coalesce(sum(CASE WHEN {fold('doc_a')} != {fold('doc_b')}
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_fold,
+       CAST(round(CAST(
+         CAST(coalesce(sum(CASE WHEN {fold('doc_a')} != {fold('doc_b')}
+                            THEN 1 ELSE 0 END), 0) AS DOUBLE)
+           / nullif(count(*), 0) AS DECIMAL(30,12)), 6) AS DOUBLE) AS leak_rate
+FROM pairs
+"""
+    )
+
+
+@register(
+    "kfold_leakage_report",
+    description=f"Cross-validation leakage audit: of all jaccard>=0.8 "
+    "near-dup pairs, how many straddle two different folds of the "
+    f"deterministic {KFOLD_K}-fold assignment — each such pair leaks "
+    "eval-fold content into training whenever that fold is held out. "
+    "The doc-level hash fold is intentionally cluster-BLIND (the same "
+    "draw stratified_kfold_assignment publishes), so this report "
+    "quantifies exactly the leakage a cluster-aware splitter "
+    "(cluster_aware_split) eliminates; expected leak_rate for an "
+    f"independent uniform draw is (k-1)/k = {(KFOLD_K - 1) / KFOLD_K}. "
+    "One aggregate over the pair relation — folds are scan-side row "
+    "math, no extra join or shuffle; empty pair sets report NULL "
+    "leak_rate identically in both engines.",
+    tags=("sampling", "ml-prep", "dedup", "report"),
+)
+def kfold_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _spark_hex_id, dedup_jaccard_pairs
+
+    def fold(col: str):
+        return F.pmod(
+            _spark_hex_id(
+                F.concat(F.lit("fold:"), F.col(col).cast("string")),
+                _KFOLD_DIGITS,
+            ),
+            F.lit(KFOLD_K),
+        )
+
+    pairs = dedup_jaccard_pairs(spark, sf_dir)
+    cross = F.sum(
+        F.when(fold("doc_a") != fold("doc_b"), 1).otherwise(0)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(cross, F.lit(0)).cast("bigint").alias("n_cross_fold"),
+        F.round(
+            F.try_divide(
+                F.coalesce(cross, F.lit(0)).cast("double"),
+                F.when(F.count(F.lit(1)) == 0, F.lit(None)).otherwise(
+                    F.count(F.lit(1))
+                ),
+            ).cast("decimal(30,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("leak_rate"),
+    )
+
+
+from ..plans.registry import _REGISTRY as _REG3  # noqa: E402
+
+_REG3["kfold_leakage_report"] = _dc.replace(
+    _REG3["kfold_leakage_report"], oracle=_kfold_leakage_oracle()
+)
+del _REG3

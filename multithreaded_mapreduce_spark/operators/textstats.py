@@ -740,3 +740,59 @@ def vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# token frequency spectrum (frequency-of-frequencies)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_frequency_spectrum",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_sql_tokens()}) AS token FROM documents
+), tf AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+)
+SELECT CAST(length(bin(cnt)) - 1 AS INT) AS freq_bucket,
+       CAST(1 AS BIGINT) << (length(bin(cnt)) - 1) AS bucket_min,
+       count(*) AS n_tokens,
+       CAST(sum(cnt) AS BIGINT) AS n_occurrences
+FROM tf
+GROUP BY 1, 2
+ORDER BY freq_bucket
+""",
+    description="Token frequency-of-frequencies spectrum: distinct "
+    "tokens and total occurrences per power-of-two frequency bucket "
+    "(bucket = floor(log2(count)), computed as the binary-string "
+    "length so both engines bucket exact powers of two identically — "
+    "float log2 is off-by-an-ulp there). The classic Zipf diagnostic "
+    "behind vocabulary sizing and min-frequency cutoffs: the hapax "
+    "bucket's mass tells you what a min-count filter would drop. Two "
+    "map-side-combinable aggregates over the token stream (wordcount "
+    "class); the second groupBy input is vocabulary-sized.",
+    tags=("text", "tokenizer", "report", "aggregate"),
+)
+def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("text"))
+    tf = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bucket = (F.length(F.conv(F.col("cnt"), 10, 2)) - 1).cast("int")
+    return (
+        tf.select(bucket.alias("freq_bucket"), "cnt")
+        # pyspark's shiftleft() binding only takes a literal shift —
+        # the SQL form accepts a column expression
+        .withColumn(
+            "bucket_min", F.expr("shiftleft(CAST(1 AS BIGINT), freq_bucket)")
+        )
+        .groupBy("freq_bucket", "bucket_min")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("freq_bucket")
+    )

@@ -201,13 +201,14 @@ FRONT_WINDOW: tuple[str, ...] = (
     "tokenizer_fertility_report",
     "embedding_outlier_report",
     "stratified_kfold_assignment",
+    "kfold_leakage_report",
+    "token_frequency_spectrum",
     # re-greens: similarity / vectors
     "knn_ivf_exact_ann",
     "kmeans_lloyd",
     # re-greens: text quality / corpus
     "doc_quality_composite",
     "pretraining_funnel_report",
-    "repetition_metrics",
     # re-greens: TPC-H spread (incl. the bridged variants)
     "q3_shipping_priority",
     "q7_volume_shipping",
@@ -216,7 +217,6 @@ FRONT_WINDOW: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q20_concentrated_shippers",
     # re-greens: sources / sessions / streaming twins
-    "xml_source_customer_segments",
     "wordcount_custom_source",
     "orc_source_lineitem_q6",
     "streaming_dedup_exactly_once",

@@ -197,3 +197,51 @@ def test_media_frames_unicode_payload_parity(spark, tmp_path):
     }
     assert dedup[1].dup_frac == 1.0 and dedup[4].dup_frac == 1.0
     assert dedup[2].dup_frames == 0 and dedup[3].dup_frames == 0
+
+
+def test_media_frames_adversarial_rows_parity(spark, tmp_path):
+    """VERDICT r6 task 6 pre-hardening: the exact comparator shape over
+    media_text_frames / media_frame_dedup with the rows the driver's
+    adversarial sweeps love — NULL media id, zero-byte text (no frames
+    to emit), NULL text, whitespace-only text, and a duplicate id —
+    must value-match DuckDB row for row."""
+    import duckdb
+
+    from multithreaded_mapreduce_spark.plans.registry import all_queries
+
+    rows = [
+        (None, "orphan payload with no identity"),
+        (1, ""),  # zero-byte blob: emits nothing (length gate)
+        (2, None),  # NULL payload
+        (3, " \t\n"),  # whitespace-only is still bytes: frames exist
+        (4, "real content shared by the dup"),
+        (4, "real content shared by the dup"),  # duplicate id, same text
+        (5, "x"),  # 1-char payload: single tiny frame
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    def key(t):
+        # None-safe multiset compare: the NULL-media_id orphan row IS
+        # part of the expected output on both engines
+        return tuple((v is None, v) for v in t)
+
+    for name in ["media_text_frames", "media_frame_dedup"]:
+        q = all_queries()[name]
+        got = sorted(
+            (tuple(r) for r in q.builder(spark, str(tmp_path)).collect()),
+            key=key,
+        )
+        want = sorted(
+            (tuple(r) for r in con.execute(q.oracle).fetchall()), key=key
+        )
+        assert got == want, (name, got[:4], want[:4])
+    frames = all_queries()["media_text_frames"].builder(spark, str(tmp_path)).collect()
+    ids = {r.media_id for r in frames}
+    assert 1 not in ids and 2 not in ids  # empty/NULL payloads emit nothing
+    assert 3 in ids and 5 in ids

@@ -317,3 +317,59 @@ def test_kfold_assignment_deterministic_balanced_and_stratified(spark, sf_dir):
     for r in a:
         by_doc.setdefault(r.doc_id, set()).add(r.fold)
     assert all(len(s) == 1 for s in by_doc.values())
+
+
+def test_kfold_leakage_ties_out_against_pairs_and_assignment(spark, sf_dir):
+    """The one-row report must equal a manual recount: fold(doc) from
+    the registered assignment, pair set from the registered jaccard
+    relation — and the leak rate of a hash fold on a pair set it is
+    independent of sits near (k-1)/k."""
+    from multithreaded_mapreduce_spark.operators.sampling import KFOLD_K
+
+    Q = all_queries()
+    rep = Q["kfold_leakage_report"].builder(spark, sf_dir).collect()[0]
+    folds = {
+        r.doc_id: r.fold
+        for r in Q["stratified_kfold_assignment"].builder(spark, sf_dir).collect()
+    }
+    pairs = Q["dedup_jaccard_pairs"].builder(spark, sf_dir).collect()
+    n_cross = sum(1 for p in pairs if folds[p.doc_a] != folds[p.doc_b])
+    assert rep.n_pairs == len(pairs)
+    assert rep.n_cross_fold == n_cross
+    if len(pairs) == 0:
+        assert rep.leak_rate is None
+    else:
+        assert abs(rep.leak_rate - n_cross / len(pairs)) < 1e-6
+        if len(pairs) >= 100:
+            expected = (KFOLD_K - 1) / KFOLD_K
+            assert 0.55 * expected <= rep.leak_rate <= 1.0
+
+
+def test_token_frequency_spectrum_replays_a_counter(spark, sf_dir):
+    """Exact replay against collections.Counter over the collected
+    token stream: per-bucket distinct-token and occurrence totals, and
+    global conservation (Σ n_tokens = vocab, Σ n_occurrences = stream
+    length)."""
+    from collections import Counter
+
+    Q = all_queries()
+    rows = Q["token_frequency_spectrum"].builder(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    tf = Counter()
+    for r in docs:
+        if r.text:
+            tf.update(t for t in r.text.split() if t)
+    want = {}
+    for _tok, cnt in tf.items():
+        b = cnt.bit_length() - 1
+        w = want.setdefault(b, [0, 0])
+        w[0] += 1
+        w[1] += cnt
+    got = {r.freq_bucket: r for r in rows}
+    assert set(got) == set(want)
+    for b, (n_tokens, n_occ) in want.items():
+        assert got[b].n_tokens == n_tokens
+        assert got[b].n_occurrences == n_occ
+        assert got[b].bucket_min == 1 << b
+    assert sum(r.n_tokens for r in rows) == len(tf)
+    assert sum(r.n_occurrences for r in rows) == sum(tf.values())
