@@ -73,6 +73,15 @@ DEFAULT_PROBE = (
     "corpus_snapshot_diff",
     "packing_efficiency_report",
     "dedup_cluster_keep_best",
+    # r7: PQ / mining / calibration / novelty + the new reports
+    "knn_pq_ann",
+    "hard_negative_mining",
+    "dedup_threshold_sweep",
+    "shingle_novelty_scores",
+    "tokenizer_fertility_report",
+    "embedding_outlier_report",
+    "kfold_leakage_report",
+    "token_frequency_spectrum",
 )
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
