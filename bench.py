@@ -103,6 +103,7 @@ HEADLINE = (
     "shingle_novelty_scores",        # first-seen shingle fraction per doc
     "tokenizer_fertility_report",    # per-source BPE fertility rollup
     "embedding_outlier_report",      # distance-to-centroid z-score screen
+    "embedding_threshold_sweep",     # semantic dedup-threshold calibration
     # stratified_kfold_assignment is deliberately NOT benched: a pure
     # md5 scan projection (0.3 s at sf0.1, under the 0.4 s bar)
 )

@@ -1994,6 +1994,100 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: semantic sweep grid — bounded below by COSINE_THRESHOLD (pairs
+#: under the base cut are never materialized, same as the jaccard grid)
+EMB_SWEEP_THRESHOLDS = (0.40, 0.60, 0.80, 0.90, 0.95)
+
+
+@register(
+    "embedding_threshold_sweep",
+    oracle=f"""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+prods AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(sum(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  CROSS JOIN dims
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT vec_id,
+         CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS nsq
+  FROM embeddings CROSS JOIN dims
+  GROUP BY 1
+),
+pairs AS (
+  SELECT vec_a, vec_b, cosine FROM (
+    SELECT p.vec_a, p.vec_b,
+           CAST(round(CAST(p.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) AS DECIMAL(30,12)), 6)
+                AS DOUBLE) AS cosine
+    FROM prods p
+    JOIN norms na ON p.vec_a = na.vec_id
+    JOIN norms nb ON p.vec_b = nb.vec_id
+  )
+  WHERE cosine >= {COSINE_THRESHOLD}
+),
+thr AS (
+  SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in EMB_SWEEP_THRESHOLDS)}])
+         AS threshold
+),
+melt AS (
+  SELECT cosine, vec_a AS v FROM pairs
+  UNION ALL
+  SELECT cosine, vec_b AS v FROM pairs
+)
+SELECT t.threshold,
+       (SELECT count(*) FROM pairs p
+         WHERE p.cosine >= t.threshold) AS n_pairs,
+       (SELECT count(DISTINCT m.v) FROM melt m
+         WHERE m.cosine >= t.threshold) AS n_vecs
+FROM thr t
+ORDER BY t.threshold
+""",
+    description="Semantic-dedup threshold calibration: pair and "
+    "affected-vector counts at every candidate cosine cut in one pass "
+    "over the label-blocked >= 0.4 pair relation — the embedding-side "
+    "twin of dedup_threshold_sweep (together they calibrate the "
+    "lexical AND semantic near-dup knobs a curation run commits to). "
+    "The pair relation is persisted once; each grid point is a "
+    "conditional aggregate, so extra thresholds are free.",
+    tags=("dedup", "neardup", "embedding", "report"),
+)
+def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_embedding_pairs(spark, sf_dir).transform(tracked_persist)
+    np_cols = [
+        F.coalesce(
+            F.sum(F.when(F.col("cosine") >= F.lit(t), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"np_{i}")
+        for i, t in enumerate(EMB_SWEEP_THRESHOLDS)
+    ]
+    nv_cols = [
+        F.count_distinct(
+            F.when(F.col("cosine") >= F.lit(t), F.col("v"))
+        ).alias(f"nv_{i}")
+        for i, t in enumerate(EMB_SWEEP_THRESHOLDS)
+    ]
+    agg_pairs = pairs.agg(*np_cols)
+    melted = pairs.select(F.explode(F.array("vec_a", "vec_b")).alias("v"), "cosine")
+    agg_vecs = melted.agg(*nv_cols)
+    one = agg_pairs.crossJoin(agg_vecs)
+    stack = ", ".join(
+        f"{t}D, np_{i}, nv_{i}" for i, t in enumerate(EMB_SWEEP_THRESHOLDS)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(EMB_SWEEP_THRESHOLDS)}, {stack}) "
+            "AS (threshold, n_pairs, n_vecs)"
+        )
+    ).orderBy("threshold")
+
+
 # ------------------------------------------------------------------
 # SimHash, oracle-checkable variant: per-token bit votes come from a
 # modular-arithmetic hash family over deterministic vocabulary ids, so

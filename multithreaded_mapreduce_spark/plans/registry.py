@@ -192,7 +192,6 @@ FRONT_WINDOW: tuple[str, ...] = (
     "dedup_minhash_verified",
     "dedup_simhash_verified",
     "dedup_exact_substr",
-    "winnowing_fingerprints",
     # operators new this round (never driver-checked)
     "knn_pq_ann",
     "hard_negative_mining",
@@ -203,6 +202,7 @@ FRONT_WINDOW: tuple[str, ...] = (
     "stratified_kfold_assignment",
     "kfold_leakage_report",
     "token_frequency_spectrum",
+    "embedding_threshold_sweep",
     # re-greens: similarity / vectors
     "knn_ivf_exact_ann",
     "kmeans_lloyd",

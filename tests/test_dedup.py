@@ -539,3 +539,27 @@ def test_shingle_novelty_bounds_and_conservation(spark, sf_dir):
         docs.select(F.explode(sh).alias("s")).select("s").distinct().count()
     )
     assert sum(r.n_novel for r in rows) == n_distinct
+
+
+def test_embedding_threshold_sweep_monotone_and_anchored(spark, sf_dir):
+    """Semantic sweep: non-increasing in the threshold, base row equal
+    to the registered cosine pair relation's own counts, full grid
+    present."""
+    from multithreaded_mapreduce_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        EMB_SWEEP_THRESHOLDS,
+    )
+
+    rows = {
+        r.threshold: r
+        for r in Q["embedding_threshold_sweep"].builder(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == sorted(EMB_SWEEP_THRESHOLDS)
+    seq = [rows[t] for t in sorted(rows)]
+    for lo, hi in zip(seq, seq[1:]):
+        assert lo.n_pairs >= hi.n_pairs
+        assert lo.n_vecs >= hi.n_vecs
+    pairs = Q["dedup_embedding_pairs"].builder(spark, sf_dir).collect()
+    assert rows[COSINE_THRESHOLD].n_pairs == len(pairs)
+    vecs = {r.vec_a for r in pairs} | {r.vec_b for r in pairs}
+    assert rows[COSINE_THRESHOLD].n_vecs == len(vecs)

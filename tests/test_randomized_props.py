@@ -158,3 +158,90 @@ def test_contracted_components_bcast_and_shuffle_paths_agree(spark, monkeypatch)
         n: l for n, l in _union_find_labels(80, edges).items()
         if n in {a for e in edges for a in e}
     }
+
+
+def test_pq_codebooks_match_python_lloyd_on_random_vectors(spark, tmp_path):
+    """The PQ codebook trainer must equal a transparent Python replay
+    — seeds from the smallest vec_ids, ordered IEEE distance folds
+    with smallest-k tie-break, 6-dp-snapped decimal means, empty
+    clusters keeping their seed — on random float32 corpora, including
+    a degenerate all-identical corpus (every non-seed cluster stays at
+    its seed)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from multithreaded_mapreduce_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        _pq_codebooks,
+    )
+
+    rng = random.Random(424242)
+    dim = PQ_M * PQ_SUBDIM
+
+    def py_codebooks(vecs):
+        seeds = [v for _id, v in sorted(vecs)[:PQ_K]]
+        cents = {
+            m: {i: s[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM] for i, s in enumerate(seeds)}
+            for m in range(PQ_M)
+        }
+        # one assignment round (ordered fold, tie -> smallest k)
+        sums = {}
+        for _id, v in vecs:
+            for m in range(PQ_M):
+                sub = v[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+                best, bd = None, None
+                for k in sorted(cents[m]):
+                    d = 0.0
+                    for a, b in zip(sub, cents[m][k]):
+                        d = d + (a - b) * (a - b)
+                    if bd is None or d < bd:
+                        bd, best = d, k
+                cell = sums.setdefault((m, best), [0, [Decimal(0)] * PQ_SUBDIM])
+                cell[0] += 1
+                for j, a in enumerate(sub):
+                    cell[1][j] += Decimal(repr(a)).quantize(
+                        Decimal(1).scaleb(-12), ROUND_HALF_UP
+                    )
+        out = {}
+        for m in range(PQ_M):
+            out[m] = {}
+            for k in cents[m]:
+                if (m, k) in sums:
+                    n, tot = sums[(m, k)]
+                    vals = []
+                    for j in range(PQ_SUBDIM):
+                        mean = float(tot[j]) / n
+                        d12 = Decimal(repr(mean)).quantize(
+                            Decimal(1).scaleb(-12), ROUND_HALF_UP
+                        )
+                        vals.append(
+                            float(d12.quantize(Decimal(1).scaleb(-6), ROUND_HALF_UP))
+                        )
+                    out[m][k] = vals
+                else:
+                    out[m][k] = list(cents[m][k])
+        return out
+
+    import struct as _struct
+
+    def f32(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    for trial in range(3):
+        n = [40, 12, PQ_K][trial]
+        if trial == 2:
+            vecs = [(i, [f32(0.25)] * dim) for i in range(n)]  # degenerate
+        else:
+            vecs = [
+                (i, [f32(rng.uniform(-1, 1)) for _ in range(dim)])
+                for i in range(n)
+            ]
+        path = str(tmp_path / f"pq{trial}")
+        spark.createDataFrame(
+            [(i, v, 0) for i, v in vecs],
+            "vec_id long, embedding array<float>, label int",
+        ).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+        got = _pq_codebooks(spark, path)
+        want = py_codebooks(vecs)
+        assert got == want, (trial, {m: got[m] for m in list(got)[:1]})
