@@ -104,6 +104,7 @@ HEADLINE = (
     "tokenizer_fertility_report",    # per-source BPE fertility rollup
     "embedding_outlier_report",      # distance-to-centroid z-score screen
     "embedding_threshold_sweep",     # semantic dedup-threshold calibration
+    "curriculum_length_schedule",    # prefix-sum global curriculum order
     # stratified_kfold_assignment is deliberately NOT benched: a pure
     # md5 scan projection (0.3 s at sf0.1, under the 0.4 s bar)
 )

@@ -502,3 +502,125 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("fill_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum schedule: deterministic global training order, no global sort
+# ---------------------------------------------------------------------------
+
+#: sequence-length curriculum stages: short docs first (stage 0),
+#: medium next, long last — the classic easy-to-hard schedule
+CURRICULUM_STAGE_TOKENS = (50, 200)
+#: md5-uniform shuffle key width and its chunk fan-out for the
+#: two-level prefix-sum rank (u is uniform in [0, 16^8), so the chunk
+#: id is a row-pure function of u — same determinism argument as
+#: part_price_deciles_exact's equi-width binning, with zero driver
+#: collects because the value range is known a priori)
+_CURR_DIGITS = 8
+_CURR_CHUNKS = 32
+_CURR_CHUNK_WIDTH = (16 ** _CURR_DIGITS) // _CURR_CHUNKS
+
+
+def _curriculum_oracle() -> str:
+    from .dedup import _oracle_hex_id
+
+    lo, hi = CURRICULUM_STAGE_TOKENS
+    u = _oracle_hex_id("'curr:' || CAST(doc_id AS VARCHAR)", _CURR_DIGITS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, max(len({_sql_tokens()})) AS n_toks
+  FROM documents WHERE doc_id IS NOT NULL
+  GROUP BY doc_id
+), staged AS (
+  SELECT doc_id, n_toks,
+         CASE WHEN n_toks < {lo} THEN 0
+              WHEN n_toks < {hi} THEN 1
+              ELSE 2 END AS stage,
+         {u} AS u
+  FROM t
+)
+SELECT doc_id, CAST(stage AS INT) AS stage,
+       CAST(row_number() OVER (ORDER BY stage, u, doc_id) AS BIGINT) AS position
+FROM staged
+ORDER BY doc_id
+"""
+
+
+@register(
+    "curriculum_length_schedule",
+    description=f"Deterministic curriculum schedule: every document "
+    "gets a global training POSITION ordered by (length stage, "
+    "md5-uniform shuffle key) — short docs (< "
+    f"{CURRICULUM_STAGE_TOKENS[0]} tokens) first, medium next, long "
+    f"(>= {CURRICULUM_STAGE_TOKENS[1]}) last, uniformly shuffled "
+    "within each stage. The global order is assembled WITHOUT a "
+    "single-task global sort: the shuffle key's known [0, 16^8) range "
+    "gives a row-pure chunk id, local row_numbers run per "
+    "(stage, chunk) at stages x chunks parallelism, and a prefix sum "
+    "over the tiny per-(stage, chunk) count relation broadcasts the "
+    "offsets back — the part_price_deciles_exact / "
+    "pack_training_sequences two-level rank pattern. Duplicate doc_id "
+    "rows collapse to their LONGEST version (max token count) before "
+    "staging, identically in both engines.",
+    tags=("sampling", "ml-prep", "pipeline", "prefix-sum"),
+)
+def curriculum_length_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _spark_hex_id
+
+    lo, hi = CURRICULUM_STAGE_TOKENS
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    t = docs.select("doc_id", F.size(_tokens()).alias("n")).groupBy(
+        "doc_id"
+    ).agg(F.max("n").alias("n_toks"))
+    u = _spark_hex_id(
+        F.concat(F.lit("curr:"), F.col("doc_id").cast("string")), _CURR_DIGITS
+    )
+    staged = t.select(
+        "doc_id",
+        F.when(F.col("n_toks") < lo, 0)
+        .when(F.col("n_toks") < hi, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("stage"),
+        u.alias("u"),
+    ).withColumn(
+        "chunk", (F.col("u") / _CURR_CHUNK_WIDTH).cast("int")
+    )
+    # local ranks: stages × chunks concurrent sorts
+    wl = Window.partitionBy("stage", "chunk").orderBy("u", "doc_id")
+    local = staged.withColumn("lrn", F.row_number().over(wl))
+    # running offsets over the tiny (stage, chunk) count relation —
+    # |stages × chunks| rows, so the single-partition window is free
+    counts = staged.groupBy("stage", "chunk").agg(F.count(F.lit(1)).alias("c"))
+    wo = (
+        Window.orderBy("stage", "chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "stage",
+        "chunk",
+        F.coalesce(F.sum("c").over(wo), F.lit(0)).alias("offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["stage", "chunk"])
+        .select(
+            "doc_id",
+            "stage",
+            (F.col("offset") + F.col("lrn")).cast("bigint").alias("position"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+import dataclasses as _dc2  # noqa: E402
+
+from ..plans.registry import _REGISTRY as _REG_CUR  # noqa: E402
+
+_REG_CUR["curriculum_length_schedule"] = _dc2.replace(
+    _REG_CUR["curriculum_length_schedule"], oracle=_curriculum_oracle()
+)
+del _REG_CUR

@@ -203,6 +203,7 @@ FRONT_WINDOW: tuple[str, ...] = (
     "kfold_leakage_report",
     "token_frequency_spectrum",
     "embedding_threshold_sweep",
+    "curriculum_length_schedule",
     # re-greens: similarity / vectors
     "knn_ivf_exact_ann",
     "kmeans_lloyd",
@@ -215,7 +216,6 @@ FRONT_WINDOW: tuple[str, ...] = (
     "q9_profit_by_nation",
     "q18_large_volume_customers",
     "q2_min_cost_supplier",
-    "q20_concentrated_shippers",
     # re-greens: sources / sessions / streaming twins
     "wordcount_custom_source",
     "orc_source_lineitem_q6",

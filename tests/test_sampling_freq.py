@@ -373,3 +373,42 @@ def test_token_frequency_spectrum_replays_a_counter(spark, sf_dir):
         assert got[b].bucket_min == 1 << b
     assert sum(r.n_tokens for r in rows) == len(tf)
     assert sum(r.n_occurrences for r in rows) == sum(tf.values())
+
+
+def test_curriculum_schedule_is_a_staged_permutation(spark, sf_dir):
+    """positions form the exact permutation 1..n; stages are
+    non-decreasing along the schedule; within a stage the order is the
+    (md5 shuffle key, doc_id) replay — i.e. the two-level prefix-sum
+    rank equals a straight global sort."""
+    import hashlib
+
+    from multithreaded_mapreduce_spark.operators.pipeline_prep import (
+        _CURR_DIGITS,
+        CURRICULUM_STAGE_TOKENS,
+    )
+
+    Q = all_queries()
+    rows = Q["curriculum_length_schedule"].builder(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.position for r in rows) == list(range(1, n + 1))
+    by_pos = sorted(rows, key=lambda r: r.position)
+    for a, b in zip(by_pos, by_pos[1:]):
+        assert a.stage <= b.stage
+
+    def u(doc_id):
+        return int(hashlib.md5(f"curr:{doc_id}".encode()).hexdigest()[:_CURR_DIGITS], 16)
+
+    want = sorted(rows, key=lambda r: (r.stage, u(r.doc_id), r.doc_id))
+    assert [r.doc_id for r in by_pos] == [r.doc_id for r in want]
+    # stage thresholds replay on the longest version per doc_id
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    toks = {}
+    for r in docs:
+        if r.doc_id is None:
+            continue
+        nt = len([t for t in (r.text or "").split() if t])
+        toks[r.doc_id] = max(toks.get(r.doc_id, 0), nt)
+    lo, hi = CURRICULUM_STAGE_TOKENS
+    for r in rows:
+        nt = toks[r.doc_id]
+        assert r.stage == (0 if nt < lo else 1 if nt < hi else 2), (r.doc_id, nt)
