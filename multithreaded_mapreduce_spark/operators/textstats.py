@@ -796,3 +796,100 @@ def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("freq_bucket")
     )
+
+
+#: Flesch reading-ease coefficients (public formula, Flesch 1948) and
+#: the shared regex classes: sentence boundaries are runs of .!? and
+#: the syllable proxy is runs of vowels (incl. y) — the standard
+#: hyphenation-free approximation. Both patterns sit in the verified
+#: Java/RE2-compatible dialect subset used by the PII operators.
+FLESCH_BASE = 206.835
+FLESCH_WORDS_PER_SENTENCE = 1.015
+FLESCH_SYLLABLES_PER_WORD = 84.6
+SENTENCE_RE = r"[.!?]+"
+VOWEL_RUN_RE = r"[aeiouy]+"
+
+
+@register(
+    "readability_scores",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         len({_sql_tokens()}) AS n_words,
+         greatest(1, len(regexp_extract_all(coalesce(text, ''),
+                                            '{SENTENCE_RE.replace("'", "''")}')))
+             AS n_sentences,
+         len(regexp_extract_all(lower(coalesce(text, '')), '{VOWEL_RUN_RE}'))
+             AS n_syllables
+  FROM documents
+  -- equivalent to n_words > 0 without re-deriving the tokenize chain:
+  -- a document has a token iff it has a non-whitespace char
+  WHERE regexp_matches(coalesce(text, ''), '\\S')
+)
+SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+       CAST(round(CAST({FLESCH_BASE}
+                       - {FLESCH_WORDS_PER_SENTENCE}
+                         * (CAST(n_words AS DOUBLE) / n_sentences)
+                       - {FLESCH_SYLLABLES_PER_WORD}
+                         * (CAST(n_syllables AS DOUBLE) / n_words)
+                  AS DECIMAL(30,12)), 4) AS DOUBLE) AS flesch,
+       CASE WHEN {FLESCH_BASE}
+                 - {FLESCH_WORDS_PER_SENTENCE}
+                   * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - {FLESCH_SYLLABLES_PER_WORD}
+                   * (CAST(n_syllables AS DOUBLE) / n_words) >= 60 THEN 'easy'
+            WHEN {FLESCH_BASE}
+                 - {FLESCH_WORDS_PER_SENTENCE}
+                   * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - {FLESCH_SYLLABLES_PER_WORD}
+                   * (CAST(n_syllables AS DOUBLE) / n_words) >= 30 THEN 'medium'
+            ELSE 'hard' END AS band
+FROM m
+ORDER BY doc_id
+""",
+    description="Flesch reading-ease per document: whitespace words, "
+    "sentence count (runs of .!?, floored at 1 so headline-only docs "
+    "score), and the standard vowel-run syllable proxy, combined by "
+    "the published 206.835 − 1.015·(words/sentence) − "
+    "84.6·(syllables/word) formula plus an easy/medium/hard band. A "
+    "readability gate is a stock corpus-quality signal next to the "
+    "stopword/entropy gates. Pure regexp_count row math in one scan "
+    "projection — zero shuffles, zero UDFs; the decimal snap makes "
+    "the double math oracle-stable.",
+    tags=("text", "quality", "report"),
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = F.coalesce(F.col("text"), F.lit(""))
+    # n_words > 0 rewritten as a cheap raw-column predicate so the
+    # tokenize chain is never pushed into the FileScan (plan lint)
+    m = load_table(spark, sf_dir, "documents").filter(text.rlike(r"\S")).select(
+        "doc_id",
+        "lang",
+        F.size(_tokens()).alias("n_words"),
+        F.greatest(F.lit(1), F.regexp_count(text, F.lit(SENTENCE_RE))).alias(
+            "n_sentences"
+        ),
+        F.regexp_count(F.lower(text), F.lit(VOWEL_RUN_RE)).alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(FLESCH_BASE)
+        - F.lit(FLESCH_WORDS_PER_SENTENCE)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(FLESCH_SYLLABLES_PER_WORD)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return (
+        m.select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.round(flesch.cast("decimal(30,12)"), 4).cast("double").alias("flesch"),
+            F.when(flesch >= 60, "easy")
+            .when(flesch >= 30, "medium")
+            .otherwise("hard")
+            .alias("band"),
+        )
+        .orderBy("doc_id")
+    )

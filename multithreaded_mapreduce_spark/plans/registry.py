@@ -75,6 +75,7 @@ _MODULES = (
     "multithreaded_mapreduce_spark.operators.audit",
     "multithreaded_mapreduce_spark.operators.analytics_extra",
     "multithreaded_mapreduce_spark.operators.warehouse",
+    "multithreaded_mapreduce_spark.operators.layout",
 )
 
 
@@ -210,12 +211,16 @@ FRONT_WINDOW: tuple[str, ...] = (
     # re-greens: text quality / corpus
     "doc_quality_composite",
     "pretraining_funnel_report",
-    # re-greens: TPC-H spread (incl. the bridged variants)
-    "q3_shipping_priority",
+    # layout / runtime-filter / readability operators (new this round;
+    # never driver-checked) — they take the slots of four TPC-H
+    # re-greens (q3/q9/q18/q2, all driver-green r4 with canaries since),
+    # keeping q7 as the multi-join family re-green
+    "shard_layout_plan",
+    "zorder_layout_audit",
+    "bloom_prefilter_semi_join",
+    "readability_scores",
+    # re-greens: TPC-H spread
     "q7_volume_shipping",
-    "q9_profit_by_nation",
-    "q18_large_volume_customers",
-    "q2_min_cost_supplier",
     # re-greens: sources / sessions / streaming twins
     "wordcount_custom_source",
     "orc_source_lineitem_q6",

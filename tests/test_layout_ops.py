@@ -1,0 +1,136 @@
+"""Invariants for the physical-layout operators beyond the oracle
+parity gate (tests/test_oracle_parity.py runs them side-by-side with
+DuckDB; tests/test_adversarial_fixtures.py runs them over edge data):
+
+* the Morton interleave matches a bit-twiddling Python reference and
+  honors the per-bucket span bound the audit exists to demonstrate;
+* the Bloom prefilter admits every true member (no false negatives —
+  the property that makes the confirming join sufficient) and its
+  false-positive mass stays under the geometry's design bound;
+* the shard plan partitions the corpus exactly (counts and bytes are
+  conserved, ids stay in range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multithreaded_mapreduce_spark.operators.layout import (
+    BLOOM_K,
+    BLOOM_SEGMENT,
+    N_SHARDS,
+    Z_BITS,
+    Z_BUCKET_BITS,
+    _bloom_pos,
+    _z_interleave,
+    bloom_prefilter_semi_join,
+    shard_layout_plan,
+    zorder_layout_audit,
+)
+from multithreaded_mapreduce_spark.sources.tables import load_table
+
+
+def _z_ref(x: int, y: int) -> int:
+    z = 0
+    for i in range(Z_BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_interleave_matches_python_reference(spark):
+    # deterministic pseudo-random 16-bit pairs plus the corners
+    pairs = [(0, 0), (1, 0), (0, 1), (65535, 65535), (65535, 0), (0, 65535)]
+    pairs += [((97 * k * k + 13 * k) % 65536, (89 * k * k + 7 * k) % 65536) for k in range(50)]
+    df = spark.createDataFrame(pairs, "xk long, yk long").selectExpr(
+        "xk", "yk", f"({_z_interleave('xk', 'yk', 'div')}) AS zkey"
+    )
+    for r in df.collect():
+        assert r.zkey == _z_ref(r.xk, r.yk), (r.xk, r.yk)
+
+
+def test_zorder_buckets_bound_both_dimension_spans(spark, sf_dir):
+    """The top Z_BUCKET_BITS of the Morton key fix the top
+    ceil/floor-split bits of EACH dimension, so every bucket's span is
+    bounded on both axes — the data-skipping property the audit
+    reports. With 6 bucket bits, x contributes 3 and y 3: spans are
+    below 2^(Z_BITS-3)."""
+    rows = zorder_layout_audit(spark, sf_dir).collect()
+    assert rows, "audit returned no buckets"
+    x_bound = 1 << (Z_BITS - Z_BUCKET_BITS // 2)
+    y_bound = 1 << (Z_BITS - (Z_BUCKET_BITS - Z_BUCKET_BITS // 2))
+    for r in rows:
+        assert 0 <= r.zbucket < (1 << Z_BUCKET_BITS)
+        assert r.ck_span < x_bound, r
+        assert r.day_span < y_bound, r
+    # and the buckets partition the table
+    orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_rows for r in rows) == orders
+
+
+def test_bloom_prefilter_has_no_false_negatives_and_low_fpr(spark, sf_dir):
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select("c_custkey")
+    )
+    bits = cust.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("c_custkey"), p) for p in range(BLOOM_K)])
+        ).alias("pos")
+    ).distinct()
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    passed = orders
+    for p in range(BLOOM_K):
+        b = bits.alias(f"b{p}")
+        passed = passed.join(
+            F.broadcast(b),
+            _bloom_pos(F.col("o_custkey"), p) == F.col(f"b{p}.pos"),
+            "left_semi",
+        )
+    n_pass = passed.count()
+    n_exact = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_semi"
+    ).count()
+    n_total = orders.count()
+    # no false negatives: every true member's probes are set bits
+    assert n_pass >= n_exact
+    # false-positive mass well under the (9k/131072)^3-class design
+    # bound — 1% of the table is orders of magnitude of headroom
+    assert n_pass - n_exact <= max(1, n_total // 100), (n_pass, n_exact, n_total)
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark, sf_dir):
+    via_bloom = {
+        r.o_orderpriority: (r.n_orders, r.total_revenue)
+        for r in bloom_prefilter_semi_join(spark, sf_dir).collect()
+    }
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    plain = {
+        r.o_orderpriority: r.n_orders
+        for r in orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in via_bloom.items()} == plain
+
+
+def test_shard_plan_partitions_the_corpus_exactly(spark, sf_dir):
+    rows = shard_layout_plan(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce("n_chars", F.lit(0))).alias("b"),
+    ).collect()[0]
+    assert all(0 <= r.shard_id < N_SHARDS for r in rows)
+    assert len({r.shard_id for r in rows}) == len(rows)  # one row per shard
+    assert sum(r.n_docs for r in rows) == totals.n
+    assert sum(r.shard_bytes for r in rows) == totals.b
