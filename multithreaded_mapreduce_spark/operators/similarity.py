@@ -1473,3 +1473,120 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("query_id", "rnk")
     )
+
+
+# ------------------------------------------------------------------
+# ANN evaluation: recall@k of the sketch ANN vs exact ground truth
+# ------------------------------------------------------------------
+
+
+@register(
+    "ann_recall_report",
+    # the oracle composes the knn_cosine_bruteforce chain (ground
+    # truth) and the knn_sketch_ann chain (sketch CTEs renamed s_*)
+    # verbatim, then left-joins the two top-k sets per query
+    oracle=_DOT_CTE.format(n_queries=N_QUERIES)
+    + f"""
+, dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(sum(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM queries q
+  JOIN embeddings e ON e.vec_id != q.vec_id
+  CROSS JOIN dims
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(round(CAST(d.dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) AS cosine
+  FROM dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nn ON d.neighbor_id = nn.vec_id
+), exact_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {TOP_K}
+), sketches AS (
+  SELECT vec_id, embedding, {_sign_sketch_sql("embedding")} AS sketch FROM embeddings
+), s_cand AS (
+  SELECT q.vec_id AS query_id, q.embedding AS q_emb,
+         e.vec_id AS neighbor_id, e.embedding AS n_emb
+  FROM sketches q
+  JOIN sketches e
+    ON q.vec_id < {N_QUERIES} AND e.vec_id != q.vec_id
+   AND bit_count(xor(q.sketch, e.sketch)) <= {HAMMING_RADIUS}
+), s_dots AS (
+  SELECT query_id, neighbor_id,
+         CAST(sum(CAST(CAST(q_emb[i] AS DOUBLE) * CAST(n_emb[i] AS DOUBLE)
+                       AS DECIMAL(30,20))) AS DOUBLE) AS dot
+  FROM s_cand CROSS JOIN dims
+  GROUP BY 1, 2
+), s_scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         CAST(round(CAST(d.dot / (sqrt(nq.nsq) * sqrt(nn.nsq)) AS DECIMAL(30,12)), 6)
+              AS DOUBLE) AS cosine
+  FROM s_dots d
+  JOIN norms nq ON d.query_id = nq.vec_id
+  JOIN norms nn ON d.neighbor_id = nn.vec_id
+), approx_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM s_scored
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_matched,
+       CAST(round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                       * 1.0 / count(*) AS DECIMAL(30,12)), 4)
+            AS DOUBLE) AS recall_at_k
+FROM exact_k e
+LEFT JOIN approx_k a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+    description=f"ANN quality evaluation: recall@{TOP_K} of the "
+    "sign-sketch ANN (knn_sketch_ann) against the exact brute-force "
+    f"top-{TOP_K} (knn_cosine_bruteforce), per query vector. The "
+    "measure-don't-guess gate every approximate index needs before a "
+    "production rollout: both rankings run (ground truth is the "
+    "expensive half — that is the honest cost of an evaluation), the "
+    "two top-k sets join per query, and the report is |exact ∩ "
+    "approx| / k. Composes the two registered builders unchanged, so "
+    "the evaluated paths ARE the production paths.",
+    tags=("similarity", "knn", "ann", "report"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = knn_cosine_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = knn_sketch_ann(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["a_neighbor_id"]),
+        "left",
+    ).select(exact["query_id"], "neighbor_id", "a_neighbor_id")
+    matched = F.sum(
+        F.when(F.col("a_neighbor_id").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            matched.cast("bigint").alias("n_matched"),
+            F.round(
+                (matched * 1.0 / F.count(F.lit(1))).cast("decimal(30,12)"), 4
+            )
+            .cast("double")
+            .alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

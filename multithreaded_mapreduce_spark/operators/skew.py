@@ -103,3 +103,67 @@ def skew_salted_event_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+#: heavy-hitter report depth for the skew probe
+SKEW_TOP_N = 10
+
+
+@register(
+    "join_key_skew_report",
+    oracle=f"""
+WITH per AS (
+  SELECT user_id, count(*) AS n_rows
+  FROM events GROUP BY user_id
+), tot AS (
+  SELECT count(*) AS total, count(DISTINCT user_id) AS ndv FROM events
+), top AS (
+  SELECT user_id, n_rows FROM per
+  ORDER BY n_rows DESC, user_id LIMIT {SKEW_TOP_N}
+)
+SELECT t.user_id, t.n_rows,
+       CAST(round(CAST(t.n_rows * 1.0 / tot.total AS DECIMAL(30,12)), 6)
+            AS DOUBLE) AS share,
+       CAST(round(CAST(t.n_rows * 1.0 * tot.ndv / tot.total AS DECIMAL(30,12)), 4)
+            AS DOUBLE) AS x_uniform
+FROM top t CROSS JOIN tot
+ORDER BY t.n_rows DESC, t.user_id
+""",
+    description=f"Join-key skew probe: the top {SKEW_TOP_N} heaviest "
+    "event user_ids with each key's share of all rows and its multiple "
+    "of the uniform per-key load (n_rows·ndv/total — the straggler "
+    "factor a plain hash join would suffer). This is the measurement "
+    "that decides between a plain shuffle join, AQE skew splitting, "
+    "and explicit salting (skew_salted_event_user_totals) BEFORE the "
+    "join runs. Map-side-combinable per-key counts, a distributed "
+    f"top-{SKEW_TOP_N} (TakeOrderedAndProject — no global sort), and a "
+    "one-row totals aggregate broadcast back; no driver collects.",
+    tags=("skew", "report", "aggregate", "join"),
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    per = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = events.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("user_id").alias("ndv"),
+    )
+    top = per.orderBy(F.col("n_rows").desc(), "user_id").limit(SKEW_TOP_N)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round((F.col("n_rows") * 1.0 / F.col("total")).cast("decimal(30,12)"), 6)
+            .cast("double")
+            .alias("share"),
+            F.round(
+                (F.col("n_rows") * 1.0 * F.col("ndv") / F.col("total")).cast(
+                    "decimal(30,12)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("x_uniform"),
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+    )

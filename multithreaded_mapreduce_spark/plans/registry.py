@@ -219,15 +219,18 @@ FRONT_WINDOW: tuple[str, ...] = (
     "zorder_layout_audit",
     "bloom_prefilter_semi_join",
     "readability_scores",
+    "ann_recall_report",
+    "join_key_skew_report",
     # re-greens: TPC-H spread
     "q7_volume_shipping",
-    # re-greens: sources / sessions / streaming twins
+    # re-greens: sources (orc re-green ceded its slot to the r7 adds;
+    # the custom source keeps one as the only Python Data Source row)
     "wordcount_custom_source",
-    "orc_source_lineitem_q6",
     "streaming_dedup_exactly_once",
-    # re-greens: sampling / warehouse analytics
+    # re-greens: sampling (scd2_customer_history ceded its slot to the
+    # r7 adds — warehouse stays covered by merge/audit canaries of
+    # earlier rounds and the local gate)
     "split_leakage_audit",
-    "scd2_customer_history",
 )
 
 
