@@ -413,3 +413,114 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.coalesce("a_id", "b_id").alias("doc_id"), status.alias("status")
     ).orderBy("doc_id", "status")
+
+
+#: orders columns profiled by column_stats_profile, with their
+#: min/max rendering class: numeric -> double columns, varchar ->
+#: string columns, timestamp -> ISO dates in the string columns.
+_PROFILE_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_oracle() -> str:
+    aggs, selects = [], []
+    for c, kind in _PROFILE_COLS:
+        aggs.append(f"count({c}) AS cnt_{c}")
+        aggs.append(f"count(DISTINCT {c}) AS ndv_{c}")
+        if kind == "num":
+            aggs.append(f"CAST(min({c}) AS DOUBLE) AS min_{c}")
+            aggs.append(f"CAST(max({c}) AS DOUBLE) AS max_{c}")
+            mn, mx = f"min_{c}", f"max_{c}"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "date":
+            aggs.append(f"strftime(min(CAST({c} AS DATE)), '%Y-%m-%d') AS min_{c}")
+            aggs.append(f"strftime(max(CAST({c} AS DATE)), '%Y-%m-%d') AS max_{c}")
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"min_{c}", f"max_{c}"
+        else:
+            aggs.append(f"min({c}) AS min_{c}")
+            aggs.append(f"max({c}) AS max_{c}")
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"min_{c}", f"max_{c}"
+        selects.append(
+            f"SELECT '{c}' AS column_name, n_rows, n_rows - cnt_{c} AS n_nulls,\n"
+            f"       ndv_{c} AS ndv, {mn} AS min_num, {mx} AS max_num,\n"
+            f"       {ms} AS min_str, {xs} AS max_str FROM a"
+        )
+    return (
+        "WITH a AS (\n  SELECT count(*) AS n_rows, "
+        + ",\n         ".join(aggs)
+        + "\n  FROM orders\n)\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY column_name"
+    )
+
+
+@register(
+    "column_stats_profile",
+    oracle=_profile_oracle(),
+    description="Per-column profile of the orders table — row count, "
+    "null count, exact distinct count, and typed min/max (numerics as "
+    "doubles, strings as strings, timestamps as ISO dates) — the "
+    "ANALYZE-TABLE statistics that drive encoding choice (low-ndv -> "
+    "dictionary), join planning, and file-skipping expectations. ONE "
+    "scan computes every measure (multi-distinct runs through Spark's "
+    "expand, ×|columns| rows map-side, same as "
+    "multi_distinct_order_profile) and the per-column rows are "
+    "exploded from the single aggregate row, never re-scanned. At "
+    "100 TB swap exact ndv for approx_count_distinct per column — "
+    "the plan shape is unchanged.",
+    tags=("audit", "report", "aggregate", "layout"),
+)
+def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.count(F.col(c)).alias(f"cnt_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"ndv_{c}"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"min_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"max_{c}"))
+        elif kind == "date":
+            aggs.append(
+                F.date_format(F.min(F.col(c).cast("date")), "yyyy-MM-dd").alias(f"min_{c}")
+            )
+            aggs.append(
+                F.date_format(F.max(F.col(c).cast("date")), "yyyy-MM-dd").alias(f"max_{c}")
+            )
+        else:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+    a = orders.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = []
+    for c, kind in _PROFILE_COLS:
+        mn = F.col(f"min_{c}") if kind == "num" else null_d
+        mx = F.col(f"max_{c}") if kind == "num" else null_d
+        ms = F.col(f"min_{c}") if kind != "num" else null_s
+        xs = F.col(f"max_{c}") if kind != "num" else null_s
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_nulls"),
+                F.col(f"ndv_{c}").alias("ndv"),
+                mn.alias("min_num"),
+                mx.alias("max_num"),
+                ms.alias("min_str"),
+                xs.alias("max_str"),
+            )
+        )
+    return (
+        a.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )

@@ -285,3 +285,98 @@ def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# rendezvous_shard_moves
+# --------------------------------------------------------------------------
+
+#: rendezvous (highest-random-weight) hashing geometry: the corpus is
+#: re-sharded from RDV_OLD to RDV_NEW nodes. HRW's guarantee: a key
+#: moves IFF its new argmax weight lands on an added node, so exactly
+#: ~(RDV_NEW-RDV_OLD)/RDV_NEW of keys move — the minimum possible —
+#: versus mod-N hashing where growing 16 -> 20 reshuffles ~80% of keys.
+RDV_OLD = 16
+RDV_NEW = 20
+RDV_HEX_DIGITS = 12
+
+
+def _rdv_weight_spark(shard: int):
+    return _spark_hex_id(
+        F.concat(
+            F.lit(f"rdv:{shard}:"),
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
+        ),
+        RDV_HEX_DIGITS,
+    )
+
+
+def _rdv_weight_sql(shard: int) -> str:
+    return _oracle_hex_id(
+        f"'rdv:{shard}:' || coalesce(CAST(doc_id AS VARCHAR), '<null>')",
+        RDV_HEX_DIGITS,
+    )
+
+
+def _rdv_oracle() -> str:
+    packs = ", ".join(
+        f"struct_pack(w := {_rdv_weight_sql(s)}, s := {s})" for s in range(RDV_NEW)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, [{packs}] AS arr FROM documents
+), pick AS (
+  SELECT (list_reduce(arr[1:{RDV_OLD}],
+                      (a, b) -> CASE WHEN b > a THEN b ELSE a END)).s AS old_shard,
+         (list_reduce(arr,
+                      (a, b) -> CASE WHEN b > a THEN b ELSE a END)).s AS new_shard
+  FROM w
+)
+SELECT new_shard AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+FROM pick
+GROUP BY new_shard
+ORDER BY shard_id
+"""
+
+
+@register(
+    "rendezvous_shard_moves",
+    oracle=_rdv_oracle(),
+    description=f"Elastic re-sharding audit via rendezvous (HRW) "
+    f"hashing: every document is assigned to argmax-weight of "
+    f"{RDV_OLD} and then {RDV_NEW} shards (md5-derived per-(doc,shard) "
+    "weights), and the report counts per-new-shard documents and how "
+    "many MOVED. HRW's minimal-disruption guarantee — a key moves iff "
+    "its global argmax lands on an added node, so only "
+    f"~{RDV_NEW - RDV_OLD}/{RDV_NEW} of keys move (mod-N hashing "
+    "would reshuffle ~80%) — is computed from the data and "
+    "cross-engine-checked, not assumed. One scan projection "
+    f"({RDV_NEW} hash terms, the old argmax reuses the first "
+    f"{RDV_OLD} array slots), one small aggregate; nothing shuffles "
+    "but the shard-count rows.",
+    tags=("layout", "report", "aggregate", "pipeline"),
+)
+def rendezvous_shard_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = F.array(
+        *[
+            F.struct(_rdv_weight_spark(s).alias("w"), F.lit(s).alias("s"))
+            for s in range(RDV_NEW)
+        ]
+    )
+    pick = load_table(spark, sf_dir, "documents").select(
+        F.array_max(F.slice(arr, 1, RDV_OLD))["s"].alias("old_shard"),
+        F.array_max(arr)["s"].alias("new_shard"),
+    )
+    return (
+        pick.groupBy(F.col("new_shard").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("old_shard") != F.col("new_shard"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_moved"),
+        )
+        .orderBy("shard_id")
+    )

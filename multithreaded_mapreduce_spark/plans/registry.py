@@ -208,9 +208,11 @@ FRONT_WINDOW: tuple[str, ...] = (
     # re-greens: similarity / vectors
     "knn_ivf_exact_ann",
     "kmeans_lloyd",
-    # re-greens: text quality / corpus
-    "doc_quality_composite",
-    "pretraining_funnel_report",
+    # profiling / elastic re-sharding operators (new this round; they
+    # take the text-quality re-green slots — doc_quality_composite and
+    # pretraining_funnel_report are driver-green r4/r5)
+    "column_stats_profile",
+    "rendezvous_shard_moves",
     # layout / runtime-filter / readability operators (new this round;
     # never driver-checked) — they take the slots of four TPC-H
     # re-greens (q3/q9/q18/q2, all driver-green r4 with canaries since),

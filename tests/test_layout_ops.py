@@ -134,3 +134,52 @@ def test_shard_plan_partitions_the_corpus_exactly(spark, sf_dir):
     assert len({r.shard_id for r in rows}) == len(rows)  # one row per shard
     assert sum(r.n_docs for r in rows) == totals.n
     assert sum(r.shard_bytes for r in rows) == totals.b
+
+
+def test_rendezvous_resharding_moves_the_minimum(spark, sf_dir):
+    """HRW's defining property, measured not assumed: growing the
+    shard set only moves keys whose global argmax lands on an ADDED
+    shard — retained shards lose nothing."""
+    from multithreaded_mapreduce_spark.operators.layout import (
+        RDV_NEW,
+        RDV_OLD,
+        rendezvous_shard_moves,
+    )
+
+    rows = rendezvous_shard_moves(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == docs
+    for r in rows:
+        assert 0 <= r.shard_id < RDV_NEW
+        if r.shard_id < RDV_OLD:
+            assert r.n_moved == 0, r  # retained shards keep every doc
+        else:
+            assert r.n_moved == r.n_docs, r  # added shards only gain
+    moved = sum(r.n_moved for r in rows)
+    # expected fraction (RDV_NEW-RDV_OLD)/RDV_NEW = 0.2; binomial noise
+    # at the sf0.001 corpus size stays well inside ±0.1
+    assert abs(moved / docs - (RDV_NEW - RDV_OLD) / RDV_NEW) < 0.1
+
+
+def test_column_stats_profile_invariants(spark, sf_dir):
+    from multithreaded_mapreduce_spark.operators.audit import (
+        _PROFILE_COLS,
+        column_stats_profile,
+    )
+
+    rows = {r.column_name: r for r in column_stats_profile(spark, sf_dir).collect()}
+    assert set(rows) == {c for c, _ in _PROFILE_COLS}
+    n = load_table(spark, sf_dir, "orders").count()
+    for c, kind in _PROFILE_COLS:
+        r = rows[c]
+        assert r.n_rows == n
+        assert 0 <= r.n_nulls <= n
+        assert 0 <= r.ndv <= n - r.n_nulls
+        if kind == "num":
+            assert r.min_str is None and r.max_str is None
+            if r.ndv:
+                assert r.min_num <= r.max_num
+        else:
+            assert r.min_num is None and r.max_num is None
+            if r.ndv:
+                assert r.min_str <= r.max_str
