@@ -118,6 +118,8 @@ HEADLINE = (
     "ann_recall_report",             # sketch-ANN recall@5 vs exact
     "rendezvous_shard_moves",        # HRW minimal-movement re-shard
     "column_stats_profile",          # one-scan ANALYZE-TABLE stats
+    "language_confusion_matrix",     # language-ID eval cells
+    "embedding_quantization_error_report",  # int8 reconstruction loss
 )
 
 

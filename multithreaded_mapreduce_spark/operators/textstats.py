@@ -893,3 +893,54 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _langid_oracle() -> str:
+    """The registered language_id oracle, reused VERBATIM as the
+    confusion matrix's inner CTE so the evaluated path IS the
+    registered query (same composition rule as ann_recall_report)."""
+    from ..plans.registry import _REGISTRY
+
+    return _REGISTRY["language_id"].oracle
+
+
+@register(
+    "language_confusion_matrix",
+    oracle=f"""
+WITH li AS ({_langid_oracle()})
+SELECT labeled_lang, guessed_lang, count(*) AS n_docs,
+       CAST(round(CAST(count(*) * 1.0
+                       / sum(count(*)) OVER (PARTITION BY labeled_lang)
+                  AS DECIMAL(30,12)), 4) AS DOUBLE) AS row_share
+FROM li
+GROUP BY labeled_lang, guessed_lang
+ORDER BY labeled_lang, guessed_lang
+""",
+    description="Language-ID evaluation: the labeled-vs-guessed "
+    "confusion matrix over the registered language_id query (reused "
+    "verbatim — the evaluated path is the production path, same "
+    "composition rule as ann_recall_report), with each cell's share "
+    "of its labeled-language row. The corpus is English-vocab "
+    "synthetic, so the honest reading is one dominant (en, en) cell "
+    "with the other labels exposing the heuristic's confusion — "
+    "which is exactly what an eval artifact is for. A |langs|²-row "
+    "aggregate; the row-share window runs on that bounded relation.",
+    tags=("text", "langid", "report", "aggregate"),
+)
+def language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per = (
+        language_id(spark, sf_dir)
+        .groupBy("labeled_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = F.sum("n_docs").over(Window.partitionBy("labeled_lang"))
+    return per.select(
+        "labeled_lang",
+        "guessed_lang",
+        "n_docs",
+        F.round((F.col("n_docs") * 1.0 / tot).cast("decimal(30,12)"), 4)
+        .cast("double")
+        .alias("row_share"),
+    ).orderBy("labeled_lang", "guessed_lang")

@@ -825,3 +825,106 @@ def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "embedding_quantization_error_report",
+    oracle="""
+WITH d AS (SELECT unnest(range(1, 65)) AS i),
+m AS (
+  SELECT vec_id, label,
+         127.0 / nullif(list_max(list_transform(embedding,
+                                                x -> abs(CAST(x AS DOUBLE)))), 0)
+             AS scale
+  FROM embeddings
+), sums AS (
+  SELECT e.vec_id, e.label,
+         CAST(sum(CAST((CAST(e.embedding[i] AS DOUBLE)
+                        - floor(CAST(e.embedding[i] AS DOUBLE) * m.scale + 0.5)
+                          / m.scale)
+                       * (CAST(e.embedding[i] AS DOUBLE)
+                          - floor(CAST(e.embedding[i] AS DOUBLE) * m.scale + 0.5)
+                            / m.scale)
+                  AS DECIMAL(30,20))) AS DOUBLE) AS err_sq,
+         CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
+                       * CAST(e.embedding[i] AS DOUBLE)
+                  AS DECIMAL(30,20))) AS DOUBLE) AS nsq
+  FROM embeddings e JOIN m USING (vec_id) CROSS JOIN d
+  GROUP BY 1, 2
+), rel AS (
+  SELECT label,
+         CAST(round(CAST(err_sq / nullif(nsq, 0) AS DECIMAL(30,12)), 8)
+              AS DOUBLE) AS rel_err
+  FROM sums
+)
+SELECT label,
+       count(*) AS n_vecs,
+       count(rel_err) AS n_quantizable,
+       CAST(round(CAST(CAST(sum(CAST(rel_err AS DECIMAL(30,12))) AS DOUBLE)
+                       / nullif(count(rel_err), 0) AS DECIMAL(30,12)), 8)
+            AS DOUBLE) AS mean_rel_err,
+       max(rel_err) AS max_rel_err
+FROM rel
+GROUP BY label
+ORDER BY label
+""",
+    description="Quantization-loss evaluation for the int8 ANN path: "
+    "per-vector relative reconstruction error ‖x−x̂‖²/‖x‖² under the "
+    "SAME symmetric int8 scheme knn_quantized_ann searches with "
+    "(scale = 127/max|x|, q = floor(x·s+0.5), x̂ = q/s), rolled up per "
+    "label as mean and max. The companion to ann_recall_report: recall "
+    "measures ranking damage, this measures representation damage — "
+    "together they justify (or veto) shipping the 4×-smaller index. "
+    "Exact-decimal per-vector sums (order-independent), zero-vector "
+    "edge yields NULL and is counted out via n_quantizable; one scan, "
+    "one |labels|-row aggregate.",
+    tags=("similarity", "quantization", "report", "aggregate"),
+)
+def embedding_quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import DEC20, _fold_sum, norm_sq_exact
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    scale = F.try_divide(
+        F.lit(127.0),
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
+    )
+
+    def _err_term(x):
+        d = x.cast("double")
+        recon = F.floor(d * F.col("scale") + 0.5) / F.col("scale")
+        return ((d - recon) * (d - recon)).cast(DEC20)
+
+    sums = emb.withColumn("scale", scale).select(
+        "label",
+        _fold_sum(F.transform(F.col("embedding"), _err_term)).alias("err_sq"),
+        norm_sq_exact("embedding").alias("nsq"),
+    )
+    rel = sums.select(
+        "label",
+        F.round(
+            F.try_divide(F.col("err_sq"), F.nullif(F.col("nsq"), F.lit(0.0))).cast(
+                "decimal(30,12)"
+            ),
+            8,
+        )
+        .cast("double")
+        .alias("rel_err"),
+    )
+    return (
+        rel.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("rel_err").alias("n_quantizable"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("rel_err").cast("decimal(30,12)")).cast("double"),
+                    F.count("rel_err"),
+                ).cast("decimal(30,12)"),
+                8,
+            )
+            .cast("double")
+            .alias("mean_rel_err"),
+            F.max("rel_err").alias("max_rel_err"),
+        )
+        .orderBy("label")
+    )

@@ -205,9 +205,12 @@ FRONT_WINDOW: tuple[str, ...] = (
     "token_frequency_spectrum",
     "embedding_threshold_sweep",
     "curriculum_length_schedule",
-    # re-greens: similarity / vectors
-    "knn_ivf_exact_ann",
-    "kmeans_lloyd",
+    # evaluation operators (new this round; they take the similarity /
+    # vectors re-green slots — knn_ivf_exact_ann and kmeans_lloyd are
+    # driver-green r3/r4, and the similarity family keeps the
+    # knn_cosine_bruteforce canary plus four first-run r7 entries)
+    "language_confusion_matrix",
+    "embedding_quantization_error_report",
     # profiling / elastic re-sharding operators (new this round; they
     # take the text-quality re-green slots — doc_quality_composite and
     # pretraining_funnel_report are driver-green r4/r5)
