@@ -120,6 +120,7 @@ HEADLINE = (
     "column_stats_profile",          # one-scan ANALYZE-TABLE stats
     "language_confusion_matrix",     # language-ID eval cells
     "embedding_quantization_error_report",  # int8 reconstruction loss
+    "events_ewma_daily",             # per-series EWMA fold
 )
 
 

@@ -222,3 +222,100 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+#: EWMA smoothing factor: ewma_t = EWMA_ALPHA·x_t + (1−EWMA_ALPHA)·ewma_{t−1}
+EWMA_ALPHA = 0.3
+_EWMA_BETA = 1 - EWMA_ALPHA
+
+
+@register(
+    "events_ewma_daily",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(CAST(sum(CAST(value AS {{DEC}})) AS DOUBLE), 2) AS daily_total
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, day, daily_total,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM daily
+), ew AS (
+  SELECT event_type, day, daily_total, t, daily_total AS ewma
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.event_type, i.day, i.daily_total, i.t,
+         CAST(round(CAST({EWMA_ALPHA} * i.daily_total
+                         + {_EWMA_BETA} * e.ewma AS DECIMAL(30,12)), 6)
+              AS DOUBLE) AS ewma
+  FROM idx i JOIN ew e ON i.event_type = e.event_type AND i.t = e.t + 1
+)
+SELECT event_type, day, daily_total, ewma
+FROM ew
+ORDER BY event_type, day
+""".format(DEC=DEC),
+    description=f"Exponentially weighted moving average of daily "
+    f"per-type event volume (α={EWMA_ALPHA}), the standard smoothed "
+    "baseline behind monitoring/alerting anomaly bands. The recurrence "
+    "ewma_t = α·x_t + (1−α)·ewma_(t−1) is inherently sequential PER "
+    "SERIES but embarrassingly parallel ACROSS series, so the engine "
+    "folds each type's bounded day array (|days| elements — time-"
+    "bounded, never traffic-bounded) with F.aggregate after one "
+    "map-side-combinable daily rollup; every step snaps to 6 decimals "
+    "so the chain is bit-identical to the oracle's recursive CTE. The "
+    "same shape runs per (series, month) chunks if a series' history "
+    "outgrows one row.",
+    tags=("timeseries", "events", "report", "iterative"),
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+            "daily_total"
+        )
+    )
+    # one bounded array per series: |days| entries (30 at the test SFs;
+    # time-bounded at any traffic volume). sort_array orders the fold
+    # deterministically — struct comparison leads with the unique day.
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "daily_total"))).alias("xs")
+    )
+    acc0 = F.array().cast(
+        "array<struct<day:date,daily_total:double,ewma:double>>"
+    )
+
+    def _step(acc, x):
+        prev = F.element_at(acc, -1)["ewma"]
+        ew = (
+            F.when(F.size(acc) == 0, x["daily_total"])
+            .otherwise(
+                F.round(
+                    (
+                        F.lit(EWMA_ALPHA) * x["daily_total"]
+                        + F.lit(_EWMA_BETA) * prev
+                    ).cast("decimal(30,12)"),
+                    6,
+                ).cast("double")
+            )
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["daily_total"].alias("daily_total"),
+                    ew.alias("ewma"),
+                )
+            ),
+        )
+
+    return (
+        arr.select(
+            "event_type", F.explode(F.aggregate("xs", acc0, _step)).alias("r")
+        )
+        .select("event_type", "r.day", "r.daily_total", "r.ewma")
+        .orderBy("event_type", "day")
+    )

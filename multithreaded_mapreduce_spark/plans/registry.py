@@ -191,8 +191,10 @@ FRONT_WINDOW: tuple[str, ...] = (
     "dedup_jaccard_pairs",
     "dedup_ngram_jaccard",
     "dedup_minhash_verified",
-    "dedup_simhash_verified",
+    # (dedup_simhash_verified, r3/r5-green, ceded its re-green slot to
+    # events_ewma_daily below; its banding twin above keeps the family)
     "dedup_exact_substr",
+    "events_ewma_daily",
     # operators new this round (never driver-checked)
     "knn_pq_ann",
     "hard_negative_mining",
