@@ -162,6 +162,18 @@ def _load() -> None:
 #: keeping the same 5 canaries as every previous round. Earlier
 #: windows remain covered by the local type-sensitive sf0.01 gate
 #: (tests/test_oracle_parity.py).
+#:
+#: r7-late adjustment: the 24 operators ADDED during round 7 (11 from
+#: the first r7 sessions, 13 from the late ones: layout / runtime
+#: filter / readability / eval / skew-probe / profiling / EWMA) are
+#: all never-driver-checked, so each takes a slot from an
+#: already-driver-green re-green — q3/q9/q18/q2 (TPC-H, green r4),
+#: orc_source_lineitem_q6, scd2_customer_history,
+#: doc_quality_composite, pretraining_funnel_report,
+#: knn_ivf_exact_ann, kmeans_lloyd, dedup_simhash_verified — leaving
+#: the 5 canaries, the dedup-heavy block, q7, the custom source, the
+#: streaming twin, and split_leakage_audit as this window's re-greens.
+#: Every displaced query stays covered by the local sf0.01 gate.
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
     "wordcount",
