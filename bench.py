@@ -121,6 +121,7 @@ HEADLINE = (
     "language_confusion_matrix",     # language-ID eval cells
     "embedding_quantization_error_report",  # int8 reconstruction loss
     "events_ewma_daily",             # per-series EWMA fold
+    "lsh_recall_report",             # banding S-curve vs exact pairs
 )
 
 

@@ -2685,3 +2685,72 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "cluster_id")
     )
     return guard_checkpoint_result(out)
+
+
+def _lsh_recall_oracle() -> str:
+    """Composes the two registered oracles VERBATIM (same rule as
+    ann_recall_report / language_confusion_matrix): exact pairs from
+    dedup_jaccard_pairs, banding-survivor pairs from
+    dedup_minhash_verified."""
+    from ..plans.registry import _REGISTRY
+
+    exact = _REGISTRY["dedup_jaccard_pairs"].oracle
+    verified = _REGISTRY["dedup_minhash_verified"].oracle
+    return f"""
+WITH ep AS ({exact}),
+vp AS ({verified})
+SELECT CAST(floor(ep.jaccard * 20) AS BIGINT) AS j_bucket,
+       CAST(floor(ep.jaccard * 20) AS BIGINT) / 20.0 AS bucket_lo,
+       count(*) AS n_true_pairs,
+       CAST(sum(CASE WHEN vp.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_caught,
+       CAST(round(CAST(sum(CASE WHEN vp.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                       * 1.0 / count(*) AS DECIMAL(30,12)), 4)
+            AS DOUBLE) AS recall
+FROM ep
+LEFT JOIN vp ON ep.doc_a = vp.doc_a AND ep.doc_b = vp.doc_b
+GROUP BY 1, 2
+ORDER BY j_bucket
+"""
+
+
+@register(
+    "lsh_recall_report",
+    oracle=_lsh_recall_oracle(),
+    description="LSH banding recall by true-similarity bucket: every "
+    "exact Jaccard >= 0.8 pair (dedup_jaccard_pairs — ground truth) "
+    "bucketed at 0.05 grain and left-joined against the pairs the "
+    "cross-engine MinHash banding catches (dedup_minhash_verified), "
+    "reporting per-bucket recall. This is the LSH S-curve measured on "
+    "the actual corpus — P(caught | J) climbing toward 1 as J "
+    "approaches 1 — the number that justifies the (8 bands × 2 rows) "
+    "geometry before trusting it on 100 TB. Composes both registered "
+    "builders unchanged; the join and rollup touch only the "
+    "pair-relation outputs.",
+    tags=("dedup", "minhash", "lsh", "report", "aggregate"),
+)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    caught = dedup_minhash_verified(spark, sf_dir).select(
+        F.col("doc_a").alias("c_a"), F.col("doc_b").alias("c_b")
+    )
+    joined = exact.join(
+        caught,
+        (exact["doc_a"] == caught["c_a"]) & (exact["doc_b"] == caught["c_b"]),
+        "left",
+    )
+    bucket = F.floor(F.col("jaccard") * 20).cast("bigint")
+    hit = F.sum(F.when(F.col("c_a").isNotNull(), 1).otherwise(0))
+    return (
+        joined.groupBy(
+            bucket.alias("j_bucket"), (bucket / 20.0).alias("bucket_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            hit.cast("bigint").alias("n_caught"),
+            F.round((hit * 1.0 / F.count(F.lit(1))).cast("decimal(30,12)"), 4)
+            .cast("double")
+            .alias("recall"),
+        )
+        .orderBy("j_bucket")
+    )

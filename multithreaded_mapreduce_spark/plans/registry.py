@@ -200,7 +200,10 @@ FRONT_WINDOW: tuple[str, ...] = (
     # re-greens: dedup heavies (incl. the r6 contraction-CC rewrite)
     "dedup_components",
     "dedup_embedding_components",
-    "dedup_jaccard_pairs",
+    # (dedup_jaccard_pairs, r3-green, ceded its re-green slot to
+    # lsh_recall_report below, which composes it verbatim as the
+    # ground-truth side)
+    "lsh_recall_report",
     "dedup_ngram_jaccard",
     "dedup_minhash_verified",
     # (dedup_simhash_verified, r3/r5-green, ceded its re-green slot to
