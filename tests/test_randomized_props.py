@@ -245,3 +245,121 @@ def test_pq_codebooks_match_python_lloyd_on_random_vectors(spark, tmp_path):
         got = _pq_codebooks(spark, path)
         want = py_codebooks(vecs)
         assert got == want, (trial, {m: got[m] for m in list(got)[:1]})
+
+
+def test_ewma_fold_matches_python_on_random_series(spark):
+    """The events_ewma_daily fold (array-accumulator F.aggregate with a
+    per-step decimal snap) must replay a transparent Python recurrence
+    on random series — including negative values, zeros, and
+    single-element series (the when(size==0) seed branch)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from multithreaded_mapreduce_spark.operators.timeseries import (
+        EWMA_ALPHA,
+        _EWMA_BETA,
+    )
+
+    rng = random.Random(424242)
+
+    def py_ewma(xs):
+        out = []
+        for i, x in enumerate(xs):
+            if i == 0:
+                e = x
+            else:
+                raw = EWMA_ALPHA * x + _EWMA_BETA * out[-1]
+                # the engine snap: cast to DECIMAL(30,12) (HALF_UP at
+                # 12 dp) then round to 6 dp, back to double
+                e = float(
+                    Decimal(repr(raw))
+                    .quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+                    .quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+                )
+            out.append(e)
+        return out
+
+    cases = []
+    for sid in range(8):
+        n = rng.choice([1, 2, 3, 7, 30])
+        xs = [round(rng.uniform(-500, 500), 2) for _ in range(n)]
+        cases.append((sid, xs))
+    rows = [(sid, i, x) for sid, xs in cases for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "sid long, t long, x double")
+    arr = df.groupBy("sid").agg(
+        F.sort_array(F.collect_list(F.struct("t", F.col("x").alias("daily_total")))).alias("xs")
+    )
+    acc0 = F.array().cast("array<struct<t:long,daily_total:double,ewma:double>>")
+
+    def _step(acc, s):
+        prev = F.element_at(acc, -1)["ewma"]
+        ew = F.when(F.size(acc) == 0, s["daily_total"]).otherwise(
+            F.round(
+                (F.lit(EWMA_ALPHA) * s["daily_total"] + F.lit(_EWMA_BETA) * prev).cast(
+                    "decimal(30,12)"
+                ),
+                6,
+            ).cast("double")
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    s["t"].alias("t"),
+                    s["daily_total"].alias("daily_total"),
+                    ew.alias("ewma"),
+                )
+            ),
+        )
+
+    got = {
+        (r.sid, r.r.t): r.r.ewma
+        for r in arr.select("sid", F.explode(F.aggregate("xs", acc0, _step)).alias("r")).collect()
+    }
+    for sid, xs in cases:
+        expected = py_ewma(xs)
+        for t, e in enumerate(expected):
+            assert abs(got[(sid, t)] - e) < 1e-9, (sid, t, got[(sid, t)], e)
+
+
+def test_rendezvous_argmax_matches_hashlib_reference(spark):
+    """The HRW shard pick (md5-prefix weights + array_max over structs)
+    must agree with an independent hashlib implementation — this checks
+    the whole composition (prefix fold, struct ordering, slice reuse of
+    the old shard set), not just the hex-id math."""
+    import hashlib
+
+    from multithreaded_mapreduce_spark.operators.layout import (
+        RDV_HEX_DIGITS,
+        RDV_NEW,
+        RDV_OLD,
+        _rdv_weight_spark,
+    )
+
+    def py_weight(doc_id, shard):
+        h = hashlib.md5(f"rdv:{shard}:{doc_id}".encode()).hexdigest()
+        return int(h[:RDV_HEX_DIGITS], 16)
+
+    def py_pick(doc_id, n):
+        # ties impossible in practice; mirror struct ordering anyway
+        return max(range(n), key=lambda s: (py_weight(doc_id, s), s))
+
+    ids = [0, 1, 7, 99, 12345, 10**12, 10**15 + 17] + [
+        random.Random(7).randrange(10**9) for _ in range(40)
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    arr = F.array(
+        *[
+            F.struct(_rdv_weight_spark(s).alias("w"), F.lit(s).alias("s"))
+            for s in range(RDV_NEW)
+        ]
+    )
+    got = {
+        r.doc_id: (r.old_shard, r.new_shard)
+        for r in df.select(
+            "doc_id",
+            F.array_max(F.slice(arr, 1, RDV_OLD))["s"].alias("old_shard"),
+            F.array_max(arr)["s"].alias("new_shard"),
+        ).collect()
+    }
+    for i in ids:
+        assert got[i] == (py_pick(i, RDV_OLD), py_pick(i, RDV_NEW)), i
