@@ -406,3 +406,52 @@ def streaming_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFra
         admitted, "q_streaming_incremental_admission", output_mode="append"
     )
     return out.orderBy("doc_id")
+
+
+@register(
+    "streaming_ewma_daily",
+    # the batch twin's recursive-CTE oracle, verbatim: the stream's
+    # final per-(type, day) state must reproduce the batch EWMA chain
+    oracle=__import__(
+        "multithreaded_mapreduce_spark.operators.timeseries",
+        fromlist=["EWMA_DAILY_ORACLE"],
+    ).EWMA_DAILY_ORACLE,
+    description="Custom stateful streaming twin of events_ewma_daily: "
+    "per-type group state accumulates exact 1e-6-unit day totals "
+    "across micro-batches (a day may straddle batches — the 4-file "
+    "range-partitioned replay exercises that) and re-emits the whole "
+    "per-type EWMA chain each batch with bit-exact replications of "
+    "the engine's decimal snaps; the last emission per (type, day) "
+    "hash-matches the batch recursive-CTE oracle. A NUMERIC-recurrence "
+    "state shape (vs the counter state of "
+    "streaming_stateful_user_totals): the pattern for streaming "
+    "anomaly baselines. State is |days| entries per type — "
+    "time-bounded, never traffic-bounded.",
+    tags=("streaming", "stateful", "pandas-udf", "timeseries"),
+)
+def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import stream_events_multibatch
+    from ..streaming.stateful import running_type_ewma
+
+    typed = (
+        stream_events_multibatch(spark, sf_dir, n_files=4)
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type", F.col("ts").cast("date").alias("day"), "value"
+        )
+    )
+    updates = run_stream_to_memory(
+        running_type_ewma(typed), "q_streaming_ewma_daily", output_mode="update"
+    )
+    # update mode re-emits every day of a type's chain per batch; the
+    # final chain is each (type, day)'s highest-version emission
+    latest = Window.partitionBy("event_type", "day").orderBy(F.desc("version"))
+    return (
+        updates.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "day", "daily_total", "ewma")
+        .orderBy("event_type", "day")
+    )

@@ -229,9 +229,9 @@ EWMA_ALPHA = 0.3
 _EWMA_BETA = 1 - EWMA_ALPHA
 
 
-@register(
-    "events_ewma_daily",
-    oracle=f"""
+#: shared with streaming_ewma_daily (operators/streaming_queries.py):
+#: the streaming twin's final state must hash-match the same oracle
+EWMA_DAILY_ORACLE = f"""
 WITH RECURSIVE daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          round(CAST(sum(CAST(value AS {{DEC}})) AS DOUBLE), 2) AS daily_total
@@ -254,7 +254,12 @@ WITH RECURSIVE daily AS (
 SELECT event_type, day, daily_total, ewma
 FROM ew
 ORDER BY event_type, day
-""".format(DEC=DEC),
+""".format(DEC=DEC)
+
+
+@register(
+    "events_ewma_daily",
+    oracle=EWMA_DAILY_ORACLE,
     description=f"Exponentially weighted moving average of daily "
     f"per-type event volume (α={EWMA_ALPHA}), the standard smoothed "
     "baseline behind monitoring/alerting anomaly bands. The recurrence "

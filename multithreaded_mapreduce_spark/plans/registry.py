@@ -248,7 +248,10 @@ FRONT_WINDOW: tuple[str, ...] = (
     # re-greens: sources (orc re-green ceded its slot to the r7 adds;
     # the custom source keeps one as the only Python Data Source row)
     "wordcount_custom_source",
-    "streaming_dedup_exactly_once",
+    # stateful-streaming twin (new this round; takes the
+    # streaming_dedup_exactly_once re-green slot — r5-green — so the
+    # streaming family's window entry is a first-run check instead)
+    "streaming_ewma_daily",
     # re-greens: sampling (scd2_customer_history ceded its slot to the
     # r7 adds — warehouse stays covered by merge/audit canaries of
     # earlier rounds and the local gate)

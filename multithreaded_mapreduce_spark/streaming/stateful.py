@@ -158,3 +158,135 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# per-type daily EWMA: numeric-recurrence state (vs the counter state above)
+# --------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("day", T.DateType(), True),
+        T.StructField("daily_total", T.DoubleType(), True),
+        T.StructField("ewma", T.DoubleType(), True),
+        T.StructField("version", T.LongType(), False),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("days_json", T.StringType(), False),
+        T.StructField("version", T.LongType(), False),
+    ]
+)
+
+#: 6-dp quantum — the value sums run at DECIMAL(30,6) (functions/numeric.DEC)
+_UNIT6 = Decimal("0.000001")
+
+#: EWMA coefficients — MUST stay equal to operators/timeseries.py's
+#: EWMA_ALPHA/_EWMA_BETA (asserted in tests/test_streaming.py); a local
+#: copy avoids importing the operator module from the streaming layer
+EWMA_ALPHA = 0.3
+EWMA_BETA = 1 - EWMA_ALPHA
+
+
+def _dec6_units(v: float) -> int:
+    """value → exact integer count of 1e-6 units (the DECIMAL(30,6)
+    quantum), same shortest-repr HALF_UP reading as :func:`_dec_units`."""
+    return int(Decimal(repr(float(v))).quantize(_UNIT6, ROUND_HALF_UP).scaleb(6))
+
+
+def _round_like_spark(x: float, places: int) -> float:
+    """Replicate Spark's round(double, n): BigDecimal.valueOf(double)
+    parses the shortest round-trip repr (== Python repr), setScale
+    HALF_UP. Property-tested against the engine in
+    tests/test_randomized_props.py (the EWMA fold test)."""
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-places), ROUND_HALF_UP))
+
+
+def _snap_ewma_step(raw: float) -> float:
+    """The engine's per-step snap: cast double → DECIMAL(30,12)
+    (shortest-repr at 12 dp) then round to 6 dp, back to double."""
+    d = Decimal(repr(raw)).quantize(Decimal("1e-12"), ROUND_HALF_UP)
+    return float(d.quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def _update_type_ewma(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Accumulate exact per-day 1e-6 units across micro-batches (a day
+    may straddle batches), then re-emit the WHOLE per-type EWMA chain
+    each batch — the last emission per (type, day) is the final value.
+    State is |days| entries per type: time-bounded, never traffic-
+    bounded (same argument as the batch operator's fold array)."""
+    import datetime as _dt
+    import json
+
+    if state.exists:
+        days = json.loads(state.get[0])
+        version = int(state.get[1])
+    else:
+        days, version = {}, 0
+    for pdf in pdfs:
+        for day, v in zip(pdf["day"], pdf["value"]):
+            k = day.isoformat() if hasattr(day, "isoformat") else str(day)
+            n, units = days.get(k, (0, 0))
+            # a day whose every value is NULL still exists (the batch
+            # daily aggregate emits a NULL-total row for it)
+            if v is not None and not pd.isna(v):
+                n += 1
+                units += _dec6_units(v)
+            days[k] = [int(n), int(units)]
+    version += 1
+    state.update((json.dumps(days), version))
+
+    out_day, out_total, out_ewma = [], [], []
+    prev: float | None = None
+    for i, k in enumerate(sorted(days)):
+        n, units = days[k]
+        daily = (
+            _round_like_spark(float(Decimal(units).scaleb(-6)), 2) if n else None
+        )
+        if i == 0:
+            e = daily
+        elif daily is None or prev is None:
+            e = None
+        else:
+            e = _snap_ewma_step(EWMA_ALPHA * daily + EWMA_BETA * prev)
+        prev = e
+        out_day.append(_dt.date.fromisoformat(k))
+        out_total.append(daily)
+        out_ewma.append(e)
+    # explicit float64 dtype: an all-None column would otherwise land
+    # as object and trip pandas' all-NA concat FutureWarning inside
+    # pyspark's serializer
+    yield pd.DataFrame(
+        {
+            "event_type": pd.Series([key[0]] * len(out_day), dtype="object"),
+            "day": pd.Series(out_day, dtype="object"),
+            "daily_total": pd.Series(out_total, dtype="float64"),
+            "ewma": pd.Series(out_ewma, dtype="float64"),
+            "version": pd.Series([version] * len(out_day), dtype="int64"),
+        }
+    )
+
+
+def running_type_ewma(typed_days: DataFrame) -> DataFrame:
+    """Per-event-type daily EWMA in explicit group state. Expects a
+    streaming frame with (event_type, day, value) — day precomputed
+    engine-side (CAST(ts AS DATE)) so the pandas layer never touches
+    timezone arithmetic."""
+    return (
+        typed_days.select("event_type", "day", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_type_ewma,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -431,3 +431,34 @@ def test_multibatch_stream_static_join_equals_batch(spark, sf_dir):
     )
     cols = ["window_start", "c_mktsegment", "n_events", "total_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_ewma_coefficients_stay_in_sync():
+    """streaming/stateful.py keeps a local copy of the EWMA
+    coefficients to avoid importing the operator layer; they must
+    never drift from the batch operator's."""
+    from multithreaded_mapreduce_spark.operators import timeseries as batch
+    from multithreaded_mapreduce_spark.streaming import stateful as stream
+
+    assert stream.EWMA_ALPHA == batch.EWMA_ALPHA
+    assert stream.EWMA_BETA == batch._EWMA_BETA
+
+
+def test_streaming_ewma_matches_batch_operator(spark, sf_dir):
+    """End-state parity with the batch fold itself (the oracle gate
+    already checks the recursive CTE; this pins the two ENGINE paths
+    to each other, including the multi-batch day-straddling replay)."""
+    from multithreaded_mapreduce_spark.operators.streaming_queries import (
+        streaming_ewma_daily,
+    )
+    from multithreaded_mapreduce_spark.operators.timeseries import events_ewma_daily
+
+    got = {
+        (r.event_type, r.day): (r.daily_total, r.ewma)
+        for r in streaming_ewma_daily(spark, sf_dir).collect()
+    }
+    want = {
+        (r.event_type, r.day): (r.daily_total, r.ewma)
+        for r in events_ewma_daily(spark, sf_dir).collect()
+    }
+    assert got == want
