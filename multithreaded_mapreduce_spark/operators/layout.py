@@ -14,8 +14,11 @@ filters, because at that scale layout IS performance:
   prefilter on the fact side of a semi-join, the pattern Spark AQE /
   Trino inject as "runtime filters" when the dimension side is too
   large for a broadcast hash join but its bit-set is not.
+* :func:`rendezvous_shard_moves` — elastic re-sharding under
+  rendezvous (HRW) hashing, with the minimal-movement guarantee
+  measured from the data rather than assumed.
 
-All three are pure DataFrame plans (no UDFs, no driver collects) with
+All four are pure DataFrame plans (no UDFs, no driver collects) with
 exact DuckDB oracles; the Bloom operator's oracle is the PLAIN
 semi-join — the strongest possible check that the prefilter changes
 nothing semantically.
@@ -252,13 +255,17 @@ def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
         .select("c_custkey")
     )
-    # the Bloom "bit array" as a relation of set positions: ≤ min(k·n,
-    # m) longs, deduped — broadcast once, probed k times map-side
+    # the Bloom "bit array" as a relation of set positions: ≤ k·n longs
+    # (NOT deduped — a .distinct() here would shuffle the small side
+    # once per probe plan, while the broadcast hash relation dedups its
+    # build keys anyway, so duplicates cost broadcast bytes only and
+    # the whole query's sole data-bearing exchange stays the final
+    # 5-row aggregate; plan-asserted in tests/test_scale_plans.py)
     bits = cust.select(
         F.explode(
             F.array(*[_bloom_pos(F.col("c_custkey"), p) for p in range(BLOOM_K)])
         ).alias("pos")
-    ).distinct()
+    )
 
     passed = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", "o_totalprice"

@@ -364,3 +364,56 @@ def test_active_streaks_reuses_one_partitioning(spark, sf_dir):
     plan = _plan(Q["user_active_streaks"].builder(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Exchange rangepartitioning") == 1, plan
+
+
+def test_bloom_prefilter_fact_side_never_shuffles(spark, sf_dir):
+    """The claim in bloom_prefilter_semi_join's docstring, asserted
+    from the physical plan: every probe and the exact confirm are
+    BROADCAST left-semi joins, so the only data-bearing exchange in
+    the whole plan is the 5-row priority aggregate's (plus its final
+    sort). Four broadcast exchanges carry the bit-set/key relations."""
+    from multithreaded_mapreduce_spark.operators.layout import (
+        bloom_prefilter_semi_join,
+    )
+
+    plan = (
+        bloom_prefilter_semi_join(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # data-bearing shuffles: exactly the one hash exchange feeding the
+    # final aggregate (the orderBy adds a range exchange on 5 rows)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_zorder_audit_single_aggregation_shuffle(spark, sf_dir):
+    """The Morton audit is scan-side integer math + one aggregate:
+    exactly one hash exchange (64 bucket rows), no join, no window."""
+    from multithreaded_mapreduce_spark.operators.layout import zorder_layout_audit
+
+    plan = (
+        zorder_layout_audit(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_shard_plan_window_runs_post_aggregate(spark, sf_dir):
+    """shard_layout_plan's global-mean window must consume the 64-row
+    aggregate output, never the scan: the Window node sits above the
+    final HashAggregate in the plan tree (string order: Window prints
+    before — i.e. downstream of — the aggregate in Spark's top-down
+    plan rendering)."""
+    from multithreaded_mapreduce_spark.operators.layout import shard_layout_plan
+
+    plan = (
+        shard_layout_plan(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan, plan
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
