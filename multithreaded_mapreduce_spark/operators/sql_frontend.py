@@ -166,3 +166,47 @@ ORDER BY ALL
 def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(GROUP_BY_ALL_PRIORITY_MIX)
+
+
+#: Spark 4 SQL pipe syntax (SPARK-49555): the same logical pipeline a
+#: DataFrame chain expresses, written as linear |> stages inside ONE
+#: SQL string. DuckDB does not parse |>, so the oracle is the
+#: equivalent classic ANSI form — the pair proves the pipe front-end
+#: is sugar over the same Catalyst plan, not a different engine.
+PIPE_SEGMENT_REVENUE = f"""
+FROM orders
+|> WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+|> JOIN customer ON o_custkey = c_custkey
+|> AGGREGATE count(*) AS n_orders,
+             round(CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE), 2)
+                 AS total_revenue
+   GROUP BY c_mktsegment
+|> ORDER BY c_mktsegment
+"""
+
+PIPE_SEGMENT_REVENUE_ANSI = f"""
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE), 2)
+           AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "sql_pipe_segment_revenue",
+    oracle=PIPE_SEGMENT_REVENUE_ANSI,
+    description="Spark 4 SQL pipe syntax (|> stages: FROM → WHERE → "
+    "JOIN → AGGREGATE...GROUP BY → ORDER BY) executed verbatim through "
+    "spark.sql; the oracle is the equivalent classic ANSI string, so "
+    "the check proves the pipe front-end lowers to the same plan — "
+    "filters still push into the scan, the dimension join still "
+    "broadcasts. One more first-class SQL entry point next to the "
+    "recursive-CTE / LATERAL / GROUP BY ALL rows.",
+    tags=("sql", "pipe-syntax", "join", "aggregate"),
+)
+def sql_pipe_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(PIPE_SEGMENT_REVENUE)

@@ -204,7 +204,9 @@ FRONT_WINDOW: tuple[str, ...] = (
     # lsh_recall_report below, which composes it verbatim as the
     # ground-truth side)
     "lsh_recall_report",
-    "dedup_ngram_jaccard",
+    # (dedup_ngram_jaccard, r3/r4-green, ceded its re-green slot to
+    # sql_pipe_segment_revenue — the Spark 4 pipe-syntax front-end row)
+    "sql_pipe_segment_revenue",
     "dedup_minhash_verified",
     # (dedup_simhash_verified, r3/r5-green, ceded its re-green slot to
     # events_ewma_daily below; its banding twin above keeps the family)
