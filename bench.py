@@ -122,6 +122,7 @@ HEADLINE = (
     "embedding_quantization_error_report",  # int8 reconstruction loss
     "events_ewma_daily",             # per-series EWMA fold
     "lsh_recall_report",             # banding S-curve vs exact pairs
+    "sql_pipe_segment_revenue",      # Spark 4 pipe-syntax SQL front-end
 )
 
 
