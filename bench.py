@@ -123,6 +123,7 @@ HEADLINE = (
     "events_ewma_daily",             # per-series EWMA fold
     "lsh_recall_report",             # banding S-curve vs exact pairs
     "sql_pipe_segment_revenue",      # Spark 4 pipe-syntax SQL front-end
+    "dedup_incremental_neardup",     # batch-x-corpus asymmetric banding
 )
 
 

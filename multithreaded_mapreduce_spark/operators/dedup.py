@@ -2754,3 +2754,160 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_bucket")
     )
+
+
+def _incremental_neardup_oracle() -> str:
+    """dedup_minhash_verified's oracle shape with the candidate join
+    restricted to (batch side) × (corpus side): x must be a new-batch
+    document, y an existing-corpus one — no corpus-corpus or
+    batch-batch pairs are ever materialized."""
+    sig_cols = ",\n         ".join(
+        f"min((tid*{a}+{b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_pred = "\n        OR ".join(
+        f"(x.s{2 * b} = y.s{2 * b} AND x.s{2 * b + 1} = y.s{2 * b + 1})"
+        for b in range(MINHASH_BANDS)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
+  FROM documents
+), tc AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), dt AS (
+  SELECT DISTINCT doc_id, {_ORACLE_TID} AS tid FROM tc
+), sideof AS (
+  -- a duplicated doc_id spanning both sides counts as batch (max):
+  -- deterministic and identical in both engines
+  SELECT doc_id,
+         max(CASE WHEN source = '{_INC_BATCH_SOURCE}' THEN 1 ELSE 0 END)
+             AS is_batch
+  FROM documents GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, count(*) AS n,
+         {sig_cols}
+  FROM dt GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM sig x
+  JOIN sideof sx ON x.doc_id = sx.doc_id AND sx.is_batch = 1
+  JOIN sig y ON ({band_pred})
+  JOIN sideof sy ON y.doc_id = sy.doc_id AND sy.is_batch = 0
+), inter AS (
+  SELECT c.da, c.db, count(*) AS cnt
+  FROM cand c
+  JOIN dt a ON a.doc_id = c.da
+  JOIN dt b ON b.doc_id = c.db AND b.tid = a.tid
+  GROUP BY c.da, c.db
+)
+SELECT i.da AS batch_doc_id, i.db AS corpus_doc_id,
+       CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt) AS jaccard
+FROM inter i
+JOIN sig sa ON i.da = sa.doc_id
+JOIN sig sb ON i.db = sb.doc_id
+WHERE CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt) >= {JACCARD_THRESHOLD}
+ORDER BY batch_doc_id, corpus_doc_id
+"""
+
+
+#: the ingest-batch marker shared with dedup_incremental_batch /
+#: streaming_incremental_admission (operators/corpus_ops.py)
+_INC_BATCH_SOURCE = "src19"
+
+
+@register(
+    "dedup_incremental_neardup",
+    oracle=_incremental_neardup_oracle(),
+    description="Incremental NEAR-dup admission: MinHash banding "
+    "between a new ingest batch (source 'src19' — the marker "
+    "dedup_incremental_batch and streaming_incremental_admission "
+    "already use) and the existing corpus, exact-Jaccard-verified at "
+    ">= 0.8. The near-dup analog of the exact-hash incremental batch "
+    "dedup: a daily crawl is checked against the standing corpus "
+    "WITHOUT ever materializing corpus-corpus pairs — the banding "
+    "join is batch-side × corpus-side only, so per-ingest cost scales "
+    "with the batch's bucket overlap, not the corpus pair count. Same "
+    "cross-engine modular hash family as dedup_minhash_verified, so "
+    "the banding decision itself is oracle-checked.",
+    tags=("dedup", "neardup", "minhash", "lsh", "incremental", "pipeline"),
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .filter(F.col("text").rlike(r"\S"))
+    )
+    side = docs.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("source") == _INC_BATCH_SOURCE, F.lit(1)).otherwise(F.lit(0))
+        ).alias("is_batch")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
+        ).alias("token"),
+    )
+    dt = toks.select("doc_id", _token_hash_id().alias("tid"))
+    dsets = dt.groupBy("doc_id").agg(
+        F.array_distinct(F.collect_list("tid")).alias("tids")
+    )
+
+    def _mh(a: int, b: int):
+        return F.array_min(
+            F.transform("tids", lambda t: (t * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+        )
+
+    sig_cols = [_mh(a, b).alias(f"s{i}") for i, (a, b) in enumerate(MINHASH_COEFFS)]
+    sigs = (
+        dsets.join(side, "doc_id")
+        .select("doc_id", "tids", F.size("tids").alias("n"), "is_batch", *sig_cols)
+        .transform(tracked_persist)
+    )
+    bands = sigs.select(
+        "doc_id",
+        "n",
+        "is_batch",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"s{2 * b}").alias("lo"), F.col(f"s{2 * b + 1}").alias("hi")
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    # asymmetric banding join: new-batch docs probe the corpus side
+    # only; the size-ratio prune removes only sub-threshold pairs
+    cand = (
+        bands.filter(F.col("is_batch") == 1)
+        .alias("x")
+        .join(
+            bands.filter(F.col("is_batch") == 0).alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.n") <= F.floor(F.col("y.n") / JACCARD_THRESHOLD))
+            & (F.col("y.n") <= F.floor(F.col("x.n") / JACCARD_THRESHOLD)),
+        )
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("da"), F.col("tids").alias("ta"), F.col("n").alias("na"))
+    sb = sigs.select(F.col("doc_id").alias("db"), F.col("tids").alias("tb"), F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .select("da", "db", "na", "nb", inter.alias("cnt"))
+        .select(
+            F.col("da").alias("batch_doc_id"),
+            F.col("db").alias("corpus_doc_id"),
+            (F.col("cnt").cast("double") / (F.col("na") + F.col("nb") - F.col("cnt"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

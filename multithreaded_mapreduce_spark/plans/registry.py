@@ -209,8 +209,10 @@ FRONT_WINDOW: tuple[str, ...] = (
     "sql_pipe_segment_revenue",
     "dedup_minhash_verified",
     # (dedup_simhash_verified, r3/r5-green, ceded its re-green slot to
-    # events_ewma_daily below; its banding twin above keeps the family)
-    "dedup_exact_substr",
+    # events_ewma_daily below; its banding twin above keeps the family.
+    # dedup_exact_substr, r4-green, ceded its slot to the incremental
+    # near-dup admission — never driver-checked, new this round)
+    "dedup_incremental_neardup",
     "events_ewma_daily",
     # operators new this round (never driver-checked)
     "knn_pq_ann",
