@@ -124,6 +124,7 @@ HEADLINE = (
     "lsh_recall_report",             # banding S-curve vs exact pairs
     "sql_pipe_segment_revenue",      # Spark 4 pipe-syntax SQL front-end
     "dedup_incremental_neardup",     # batch-x-corpus asymmetric banding
+    "quality_gate_agreement",        # Cohen's kappa between gates
 )
 
 

@@ -855,3 +855,108 @@ def doc_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: the six unordered pairs of composite gate flags
+_GATE_PAIRS = (
+    ("g_len", "g_rep"),
+    ("g_len", "g_ent"),
+    ("g_len", "g_lm"),
+    ("g_rep", "g_ent"),
+    ("g_rep", "g_lm"),
+    ("g_ent", "g_lm"),
+)
+
+
+def _gate_agreement_oracle() -> str:
+    """Composes doc_quality_composite's registered oracle verbatim
+    (same rule as ann_recall_report / lsh_recall_report), then derives
+    Cohen's kappa for every gate pair from one aggregate row."""
+    from ..plans.registry import _REGISTRY
+
+    comp = _REGISTRY["doc_quality_composite"].oracle
+    sums = ", ".join(
+        f"CAST(sum({g}) AS BIGINT) AS s_{g}" for g in ("g_len", "g_rep", "g_ent", "g_lm")
+    )
+    agrees = ", ".join(
+        f"CAST(sum(CASE WHEN {a} = {b} THEN 1 ELSE 0 END) AS BIGINT) AS agree_{a}_{b}"
+        for a, b in _GATE_PAIRS
+    )
+    selects = []
+    for a, b in _GATE_PAIRS:
+        pa = f"(s_{a} * 1.0 / nullif(n, 0))"
+        pb = f"(s_{b} * 1.0 / nullif(n, 0))"
+        po = f"(agree_{a}_{b} * 1.0 / nullif(n, 0))"
+        pe = f"({pa} * {pb} + (1 - {pa}) * (1 - {pb}))"
+        selects.append(
+            f"SELECT '{a}' AS gate_a, '{b}' AS gate_b, n AS n_docs,\n"
+            f"  CAST(round(CAST({po} AS DECIMAL(30,12)), 6) AS DOUBLE) AS po,\n"
+            f"  CAST(round(CAST({pe} AS DECIMAL(30,12)), 6) AS DOUBLE) AS pe,\n"
+            f"  CAST(round(CAST(({po} - {pe}) / nullif(1 - {pe}, 0)\n"
+            f"       AS DECIMAL(30,12)), 6) AS DOUBLE) AS kappa\n"
+            f"FROM a"
+        )
+    return (
+        f"WITH comp AS ({comp}),\n"
+        f"a AS (SELECT count(*) AS n, {sums}, {agrees} FROM comp)\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY gate_a, gate_b"
+    )
+
+
+@register(
+    "quality_gate_agreement",
+    oracle=_gate_agreement_oracle(),
+    description="Inter-gate agreement analysis: Cohen's kappa for every "
+    "pair of the composite's four quality gates (length, repetition, "
+    "entropy, unigram-LM), over doc_quality_composite's registered "
+    "builder reused verbatim. Kappa near 1 means two gates are "
+    "redundant (drop the costlier one); near 0 means they fire on "
+    "independent failure modes (keep both) — the measurement that "
+    "justifies a gate set instead of folklore. Observed agreement and "
+    "chance agreement come from ONE aggregate row over the per-doc "
+    "flags; the six pair rows are constant-width projections of it.",
+    tags=("text", "quality", "report", "aggregate"),
+)
+def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = doc_quality_composite(spark, sf_dir).select(
+        "g_len", "g_rep", "g_ent", "g_lm"
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for g in ("g_len", "g_rep", "g_ent", "g_lm"):
+        aggs.append(F.sum(g).cast("bigint").alias(f"s_{g}"))
+    for a, b in _GATE_PAIRS:
+        aggs.append(
+            F.sum(F.when(F.col(a) == F.col(b), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"agree_{a}_{b}")
+        )
+    one = flags.agg(*aggs)
+
+    def _snap6(c):
+        return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+
+    rows = []
+    for a, b in _GATE_PAIRS:
+        pa = F.try_divide(F.col(f"s_{a}") * 1.0, F.nullif(F.col("n"), F.lit(0)))
+        pb = F.try_divide(F.col(f"s_{b}") * 1.0, F.nullif(F.col("n"), F.lit(0)))
+        po = F.try_divide(
+            F.col(f"agree_{a}_{b}") * 1.0, F.nullif(F.col("n"), F.lit(0))
+        )
+        pe = pa * pb + (1 - pa) * (1 - pb)
+        kappa = F.try_divide(po - pe, F.nullif(1 - pe, F.lit(0.0)))
+        rows.append(
+            F.struct(
+                F.lit(a).alias("gate_a"),
+                F.lit(b).alias("gate_b"),
+                F.col("n").alias("n_docs"),
+                _snap6(po).alias("po"),
+                _snap6(pe).alias("pe"),
+                _snap6(kappa).alias("kappa"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("gate_a", "gate_b")
+    )

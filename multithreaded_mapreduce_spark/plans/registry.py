@@ -163,17 +163,23 @@ def _load() -> None:
 #: windows remain covered by the local type-sensitive sf0.01 gate
 #: (tests/test_oracle_parity.py).
 #:
-#: r7-late adjustment: the 24 operators ADDED during round 7 (11 from
-#: the first r7 sessions, 13 from the late ones: layout / runtime
-#: filter / readability / eval / skew-probe / profiling / EWMA) are
-#: all never-driver-checked, so each takes a slot from an
-#: already-driver-green re-green — q3/q9/q18/q2 (TPC-H, green r4),
+#: r7-late adjustment: the 27 operators ADDED during round 7 (11 from
+#: the first r7 sessions, 16 from the late ones: layout / runtime
+#: filter / readability / eval / skew-probe / profiling / EWMA batch
+#: + streaming / pipe-syntax SQL / incremental near-dup / gate
+#: agreement) are all never-driver-checked, so each takes a slot from
+#: an already-driver-green re-green — q3/q9/q18/q2 (TPC-H, green r4),
 #: orc_source_lineitem_q6, scd2_customer_history,
 #: doc_quality_composite, pretraining_funnel_report,
-#: knn_ivf_exact_ann, kmeans_lloyd, dedup_simhash_verified — leaving
-#: the 5 canaries, the dedup-heavy block, q7, the custom source, the
-#: streaming twin, and split_leakage_audit as this window's re-greens.
-#: Every displaced query stays covered by the local sf0.01 gate.
+#: knn_ivf_exact_ann, kmeans_lloyd, dedup_simhash_verified,
+#: dedup_jaccard_pairs, dedup_ngram_jaccard, dedup_exact_substr,
+#: streaming_dedup_exactly_once, split_leakage_audit — leaving the
+#: 5 canaries and 5 re-greens (dedup_components,
+#: dedup_embedding_components, dedup_minhash_verified,
+#: q7_volume_shipping, wordcount_custom_source). Window arithmetic:
+#: 5 canaries + 13 catalog-closers + 27 r7 additions + 5 re-greens
+#: = 50. Every displaced query stays covered by the local sf0.01
+#: gate.
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
     "wordcount",
@@ -256,10 +262,10 @@ FRONT_WINDOW: tuple[str, ...] = (
     # streaming_dedup_exactly_once re-green slot — r5-green — so the
     # streaming family's window entry is a first-run check instead)
     "streaming_ewma_daily",
-    # re-greens: sampling (scd2_customer_history ceded its slot to the
-    # r7 adds — warehouse stays covered by merge/audit canaries of
-    # earlier rounds and the local gate)
-    "split_leakage_audit",
+    # gate-agreement evaluation (new this round; takes the sampling
+    # re-green slot — split_leakage_audit is r4-green and its
+    # production fix, cluster_aware_split, holds a slot above)
+    "quality_gate_agreement",
 )
 
 
