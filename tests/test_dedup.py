@@ -563,3 +563,19 @@ def test_embedding_threshold_sweep_monotone_and_anchored(spark, sf_dir):
     assert rows[COSINE_THRESHOLD].n_pairs == len(pairs)
     vecs = {r.vec_a for r in pairs} | {r.vec_b for r in pairs}
     assert rows[COSINE_THRESHOLD].n_vecs == len(vecs)
+
+
+def test_lsh_recall_is_total_at_jaccard_one(spark, sf_dir):
+    """The one bucket where banding recall is a THEOREM, asserted from
+    the report: identical token sets produce identical signatures,
+    hence identical bands — a J=1.0 pair can never be missed. All
+    other buckets only need recall in [0, 1]."""
+    from multithreaded_mapreduce_spark.operators.dedup import lsh_recall_report
+
+    rows = lsh_recall_report(spark, sf_dir).collect()
+    assert rows, "corpus has >= 0.8 pairs by construction"
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0, r
+        assert r.n_caught <= r.n_true_pairs, r
+        if r.bucket_lo == 1.0:
+            assert r.recall == 1.0, r

@@ -183,3 +183,35 @@ def test_column_stats_profile_invariants(spark, sf_dir):
             assert r.min_num is None and r.max_num is None
             if r.ndv:
                 assert r.min_str <= r.max_str
+
+
+def test_bloom_positions_match_hashlib_reference(spark):
+    """The probe-position math (md5-prefix fold mod 2^17) against an
+    independent hashlib implementation on synthetic keys — verifies
+    the composition end-to-end off the production corpus, like the
+    rendezvous test in tests/test_randomized_props.py."""
+    import hashlib
+    import random
+
+    from multithreaded_mapreduce_spark.operators.layout import (
+        BLOOM_BITS,
+        BLOOM_HEX_DIGITS,
+        BLOOM_K,
+    )
+
+    def py_pos(key, probe):
+        h = hashlib.md5(f"bloom{probe}:{key}".encode()).hexdigest()
+        return int(h[:BLOOM_HEX_DIGITS], 16) % BLOOM_BITS
+
+    keys = [0, 1, 2**40, 10**15 + 7] + [
+        random.Random(99).randrange(10**9) for _ in range(30)
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: [r[f"p{p}"] for p in range(BLOOM_K)]
+        for r in df.select(
+            "k", *[_bloom_pos(F.col("k"), p).alias(f"p{p}") for p in range(BLOOM_K)]
+        ).collect()
+    }
+    for k in keys:
+        assert got[k] == [py_pos(k, p) for p in range(BLOOM_K)], k
