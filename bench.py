@@ -125,6 +125,7 @@ HEADLINE = (
     "sql_pipe_segment_revenue",      # Spark 4 pipe-syntax SQL front-end
     "dedup_incremental_neardup",     # batch-x-corpus asymmetric banding
     "quality_gate_agreement",        # Cohen's kappa between gates
+    "events_cusum_daily",            # sustained-drift CUSUM fold
 )
 
 

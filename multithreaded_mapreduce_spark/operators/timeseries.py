@@ -324,3 +324,127 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "r.day", "r.daily_total", "r.ewma")
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_cusum_daily",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(CAST(sum(CAST(value AS {{DEC}})) AS DOUBLE), 2) AS daily_total
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), mu AS (
+  SELECT event_type,
+         CAST(round(CAST(CAST(sum(CAST(daily_total AS DECIMAL(30,6))) AS DOUBLE)
+                         / count(*) AS DECIMAL(30,12)), 6) AS DOUBLE) AS mu
+  FROM daily GROUP BY event_type
+), idx AS (
+  SELECT d.event_type, d.day, d.daily_total, m.mu,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS t
+  FROM daily d JOIN mu m ON d.event_type IS NOT DISTINCT FROM m.event_type
+), cs AS (
+  SELECT event_type, day, daily_total, mu, t,
+         CASE WHEN daily_total IS NULL THEN NULL
+              ELSE greatest(0.0,
+                   CAST(round(CAST(daily_total - mu AS DECIMAL(30,12)), 6)
+                        AS DOUBLE)) END AS cusum
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.event_type, i.day, i.daily_total, i.mu, i.t,
+         CASE WHEN i.daily_total IS NULL OR c.cusum IS NULL THEN NULL
+              ELSE greatest(0.0,
+                   CAST(round(CAST(c.cusum + (i.daily_total - i.mu)
+                              AS DECIMAL(30,12)), 6) AS DOUBLE)) END AS cusum
+  FROM idx i JOIN cs c ON i.event_type IS NOT DISTINCT FROM c.event_type
+                      AND i.t = c.t + 1
+)
+SELECT event_type, day, daily_total, cusum,
+       CASE WHEN cusum IS NULL THEN NULL
+            WHEN cusum > mu THEN 1 ELSE 0 END AS drift_flag
+FROM cs
+ORDER BY event_type, day
+""".format(DEC=DEC),
+    description="One-sided CUSUM drift detection per event type: "
+    "S_t = max(0, S_(t-1) + (x_t − μ)) over the daily totals with μ = "
+    "the series' exact-decimal mean, flagging days whose cumulative "
+    "excess tops one mean-day. Completes the monitoring triad beside "
+    "events_zscore/mad_anomalies (point outliers) and "
+    "events_ewma_daily (smoothing): CUSUM accumulates SMALL sustained "
+    "shifts a z-score never trips on. Same shape as the EWMA fold — "
+    "sequential per series, parallel across series, every step "
+    "decimal-snapped and max-clamped EXPLICITLY NULL-guarded (Spark's "
+    "greatest skips NULLs, DuckDB's does not — the CASE makes both "
+    "engines poison the chain identically after an all-NULL day) — "
+    "bit-identical to the recursive-CTE oracle.",
+    tags=("timeseries", "events", "anomaly", "report", "iterative"),
+)
+def events_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+            "daily_total"
+        )
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "daily_total"))).alias("xs"),
+        F.round(
+            (
+                F.sum(F.col("daily_total").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(30,12)"),
+            6,
+        )
+        .cast("double")
+        .alias("mu"),
+    )
+    acc0 = F.array().cast(
+        "array<struct<day:date,daily_total:double,cusum:double>>"
+    )
+
+    def _snap6(c):
+        return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+
+    def _step(acc, x):
+        prev = F.element_at(acc, -1)["cusum"]
+        raw = F.when(F.size(acc) == 0, _snap6(x["daily_total"] - F.col("mu"))).otherwise(
+            _snap6(prev + (x["daily_total"] - F.col("mu")))
+        )
+        # explicit NULL guard: Spark's greatest SKIPS nulls while
+        # DuckDB's returns NULL — the CASE makes both poison the chain
+        s = F.when(
+            x["daily_total"].isNull()
+            | ((F.size(acc) > 0) & prev.isNull()),
+            F.lit(None).cast("double"),
+        ).otherwise(F.greatest(F.lit(0.0), raw))
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["daily_total"].alias("daily_total"),
+                    s.alias("cusum"),
+                )
+            ),
+        )
+
+    return (
+        arr.select(
+            "event_type",
+            "mu",
+            F.explode(F.aggregate("xs", acc0, _step)).alias("r"),
+        )
+        .select(
+            "event_type",
+            "r.day",
+            "r.daily_total",
+            "r.cusum",
+            F.when(F.col("r.cusum").isNull(), F.lit(None).cast("int"))
+            .when(F.col("r.cusum") > F.col("mu"), 1)
+            .otherwise(0)
+            .alias("drift_flag"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -163,23 +163,23 @@ def _load() -> None:
 #: windows remain covered by the local type-sensitive sf0.01 gate
 #: (tests/test_oracle_parity.py).
 #:
-#: r7-late adjustment: the 27 operators ADDED during round 7 (11 from
-#: the first r7 sessions, 16 from the late ones: layout / runtime
+#: r7-late adjustment: the 28 operators ADDED during round 7 (11 from
+#: the first r7 sessions, 17 from the late ones: layout / runtime
 #: filter / readability / eval / skew-probe / profiling / EWMA batch
-#: + streaming / pipe-syntax SQL / incremental near-dup / gate
-#: agreement) are all never-driver-checked, so each takes a slot from
+#: + streaming / CUSUM drift / pipe-syntax SQL / incremental near-dup
+#: / gate agreement) are all never-driver-checked, so each takes a slot from
 #: an already-driver-green re-green — q3/q9/q18/q2 (TPC-H, green r4),
 #: orc_source_lineitem_q6, scd2_customer_history,
 #: doc_quality_composite, pretraining_funnel_report,
 #: knn_ivf_exact_ann, kmeans_lloyd, dedup_simhash_verified,
 #: dedup_jaccard_pairs, dedup_ngram_jaccard, dedup_exact_substr,
-#: streaming_dedup_exactly_once, split_leakage_audit — leaving the
-#: 5 canaries and 5 re-greens (dedup_components,
-#: dedup_embedding_components, dedup_minhash_verified,
-#: q7_volume_shipping, wordcount_custom_source). Window arithmetic:
-#: 5 canaries + 13 catalog-closers + 27 r7 additions + 5 re-greens
-#: = 50. Every displaced query stays covered by the local sf0.01
-#: gate.
+#: streaming_dedup_exactly_once, split_leakage_audit,
+#: q7_volume_shipping — leaving the 5 canaries and 4 re-greens
+#: (dedup_components, dedup_embedding_components,
+#: dedup_minhash_verified, wordcount_custom_source). Window
+#: arithmetic: 5 canaries + 13 catalog-closers + 28 r7 additions +
+#: 4 re-greens = 50. Every displaced query stays covered by the
+#: local sf0.01 gate.
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
     "wordcount",
@@ -253,8 +253,10 @@ FRONT_WINDOW: tuple[str, ...] = (
     "readability_scores",
     "ann_recall_report",
     "join_key_skew_report",
-    # re-greens: TPC-H spread
-    "q7_volume_shipping",
+    # drift-detection op (new this round; takes the last TPC-H
+    # re-green slot — q7_volume_shipping is r4-green with heavy prior
+    # family coverage)
+    "events_cusum_daily",
     # re-greens: sources (orc re-green ceded its slot to the r7 adds;
     # the custom source keeps one as the only Python Data Source row)
     "wordcount_custom_source",
