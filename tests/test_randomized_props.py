@@ -363,3 +363,64 @@ def test_rendezvous_argmax_matches_hashlib_reference(spark):
     }
     for i in ids:
         assert got[i] == (py_pick(i, RDV_OLD), py_pick(i, RDV_NEW)), i
+
+
+def test_cusum_fold_matches_python_on_random_series(spark):
+    """The events_cusum_daily fold (max-clamped recurrence with
+    per-step decimal snap and explicit NULL guards) must replay a
+    transparent Python recurrence on random series — negatives, zeros,
+    all-below-mean runs (the clamp at 0), and single elements."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rng = random.Random(31337)
+
+    def snap6(x):
+        return float(
+            Decimal(repr(x))
+            .quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+            .quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+
+    def py_cusum(xs, mu):
+        out, prev = [], None
+        for i, x in enumerate(xs):
+            s = snap6((x - mu) if i == 0 else prev + (x - mu))
+            s = max(0.0, s)
+            out.append(s)
+            prev = s
+        return out
+
+    cases = []
+    for sid in range(8):
+        n = rng.choice([1, 2, 5, 30])
+        xs = [round(rng.uniform(-200, 200), 2) for _ in range(n)]
+        mu = round(rng.uniform(-50, 50), 4)
+        cases.append((sid, xs, mu))
+    rows = [(sid, i, x, mu) for sid, xs, mu in cases for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "sid long, t long, x double, mu double")
+    arr = df.groupBy("sid").agg(
+        F.sort_array(F.collect_list(F.struct("t", F.col("x").alias("daily_total")))).alias("xs"),
+        F.first("mu").alias("mu"),
+    )
+    acc0 = F.array().cast("array<struct<t:long,cusum:double>>")
+
+    def _snap6(c):
+        return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+
+    def _step(acc, s):
+        prev = F.element_at(acc, -1)["cusum"]
+        raw = F.when(
+            F.size(acc) == 0, _snap6(s["daily_total"] - F.col("mu"))
+        ).otherwise(_snap6(prev + (s["daily_total"] - F.col("mu"))))
+        v = F.greatest(F.lit(0.0), raw)
+        return F.concat(acc, F.array(F.struct(s["t"].alias("t"), v.alias("cusum"))))
+
+    got = {
+        (r.sid, r.r.t): r.r.cusum
+        for r in arr.select(
+            "sid", F.explode(F.aggregate("xs", acc0, _step)).alias("r")
+        ).collect()
+    }
+    for sid, xs, mu in cases:
+        for t, e in enumerate(py_cusum(xs, mu)):
+            assert abs(got[(sid, t)] - e) < 1e-9, (sid, t, got[(sid, t)], e)
