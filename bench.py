@@ -232,6 +232,38 @@ def main() -> None:
     }
     release_result_memos()
 
+    # Pair-relation memo measurement (VERDICT r7 task 3): the three
+    # ground-truth-bound eval queries share ONE memoized build of the
+    # exact pair relation when run back-to-back in a session (a real
+    # calibration pipeline); the recall report additionally memoizes
+    # the banding-survivor relation. Timed cold-then-warm OUTSIDE the
+    # headline totals, exactly like the CC trio above.
+    pairs_trio = (
+        "dedup_threshold_sweep",
+        "kfold_leakage_report",
+        "lsh_recall_report",
+    )
+    release_tracked()
+    release_result_memos()
+    spark.catalog.clearCache()
+    pairs_warm: dict[str, float] = {}
+    for name in pairs_trio:
+        release_tracked()  # keep per-build persists released; memo stays
+        t0 = time.perf_counter()
+        queries[name].builder(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        pairs_warm[name] = round(time.perf_counter() - t0, 3)
+    pairs_memo_stamp = {
+        "trio_seconds": pairs_warm,
+        "trio_total": round(sum(pairs_warm.values()), 3),
+        "stats": {
+            "jaccard_pairs": result_memo_stats("jaccard_pairs"),
+            "minhash_verified_pairs": result_memo_stats("minhash_verified_pairs"),
+        },
+    }
+    release_result_memos()
+
     total = round(sum(timings.values()), 3)
     r3_set = HEADLINE[: HEADLINE.index("kmeans_lloyd")]
     r4_set = HEADLINE[: HEADLINE.index("pretraining_funnel_report")]
@@ -299,6 +331,11 @@ def main() -> None:
         # shared-CC memo: first entry cold (miss), the next two are
         # memo hits — the pipeline-shaped cost of the components trio
         "cc_memo_decision": cc_memo_stamp,
+        # shared pair-relation memo: sweep cold, leakage + recall warm
+        "pairs_memo_decision": pairs_memo_stamp,
+        # md5-uniform eval-sample modulus for the ground-truth-bound
+        # eval queries (k = 1 → identity; k > 1 → 1-in-k doc sample)
+        "eval_sample_decision": dict(_dedup.LAST_EVAL_SAMPLE_DECISION),
         # label-sized CC relations broadcast vs shuffle (node ceiling)
         "cc_bcast_auto_decision": _dedup.LAST_CC_BCAST_DECISION,
         "sf": _sf_from_dir(sf_dir),

@@ -41,6 +41,25 @@ JACCARD_THRESHOLD = 0.8
 NGRAM_N = 3
 COSINE_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal; max ≈ 0.47
 
+
+def _oracle_hex_id(col: str, digits: int) -> str:
+    """DuckDB expression for the md5-prefix id: parse the hex prefix
+    with a fixed 16-way strpos fold (hex digits are ASCII — no unicode
+    risk)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr(md5({col}), 1, {digits}), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+def _spark_hex_id(col: str, digits: int):
+    """Spark twin of :func:`_oracle_hex_id` — plain row math in the
+    scan projection (conv(hex, 16, 10)); no vocabulary relation, no
+    global window, no join back."""
+    return F.conv(F.substring(F.md5(col), 1, digits), 16, 10).cast("long")
+
 # ------------------------------------------------------------------
 # exact dedup
 # ------------------------------------------------------------------
@@ -88,10 +107,14 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
     ).filter(F.length("token") > 0)
 
 
-JACCARD_ORACLE = f"""
+def _jaccard_pairs_oracle(doc_rel: str = "documents") -> str:
+    """Exact pair-relation oracle over ``doc_rel`` — ``documents`` for
+    the registered query, ``sampled_documents`` when composed under the
+    eval-sample CTEs by the recall report."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS token
-  FROM documents
+  FROM {doc_rel}
 ), toks_clean AS (
   SELECT * FROM toks WHERE length(token) > 0
 ), sizes AS (
@@ -113,12 +136,24 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _jaccard_group_cross(spark: SparkSession, sf_dir: str):
+JACCARD_ORACLE = _jaccard_pairs_oracle()
+
+
+def _jaccard_group_cross(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    decision_tag: str = "",
+):
     """Collapsed-group jaccard graph shared by dedup_jaccard_pairs and
     dedup_components: returns ``(groups, cross)`` where ``groups`` is
     the distinct-token-set relation (gid = min member doc_id) and
     ``cross`` carries (ga, gb, m_a, m_b, jaccard) for distinct group
-    pairs at or over the threshold."""
+    pairs at or over the threshold.
+
+    ``docs`` (optional) restricts the graph to a pre-filtered document
+    relation (the md5-uniform eval sample); ``decision_tag`` keys the
+    broadcast-vs-postings path memo separately for such variants."""
     # The oracle's shape (exploded token equi-join) materializes
     # Σ_token freq² rows — ~400M at sf0.1 on this 31-token vocabulary.
     # Equivalent but ~10× cheaper here: collapse docs to unique
@@ -131,10 +166,10 @@ def _jaccard_group_cross(spark: SparkSession, sf_dir: str):
     # array would be pushed into the FileScan and re-run the whole
     # split/distinct/sort chain inside the single-task scan, while
     # rlike('\\S') is a cheap early prune there
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     docs = spread(
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("text").rlike(r"\S"))
+        docs.select("doc_id", "text").filter(F.col("text").rlike(r"\S"))
     )
     tokset = docs.select(
         "doc_id",
@@ -165,7 +200,7 @@ def _jaccard_group_cross(spark: SparkSession, sf_dir: str):
     jac = (
         F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     ).alias("jaccard")
-    if _jaccard_path_decision(groups, sf_dir)["use_broadcast"]:
+    if _jaccard_path_decision(groups, sf_dir, tag=decision_tag)["use_broadcast"]:
         # pairwise path: broadcast the collapsed-group relation and
         # compare hashed token arrays directly — byte-guarded above
         # (the relation carries full toks_h arrays, so the gate is a
@@ -236,6 +271,13 @@ def _jaccard_group_cross(spark: SparkSession, sf_dir: str):
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups, cross = _jaccard_group_cross(spark, sf_dir)
+    return _pairs_from_group_cross(groups, cross)
+
+
+def _pairs_from_group_cross(groups: DataFrame, cross: DataFrame) -> DataFrame:
+    """Expand the collapsed-group jaccard graph back to document pairs:
+    cross-group members at their measured jaccard plus within-group
+    pairs at 1.0 (identical distinct-token sets)."""
     pairs = (
         cross.select(F.explode("m_a").alias("da"), "m_b", "jaccard")
         .select("da", F.explode("m_b").alias("db"), "jaccard")
@@ -263,6 +305,138 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# md5-uniform document sample for the ground-truth-bound eval queries
+# (VERDICT r7 task 1). The exact jaccard pair relation is by
+# construction quadratic in near-dup density — fine as the auditor at
+# sf scale, unpayable at 100 TB. SCALE.md prescribes running the
+# calibration/eval reports (dedup_threshold_sweep, lsh_recall_report,
+# kfold_leakage_report) on a document SAMPLE; this section implements
+# that knob, mirrored verbatim in both engines:
+#
+#   k = max(1, ceil(n_docs / EVAL_SAMPLE_TARGET_DOCS))   (integer math)
+#   keep doc  ⟺  k == 1  OR  md5_prefix('evalsample:'||doc_id) % k == 0
+#
+# so the ground-truth side is capped at ~EVAL_SAMPLE_TARGET_DOCS
+# documents no matter the corpus size, and on small corpora (k == 1,
+# every driver/test fixture) the predicate is the identity — the
+# sampled queries are bit-identical to their full-relation r7 shapes.
+# The modulus is a MEASURED probe (one count per corpus, memoized like
+# the LSH hot-bucket knob) on the Spark side and an inline aggregate in
+# the oracle CTE; both compute the same integer, so the sample sets
+# agree document-for-document. NULL-id docs are dropped when sampling
+# engages (no identity to hash) — they never form pairs anyway
+# (doc_a < doc_b is NULL-false in both engines).
+# ------------------------------------------------------------------
+
+#: cap on ground-truth documents for the pair-relation-bound eval
+#: queries. 2000 keeps ~2M candidate token-set pairs worst-case —
+#: bounded eval cost at ANY corpus size — while pair/recall estimates
+#: keep two-digit precision (the reports estimate rates, not inventory)
+EVAL_SAMPLE_TARGET_DOCS = int(os.environ.get("MMR_EVAL_SAMPLE_TARGET_DOCS", "2000"))
+EVAL_SAMPLE_HEX_DIGITS = 8
+
+_EVAL_SAMPLE_CACHE: dict[tuple, dict] = {}
+LAST_EVAL_SAMPLE_DECISION: dict = {}
+
+
+def _eval_sample_decision(spark: SparkSession, sf_dir: str, target: int | None = None) -> dict:
+    """Measured per-corpus sampling decision (memoized, the LSH
+    pattern): one count of the documents table fixes the modulus
+    ``k = ceil(n / target)`` by pure integer math — exactly the
+    arithmetic the oracle CTE runs inline, so both engines draw the
+    same sample."""
+    global LAST_EVAL_SAMPLE_DECISION
+    t = EVAL_SAMPLE_TARGET_DOCS if target is None else target
+    key = (os.path.realpath(sf_dir), t)
+    if key not in _EVAL_SAMPLE_CACHE:
+        n = load_table(spark, sf_dir, "documents").count()
+        k = max(1, (n + t - 1) // t)
+        _EVAL_SAMPLE_CACHE[key] = {
+            "n_docs": int(n),
+            "target_docs": t,
+            "modulus": int(k),
+            "engaged": k > 1,
+        }
+    LAST_EVAL_SAMPLE_DECISION = _EVAL_SAMPLE_CACHE[key]
+    return LAST_EVAL_SAMPLE_DECISION
+
+
+def _eval_sampled_docs(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """The documents relation restricted to the deterministic
+    md5-uniform 1-in-k sample (identity at k == 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    if k <= 1:
+        return docs
+    u = _spark_hex_id(
+        F.concat(F.lit("evalsample:"), F.col("doc_id").cast("string")),
+        EVAL_SAMPLE_HEX_DIGITS,
+    )
+    return docs.filter(F.pmod(u, F.lit(k)) == 0)
+
+
+def _eval_sample_ctes(target: int | None = None) -> str:
+    """Oracle CTE pair ``eval_k, sampled_documents`` mirroring
+    :func:`_eval_sample_decision` + :func:`_eval_sampled_docs`:
+    the modulus is the same integer-ceil aggregate, the predicate the
+    same md5-prefix draw. Composable as the head of any WITH list."""
+    t = EVAL_SAMPLE_TARGET_DOCS if target is None else target
+    u = _oracle_hex_id(
+        "'evalsample:' || CAST(d.doc_id AS VARCHAR)", EVAL_SAMPLE_HEX_DIGITS
+    )
+    return f"""eval_k AS (
+  SELECT greatest(1, (count(*) + {t} - 1) // {t}) AS k FROM documents
+), sampled_documents AS (
+  SELECT d.* FROM documents d, eval_k
+  WHERE eval_k.k = 1 OR ({u}) % eval_k.k = 0
+)"""
+
+
+def _jaccard_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL exact pair relation, checkpoint-memoized per corpus
+    (VERDICT r7 task 3): the sweep/eval consumers share one build in a
+    pipeline-shaped session instead of each re-deriving it. The key
+    carries the path-decision knobs so the forced-path equivalence
+    tests still exercise both plans."""
+    key = (
+        f"{os.path.realpath(sf_dir)}|k=1"
+        f"|path={os.environ.get('MMR_JACCARD_PATH', '')}"
+        f"|budget={_BROADCAST_BUDGET_BYTES}"
+    )
+
+    def build() -> DataFrame:
+        groups, cross = _jaccard_group_cross(spark, sf_dir)
+        return _pairs_from_group_cross(groups, cross)
+
+    return memoized_result_checkpoint("jaccard_pairs", key, build)
+
+
+def _eval_pairs(spark: SparkSession, sf_dir: str, target: int | None = None) -> DataFrame:
+    """Exact jaccard>=0.8 pairs over the eval sample — the shared
+    ground-truth side of dedup_threshold_sweep, kfold_leakage_report
+    and lsh_recall_report. Identity (the full memoized relation) when
+    the corpus is at or under the target; a bounded 1-in-k sample past
+    it."""
+    d = _eval_sample_decision(spark, sf_dir, target)
+    k = d["modulus"]
+    if k <= 1:
+        return _jaccard_pairs_memo(spark, sf_dir)
+    key = (
+        f"{os.path.realpath(sf_dir)}|k={k}"
+        f"|path={os.environ.get('MMR_JACCARD_PATH', '')}"
+        f"|budget={_BROADCAST_BUDGET_BYTES}"
+    )
+
+    def build() -> DataFrame:
+        docs = _eval_sampled_docs(spark, sf_dir, k)
+        groups, cross = _jaccard_group_cross(
+            spark, sf_dir, docs=docs, decision_tag=f"sample{k}"
+        )
+        return _pairs_from_group_cross(groups, cross)
+
+    return memoized_result_checkpoint("jaccard_pairs", key, build)
+
+
+# ------------------------------------------------------------------
 # threshold sweep: the "which dedup threshold?" calibration report
 # ------------------------------------------------------------------
 
@@ -270,10 +444,16 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: base JACCARD_THRESHOLD (pairs under it are never materialized)
 SWEEP_THRESHOLDS = (0.80, 0.85, 0.90, 0.95, 1.00)
 
-_SWEEP_PAIRS_CTE = f"""
-WITH toks AS (
+def _sweep_pairs_cte(doc_rel: str = "documents", lead_ctes: str = "") -> str:
+    """WITH-list producing the exact >=threshold ``pairs`` relation from
+    ``doc_rel`` (optionally preceded by ``lead_ctes`` — the eval-sample
+    CTEs). Shared by the threshold sweep and the k-fold leakage oracle;
+    both now read the SAMPLED document relation so their cost is
+    bounded at any corpus size (identity sample under the target)."""
+    return f"""
+WITH {lead_ctes}toks AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS token
-  FROM documents
+  FROM {doc_rel}
 ), toks_clean AS (
   SELECT * FROM toks WHERE length(token) > 0
 ), sizes AS (
@@ -295,9 +475,15 @@ WITH toks AS (
 """
 
 
+#: sampled-pairs WITH list shared by the sweep + k-fold leakage oracles
+_SAMPLED_PAIRS_CTE = _sweep_pairs_cte(
+    doc_rel="sampled_documents", lead_ctes=_eval_sample_ctes() + ", "
+)
+
+
 @register(
     "dedup_threshold_sweep",
-    oracle=_SWEEP_PAIRS_CTE
+    oracle=_SAMPLED_PAIRS_CTE
     + f""", thr AS (
   SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in SWEEP_THRESHOLDS)}])
          AS threshold
@@ -319,16 +505,20 @@ ORDER BY t.threshold
     "the >= 0.8 pair relation — the report a curation team reads "
     "before committing to a near-dup threshold (too low deletes "
     "paraphrases, too high keeps boilerplate). The pair relation is "
-    "computed once (persisted) and each count is a conditional "
-    "aggregate, so the sweep costs one pair materialization plus two "
-    "tiny aggregation passes regardless of how many thresholds are "
-    "graded; thresholds below the base cut would need a cheaper-"
-    "threshold pair pass, which is why the grid starts at the "
-    "production 0.8.",
+    "checkpoint-memoized (shared with the other eval consumers) and "
+    "each count is a conditional aggregate, so the sweep costs one "
+    "pair materialization plus two tiny aggregation passes regardless "
+    "of how many thresholds are graded. Past "
+    "EVAL_SAMPLE_TARGET_DOCS documents the relation is computed over "
+    "the deterministic md5-uniform eval sample (mirrored in the "
+    "oracle's sampled_documents CTE) — counts become sample counts, "
+    "the threshold-choice signal survives, and the cost stays bounded "
+    "at any corpus size; under the target the sample is the identity "
+    "and the report is exact.",
     tags=("dedup", "neardup", "jaccard", "report"),
 )
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_jaccard_pairs(spark, sf_dir).transform(tracked_persist)
+    pairs = _eval_pairs(spark, sf_dir)
     np_cols = [
         F.coalesce(
             F.sum(F.when(F.col("jaccard") >= F.lit(t), 1).otherwise(0)),
@@ -353,12 +543,15 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack = ", ".join(
         f"{t}D, np_{i}, nd_{i}" for i, t in enumerate(SWEEP_THRESHOLDS)
     )
-    return one.select(
+    out = one.select(
         F.expr(
             f"stack({len(SWEEP_THRESHOLDS)}, {stack}) "
             "AS (threshold, n_pairs, n_docs)"
         )
     ).orderBy("threshold")
+    # the plan reads the memoized pair checkpoint (fail fast on a
+    # stale handle, same contract as the components consumers)
+    return guard_checkpoint_result(out)
 
 
 # ------------------------------------------------------------------
@@ -524,7 +717,7 @@ _JACCARD_DECISION_CACHE: dict[tuple, dict] = {}
 LAST_JACCARD_DECISION: dict = {}
 
 
-def _jaccard_path_decision(groups: DataFrame, sf_dir: str) -> dict:
+def _jaccard_path_decision(groups: DataFrame, sf_dir: str, tag: str = "") -> dict:
     """Measured per-corpus path decision for dedup_jaccard_pairs
     (memoized, the LSH pattern): estimate the serialized size of the
     collapsed-group relation — n_groups row overheads plus 8 B per
@@ -534,7 +727,7 @@ def _jaccard_path_decision(groups: DataFrame, sf_dir: str) -> dict:
     shape); both paths are value-identical (pytest-asserted)."""
     global LAST_JACCARD_DECISION
     env = os.environ.get("MMR_JACCARD_PATH", "")
-    key = (os.path.realpath(sf_dir), JACCARD_THRESHOLD)
+    key = (os.path.realpath(sf_dir), JACCARD_THRESHOLD, tag)
     if env in ("broadcast", "postings"):
         LAST_JACCARD_DECISION = {"forced": env, "use_broadcast": env == "broadcast"}
         return LAST_JACCARD_DECISION
@@ -1316,26 +1509,10 @@ MINHASH_P = 2_147_483_647  # Mersenne prime 2³¹−1; token ids ≪ P
 #: (SCALE.md: exponent 0.81 at 10×).
 TOKEN_HASH_HEX_DIGITS = 10
 
-def _oracle_hex_id(col: str, digits: int) -> str:
-    """DuckDB expression for the md5-prefix id: parse the hex prefix
-    with a fixed 16-way strpos fold (hex digits are ASCII — no unicode
-    risk)."""
-    return (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split(substr(md5({col}), 1, {digits}), ''), "
-        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
-        "(a, b) -> a * 16 + b)"
-    )
-
+# _oracle_hex_id / _spark_hex_id live at the top of the module (the
+# eval-sample CTEs interpolate them at registration time).
 
 _ORACLE_TID = _oracle_hex_id("token", TOKEN_HASH_HEX_DIGITS)
-
-
-def _spark_hex_id(col: str, digits: int):
-    """Spark twin of :func:`_oracle_hex_id` — plain row math in the
-    scan projection (conv(hex, 16, 10)); no vocabulary relation, no
-    global window, no join back."""
-    return F.conv(F.substring(F.md5(col), 1, digits), 16, 10).cast("long")
 
 
 def _token_hash_id(col: str = "token"):
@@ -1351,7 +1528,7 @@ MINHASH_COEFFS = (
 MINHASH_BANDS = 8  # 8 bands × 2 rows: P(candidate | J=0.8) ≈ 0.9997
 
 
-def _minhash_verified_oracle() -> str:
+def _minhash_verified_oracle(doc_rel: str = "documents") -> str:
     sig_cols = ",\n         ".join(
         f"min((tid*{a}+{b}) % {MINHASH_P}) AS s{i}"
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -1363,7 +1540,7 @@ def _minhash_verified_oracle() -> str:
     return rf"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
-  FROM documents
+  FROM {doc_rel}
 ), tc AS (
   SELECT * FROM toks WHERE length(token) > 0
 ), dt AS (
@@ -1415,10 +1592,19 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "neardup", "minhash", "lsh"),
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_verified_pairs(spark, sf_dir)
+
+
+def _minhash_verified_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Banded-and-verified MinHash pairs over ``docs`` (the full
+    documents table by default; the md5-uniform eval sample when the
+    recall report engages sampling)."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     docs = spread(
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("text").rlike(r"\S"))
+        docs.select("doc_id", "text").filter(F.col("text").rlike(r"\S"))
     )
     toks = docs.select(
         "doc_id",
@@ -2687,17 +2873,35 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return guard_checkpoint_result(out)
 
 
-def _lsh_recall_oracle() -> str:
-    """Composes the two registered oracles VERBATIM (same rule as
-    ann_recall_report / language_confusion_matrix): exact pairs from
-    dedup_jaccard_pairs, banding-survivor pairs from
-    dedup_minhash_verified."""
-    from ..plans.registry import _REGISTRY
+def _eval_verified_pairs(spark: SparkSession, sf_dir: str, target: int | None = None) -> DataFrame:
+    """Banding-survivor pairs over the eval sample, checkpoint-memoized
+    per (corpus, modulus) — the caught side of lsh_recall_report.
+    Identity with dedup_minhash_verified when sampling is disengaged."""
+    d = _eval_sample_decision(spark, sf_dir, target)
+    k = d["modulus"]
+    key = f"{os.path.realpath(sf_dir)}|k={k}"
 
-    exact = _REGISTRY["dedup_jaccard_pairs"].oracle
-    verified = _REGISTRY["dedup_minhash_verified"].oracle
+    def build() -> DataFrame:
+        docs = _eval_sampled_docs(spark, sf_dir, k) if k > 1 else None
+        return _minhash_verified_pairs(spark, sf_dir, docs=docs)
+
+    return memoized_result_checkpoint("minhash_verified_pairs", key, build)
+
+
+def _lsh_recall_oracle() -> str:
+    """Composes the two pair-relation oracle GENERATORS verbatim (same
+    rule as ann_recall_report / language_confusion_matrix) — exact
+    pairs from _jaccard_pairs_oracle, banding survivors from
+    _minhash_verified_oracle — both re-rooted on the eval-sample
+    document CTE so the ground-truth cost is bounded at any corpus
+    size (identity sample under the target: the registered full-corpus
+    oracles are the doc_rel='documents' instantiations of the same
+    strings)."""
+    exact = _jaccard_pairs_oracle("sampled_documents")
+    verified = _minhash_verified_oracle("sampled_documents")
     return f"""
-WITH ep AS ({exact}),
+WITH {_eval_sample_ctes()},
+ep AS ({exact}),
 vp AS ({verified})
 SELECT CAST(floor(ep.jaccard * 20) AS BIGINT) AS j_bucket,
        CAST(floor(ep.jaccard * 20) AS BIGINT) / 20.0 AS bucket_lo,
@@ -2724,14 +2928,20 @@ ORDER BY j_bucket
     "reporting per-bucket recall. This is the LSH S-curve measured on "
     "the actual corpus — P(caught | J) climbing toward 1 as J "
     "approaches 1 — the number that justifies the (8 bands × 2 rows) "
-    "geometry before trusting it on 100 TB. Composes both registered "
-    "builders unchanged; the join and rollup touch only the "
-    "pair-relation outputs.",
+    "geometry before trusting it on 100 TB. Composes both pair "
+    "builders unchanged over the eval-sample document set: past "
+    "EVAL_SAMPLE_TARGET_DOCS documents both sides restrict to the "
+    "deterministic md5-uniform sample (recall restricted to sampled "
+    "pairs is an unbiased estimate — banding survival is pair-local, "
+    "so the restriction commutes with the measurement); under the "
+    "target the sample is the identity and the curve is exact. Both "
+    "pair relations are checkpoint-memoized, so a calibration session "
+    "running the sweep + this report pays the pair build once.",
     tags=("dedup", "minhash", "lsh", "report", "aggregate"),
 )
 def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
-    caught = dedup_minhash_verified(spark, sf_dir).select(
+    exact = _eval_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    caught = _eval_verified_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("c_a"), F.col("doc_b").alias("c_b")
     )
     joined = exact.join(
@@ -2741,7 +2951,7 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = F.floor(F.col("jaccard") * 20).cast("bigint")
     hit = F.sum(F.when(F.col("c_a").isNotNull(), 1).otherwise(0))
-    return (
+    out = (
         joined.groupBy(
             bucket.alias("j_bucket"), (bucket / 20.0).alias("bucket_lo")
         )
@@ -2754,6 +2964,8 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_bucket")
     )
+    # reads both memoized pair checkpoints — stale-handle fail-fast
+    return guard_checkpoint_result(out)
 
 
 def _incremental_neardup_oracle() -> str:

@@ -549,14 +549,14 @@ del _REG2
 
 
 def _kfold_leakage_oracle() -> str:
-    from .dedup import _SWEEP_PAIRS_CTE, _oracle_hex_id
+    from .dedup import _SAMPLED_PAIRS_CTE, _oracle_hex_id
 
     def fold(col: str) -> str:
         u = _oracle_hex_id(f"'fold:' || CAST({col} AS VARCHAR)", _KFOLD_DIGITS)
         return f"({u} % {KFOLD_K})"
 
     return (
-        _SWEEP_PAIRS_CTE
+        _SAMPLED_PAIRS_CTE
         + f"""
 SELECT count(*) AS n_pairs,
        CAST(coalesce(sum(CASE WHEN {fold('doc_a')} != {fold('doc_b')}
@@ -583,11 +583,16 @@ FROM pairs
     f"independent uniform draw is (k-1)/k = {(KFOLD_K - 1) / KFOLD_K}. "
     "One aggregate over the pair relation — folds are scan-side row "
     "math, no extra join or shuffle; empty pair sets report NULL "
-    "leak_rate identically in both engines.",
+    "leak_rate identically in both engines. Past "
+    "EVAL_SAMPLE_TARGET_DOCS documents the pair relation is computed "
+    "over the md5-uniform eval sample (mirrored in the oracle) — the "
+    "leak RATE is an unbiased pair-level estimate and the audit stays "
+    "bounded at any corpus size; under the target it is exact.",
     tags=("sampling", "ml-prep", "dedup", "report"),
 )
 def kfold_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _spark_hex_id, dedup_jaccard_pairs
+    from ..plans.caching import guard_checkpoint_result
+    from .dedup import _eval_pairs, _spark_hex_id
 
     def fold(col: str):
         return F.pmod(
@@ -598,11 +603,11 @@ def kfold_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(KFOLD_K),
         )
 
-    pairs = dedup_jaccard_pairs(spark, sf_dir)
+    pairs = _eval_pairs(spark, sf_dir)
     cross = F.sum(
         F.when(fold("doc_a") != fold("doc_b"), 1).otherwise(0)
     )
-    return pairs.agg(
+    out = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.coalesce(cross, F.lit(0)).cast("bigint").alias("n_cross_fold"),
         F.round(
@@ -617,6 +622,8 @@ def kfold_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("leak_rate"),
     )
+    # reads the memoized pair checkpoint — stale-handle fail-fast
+    return guard_checkpoint_result(out)
 
 
 from ..plans.registry import _REGISTRY as _REG3  # noqa: E402
