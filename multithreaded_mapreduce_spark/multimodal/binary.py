@@ -70,15 +70,29 @@ def synthesize_media(spark: SparkSession, n: int = 64, partitions: int = 4) -> D
 def _decode_payload(payload: bytes, fake_codec: bool) -> tuple[int, int, int]:
     """Decode image metadata from payload bytes.
 
-    STUB: real decoding requires an image codec (PIL/libvips), which is
-    not available in this environment. The deterministic fake derives
-    (width, height, channels) from the payload digest — stable plumbing
-    stand-in, clearly not a real decoder.
-    """
+    REAL for PNG (the most common image format — pure stdlib zlib
+    inflate + numpy scanline unfilter, golden-tested against the
+    reference repo's own .png files) and for binary Netpbm; formats
+    that genuinely need an external codec library (JPEG/WebP/…) raise
+    ``NotImplementedError`` unless the clearly-marked deterministic
+    fake is requested (``fake_codec=True`` — plumbing stand-in used by
+    the stub-path unit tests, never by a registered query)."""
+    from .codecs import PNG_SIGNATURE, decode_netpbm, decode_png
+
+    head = bytes(payload[:8])
+    if head == PNG_SIGNATURE:
+        px = decode_png(payload)
+        h, w = px.shape[:2]
+        return w, h, (px.shape[2] if px.ndim == 3 else 1)
+    if head[:2] in (b"P5", b"P6"):
+        px = decode_netpbm(bytes(payload))
+        h, w = px.shape[:2]
+        return w, h, (px.shape[2] if px.ndim == 3 else 1)
     if not fake_codec:
         raise NotImplementedError(
-            "image decode requires a codec library (PIL/libvips) not present "
-            "in this environment; pass fake_codec=True for the deterministic stub"
+            "only PNG and binary Netpbm decode natively (pure stdlib/numpy); "
+            "JPEG/WebP need a codec library (PIL/libvips) not present in this "
+            "environment; pass fake_codec=True for the deterministic stub"
         )
     d = hashlib.sha256(payload).digest()
     width = 16 + d[0] % 240
@@ -108,23 +122,34 @@ def decode_images(media: DataFrame, *, fake_codec: bool = False) -> DataFrame:
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Byte-histogram feature vectors (FEATURE_DIM floats, L1-normalized)
-    via a scalar Pandas UDF — the Arrow-vectorized path a real encoder
-    (CLIP etc.) would use; the histogram itself is a deterministic,
-    codec-free feature."""
+    """Intensity-histogram feature vectors (FEATURE_DIM floats,
+    L1-normalized) via a scalar Pandas UDF — the Arrow-vectorized path
+    a real encoder (CLIP etc.) would use. For PNG/Netpbm payloads the
+    histogram is computed over the DECODED PIXEL intensities (a real,
+    codec-backed image feature: 16 luma bins); for other payloads it
+    falls back to the raw byte histogram (deterministic, codec-free —
+    the audio/video stand-in)."""
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
-    def byte_histogram(payloads: pd.Series) -> pd.Series:
+    def intensity_histogram(payloads: pd.Series) -> pd.Series:
+        from .codecs import PNG_SIGNATURE, decode_netpbm, decode_png
+
         feats = []
         for p in payloads:
-            arr = np.frombuffer(p, dtype=np.uint8)
+            head = bytes(p[:8])
+            if head == PNG_SIGNATURE:
+                arr = decode_png(p).ravel()
+            elif head[:2] in (b"P5", b"P6"):
+                arr = decode_netpbm(bytes(p)).ravel()
+            else:
+                arr = np.frombuffer(p, dtype=np.uint8)
             hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
             total = hist.sum()
             feats.append((hist / total if total else hist).astype(np.float32))
         return pd.Series(feats)
 
     return media.select(
-        "media_id", "kind", byte_histogram(F.col("payload")).alias("features")
+        "media_id", "kind", intensity_histogram(F.col("payload")).alias("features")
     )
 
 
@@ -181,15 +206,14 @@ def resize_images(
 ) -> DataFrame:
     """Aspect-preserving thumbnail resize via mapInPandas.
 
-    The geometry (decode dims → scale longest edge to ``target`` →
-    output buffer of ``w*h*c`` bytes) is real plumbing; the resample
-    itself is STUBBED — a real implementation calls the codec's
-    resize (PIL ``Image.resize``/libvips ``thumbnail``), absent in
-    this container, so the fake derives the resized buffer
-    deterministically from (payload, target geometry). Output carries
-    the buffer's digest and size, never the buffer — at 100 TB
-    thumbnails write to object storage from the executor; only
-    pointers and stats flow through the plan.
+    REAL for PNG and Netpbm payloads: decode the raster, nearest-
+    neighbor resample the longest edge to ``target``, re-encode in the
+    source format, and emit the resized FILE's digest + size. For
+    formats needing an external codec the resample is STUBBED behind
+    ``fake_codec`` (deterministic bytes standing in for the
+    interpolated buffer). Output carries the digest and size, never
+    the buffer — at 100 TB thumbnails write to object storage from
+    the executor; only pointers and stats flow through the plan.
     """
 
     out_schema = T.StructType(
@@ -206,17 +230,39 @@ def resize_images(
     )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import (
+            PNG_SIGNATURE,
+            decode_netpbm,
+            decode_png,
+            encode_netpbm,
+            encode_png,
+            resize_nearest,
+        )
+
         for pdf in batches:
             cols: dict[str, list] = {k: [] for k in out_schema.fieldNames()}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, c = _decode_payload(payload, fake_codec)
-                scale = target / max(w, h)
-                nw = max(1, round(w * scale))
-                nh = max(1, round(h * scale))
-                # STUB resample: deterministic bytes standing in for the
-                # interpolated pixel buffer
-                seed = hashlib.sha256(payload + f"{nw}x{nh}x{c}".encode()).digest()
-                buf = (seed * (nw * nh * c // len(seed) + 1))[: nw * nh * c]
+                head = bytes(payload[:8])
+                if head == PNG_SIGNATURE or head[:2] in (b"P5", b"P6"):
+                    # REAL path: decode raster, resample, re-encode
+                    is_png = head == PNG_SIGNATURE
+                    px = decode_png(payload) if is_png else decode_netpbm(bytes(payload))
+                    h, w = px.shape[:2]
+                    c = px.shape[2] if px.ndim == 3 else 1
+                    scale = target / max(w, h)
+                    nw = max(1, round(w * scale))
+                    nh = max(1, round(h * scale))
+                    resized = resize_nearest(px, nw, nh)
+                    buf = encode_png(resized) if is_png else encode_netpbm(resized)
+                else:
+                    w, h, c = _decode_payload(payload, fake_codec)
+                    scale = target / max(w, h)
+                    nw = max(1, round(w * scale))
+                    nh = max(1, round(h * scale))
+                    # STUB resample: deterministic bytes standing in for
+                    # the interpolated pixel buffer
+                    seed = hashlib.sha256(payload + f"{nw}x{nh}x{c}".encode()).digest()
+                    buf = (seed * (nw * nh * c // len(seed) + 1))[: nw * nh * c]
                 cols["media_id"].append(mid)
                 cols["orig_width"].append(w)
                 cols["orig_height"].append(h)
@@ -343,6 +389,40 @@ def synthesize_netpbm_media(
             payload = encode_netpbm(px)
             mime = "image/x-portable-pixmap" if c == 3 else "image/x-portable-graymap"
             rows.append((i, "image", payload, len(payload), mime))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions, "media_id")
+
+
+def synthesize_png_media(
+    spark: SparkSession, n: int = 64, partitions: int = 4
+) -> DataFrame:
+    """Media table whose image payloads are REAL PNG files (gray / RGB /
+    RGBA rasters with deterministic pixels, encoded by the pure-stdlib
+    codec) and whose audio payloads are RIFF/WAVE PCM16; video rows
+    keep a raw deterministic byte stream (no container format decodes
+    without an external library — the frame sampler chunks bytes, as
+    documented). Every engine and run sees identical payload bytes."""
+    from .codecs import encode_png, encode_wav_pcm16
+
+    rows = []
+    for i in range(n):
+        if i % 3 == 2:  # audio
+            n_samples = 64 + 8 * i
+            raw = _det_bytes(f"wav-{i}", n_samples * 2)
+            samples = np.frombuffer(raw, dtype="<i2")
+            payload = encode_wav_pcm16(samples, sample_rate=8000)
+            rows.append((i, "audio", payload, len(payload), "audio/wav"))
+        elif i % 6 == 4:  # video: raw byte stream (chunk-sampled)
+            payload = _det_bytes(f"vid-{i}", 256 + 16 * i)
+            rows.append((i, "video", payload, len(payload), "application/octet-stream"))
+        else:  # image: cycle gray / RGB / RGBA PNG
+            w = 8 + (i * 3) % 25
+            h = 6 + (i * 5) % 19
+            c = (1, 3, 4)[(i // 3) % 3]  # i%3==2 is audio, so cycle by i//3
+            raw = _det_bytes(f"png-{i}", w * h * c)
+            px = np.frombuffer(raw, dtype=np.uint8)
+            px = px.reshape((h, w)) if c == 1 else px.reshape((h, w, c))
+            payload = encode_png(px)
+            rows.append((i, "image", payload, len(payload), "image/png"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions, "media_id")
 
 

@@ -1,29 +1,188 @@
-"""REAL media codecs in pure numpy — no external image/audio library.
+"""REAL media codecs in pure stdlib + numpy — no external image/audio
+library.
 
-The container ships no PIL/libvips/soundfile, but two classic formats
-need nothing beyond numpy and struct:
+The container ships no PIL/libvips/soundfile, but three classic formats
+need nothing beyond numpy, struct and zlib:
 
+* **PNG** (8-bit, non-interlaced; color types 0 gray / 2 RGB / 3
+  palette / 4 gray+alpha / 6 RGBA): `decode_png` walks the chunk list
+  with CRC verification, inflates the IDAT stream with stdlib zlib and
+  un-applies all five scanline filters (None/Sub/Up/Average/Paeth) per
+  the PNG spec §9; `encode_png` writes filter-0 scanlines for gray /
+  RGB / RGBA rasters. This is the most common real image format — the
+  reference repo's own golden inputs are PNG screenshots
+  (reference ``single.png``, ``vlarge1.png``, ``vlarge2.png``), and
+  the decoder is golden-tested against them.
 * **Netpbm binary images** (P5 = 8-bit grayscale PGM, P6 = 8-bit RGB
   PPM): an ASCII header (`magic width height maxval`) followed by raw
-  samples row-major. This is a real, widely-used interchange format —
-  `encode_netpbm`/`decode_netpbm` below are complete codecs for the
-  8-bit binary variants, including comment lines and arbitrary header
-  whitespace per the spec.
+  samples row-major. `encode_netpbm`/`decode_netpbm` below are
+  complete codecs for the 8-bit binary variants, including comment
+  lines and arbitrary header whitespace per the spec.
 * **WAV PCM** (RIFF/WAVE, 16-bit little-endian): `encode_wav_pcm16`
   writes the canonical 44-byte header; `decode_wav_pcm16` walks the
   RIFF chunk list (not a fixed offset — real files carry LIST/fact
   chunks before `data`) and returns the int16 sample array + rate.
 
-These power the multimodal operators' decode/resize/frame paths with
-REAL pixel and sample math; only exotic codecs (JPEG/MP3/MP4) remain
-behind the explicit NotImplementedError.
+These power the multimodal operators' decode/resize/feature paths with
+REAL pixel and sample math; only codecs that genuinely need an external
+library (JPEG/MP3/MP4) remain behind the explicit NotImplementedError.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# PNG, 8-bit non-interlaced (stdlib zlib inflate + numpy unfilter)
+# ---------------------------------------------------------------------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: color type -> samples per pixel (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an 8-bit raster as a non-interlaced PNG: (h, w) gray →
+    color type 0, (h, w, 3) → RGB (2), (h, w, 4) → RGBA (6). Scanlines
+    are written with filter 0 — a valid (if uncompressed-friendly)
+    choice every decoder must accept."""
+    if pixels.dtype != np.uint8:
+        raise ValueError("8-bit PNG requires uint8 pixels")
+    if pixels.ndim == 2:
+        color_type, h, w = 0, *pixels.shape
+    elif pixels.ndim == 3 and pixels.shape[2] in (3, 4):
+        color_type = {3: 2, 4: 6}[pixels.shape[2]]
+        h, w = pixels.shape[:2]
+    else:
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    flat = pixels.reshape(h, -1)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Un-apply the five scanline filters (PNG spec §9): each scanline
+    is one filter-type byte + w*bpp filtered bytes; reconstruction is
+    mod-256 arithmetic against the left (a), above (b) and upper-left
+    (c) reconstructed bytes."""
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"decompressed PNG stream is {len(raw)} bytes, expected {h * (stride + 1)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = int(buf[base])
+        line = buf[base + 1 : base + 1 + stride].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 1:  # Sub: per-lane cumulative sum mod 256
+            cur = line
+            lanes = cur.reshape(-1, bpp).astype(np.uint32)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            cur = line + prev  # uint8 wraps mod 256
+        elif ft == 3:  # Average
+            cur = line
+            a = np.zeros(bpp, dtype=np.uint32)
+            for x0 in range(0, stride, bpp):
+                seg = (
+                    cur[x0 : x0 + bpp].astype(np.uint32)
+                    + ((a + prev[x0 : x0 + bpp].astype(np.uint32)) >> 1)
+                ) & 0xFF
+                cur[x0 : x0 + bpp] = seg
+                a = seg
+        elif ft == 4:  # Paeth
+            cur = line
+            a = np.zeros(bpp, dtype=np.int32)
+            c = np.zeros(bpp, dtype=np.int32)
+            for x0 in range(0, stride, bpp):
+                b = prev[x0 : x0 + bpp].astype(np.int32)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                seg = (cur[x0 : x0 + bpp].astype(np.int32) + pred) & 0xFF
+                cur[x0 : x0 + bpp] = seg.astype(np.uint8)
+                a, c = seg, b
+        else:
+            raise ValueError(f"unknown PNG filter type {ft} on scanline {y}")
+        out[y] = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to a uint8 array: (h, w) for
+    grayscale, (h, w, c) otherwise (palette images expand through PLTE
+    to RGB). Chunk CRCs are verified; 16-bit depth and Adam7 interlace
+    are rejected explicitly."""
+    payload = bytes(payload)
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} fails CRC")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit_depth, color_type, compression, filter_method, interlace = ihdr
+    if bit_depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (bit depth {bit_depth})")
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    if compression != 0 or filter_method != 0:
+        raise ValueError("non-standard PNG compression/filter method")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    channels = _PNG_CHANNELS[color_type]
+    raster = _png_unfilter(zlib.decompress(bytes(idat)), w, h, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        return plte[raster.reshape(h, w)]
+    if channels == 1:
+        return raster.reshape(h, w)
+    return raster.reshape(h, w, channels)
 
 
 # ---------------------------------------------------------------------------

@@ -1,15 +1,18 @@
 """Multimodal pipeline queries registered for the driver harness.
 
-The container ships no image/audio codecs, so the media table itself is
-synthesized deterministically (sha256-derived payloads — every engine
-and every run sees identical bytes) and the decode step uses the
-clearly-marked fake codec from ``multimodal/binary.py``. What these
-queries exercise for real is the Spark side a 100 TB media pipeline
-needs: binary columns + typed metadata schema, hash partitioning by
-media_id, Arrow-batched mapInPandas (bounded memory per batch),
-fan-out row production (frame sampling), and fixed-width
-``array<float>`` feature vectors compatible with the similarity
-operators.
+The media tables are synthesized deterministically (every engine and
+every run sees identical payload bytes), and since r8 the image paths
+are REAL end to end: payloads are genuine PNG (pure-stdlib zlib codec,
+golden-tested against the reference repo's own .png inputs) or binary
+Netpbm files, decoded/resampled/featurized from actual pixels. Only
+formats that require an external codec library (JPEG/MP3/MP4) remain
+behind the clearly-marked stub (``fake_codec`` / NotImplementedError),
+exercised by the plumbing unit tests. What every query here exercises
+for the 100 TB media pipeline: binary columns + typed metadata schema,
+hash partitioning by media_id, Arrow-batched mapInPandas (bounded
+memory per batch), fan-out row production (frame sampling), and
+fixed-width ``array<float>`` feature vectors compatible with the
+similarity operators.
 
 No DuckDB oracle for the synthesized-media queries (the media table is
 built in-engine, not one of the driver's parquet tables): rows-only
@@ -43,25 +46,38 @@ _N_MEDIA = 96
 @register(
     "media_decode_metadata",
     oracle=None,
-    description="Decode (width, height, channels) for image rows via "
-    "Arrow-batched mapInPandas; codec stubbed deterministically "
-    "(fake_codec) because no image library ships in this container.",
-    tags=("multimodal", "image", "pandas-udf"),
+    description="REAL image decode via Arrow-batched mapInPandas: the "
+    "image payloads are genuine PNG files (gray/RGB/RGBA) parsed by "
+    "the pure-stdlib codec (zlib inflate + all five scanline "
+    "unfilters) — true (width, height, channels) from actual chunk "
+    "walking, not a digest stand-in. The decoder is golden-tested "
+    "against the reference repo's own .png inputs (reference "
+    "single.png 539x561 RGBA, vlarge1/2.png 558x672 RGBA) in "
+    "tests/test_multimodal_codecs.py; only codecs needing an external "
+    "library (JPEG/MP3/MP4) remain stubbed.",
+    tags=("multimodal", "image", "pandas-udf", "real-codec"),
 )
 def media_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_images(synthesize_media(spark, n=_N_MEDIA), fake_codec=True)
+    from ..multimodal.binary import synthesize_png_media
+
+    return decode_images(synthesize_png_media(spark, n=_N_MEDIA)).orderBy("media_id")
 
 
 @register(
     "media_feature_vectors",
     oracle=None,
-    description="Byte-histogram feature extraction (16-dim L1-normalized "
-    "array<float>) via scalar Pandas UDF — the Arrow-vectorized shape a "
-    "real encoder (CLIP-style) plugs into.",
-    tags=("multimodal", "features", "pandas-udf"),
+    description="REAL image feature extraction (16-dim L1-normalized "
+    "array<float>) via scalar Pandas UDF: PNG payloads decode to "
+    "pixels and the histogram runs over actual intensities (16 luma "
+    "bins); non-image payloads fall back to the codec-free byte "
+    "histogram. The Arrow-vectorized shape a real encoder "
+    "(CLIP-style) plugs into.",
+    tags=("multimodal", "features", "pandas-udf", "real-codec"),
 )
 def media_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(synthesize_media(spark, n=_N_MEDIA))
+    from ..multimodal.binary import synthesize_png_media
+
+    return extract_features(synthesize_png_media(spark, n=_N_MEDIA))
 
 
 @register(
@@ -130,14 +146,19 @@ def media_text_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_resize",
     oracle=None,
-    description="Aspect-preserving thumbnail resize (longest edge → 64) "
-    "via mapInPandas: real geometry and Arrow plumbing, resample stubbed "
-    "deterministically (no codec in this container). Emits digest + size "
-    "per thumbnail, never the pixel buffer.",
-    tags=("multimodal", "image", "resize", "pandas-udf"),
+    description="REAL aspect-preserving thumbnails (longest edge → 64) "
+    "via mapInPandas: PNG payloads decode to rasters, nearest-neighbor "
+    "resample (deterministic integer index map), re-encode as PNG, and "
+    "emit the resized file's digest + size — actual pixel resampling "
+    "end to end. Emits digest + size per thumbnail, never the pixel "
+    "buffer (at 100 TB thumbnails write to object storage from the "
+    "executor).",
+    tags=("multimodal", "image", "resize", "pandas-udf", "real-codec"),
 )
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return resize_images(synthesize_media(spark, n=_N_MEDIA), fake_codec=True)
+    from ..multimodal.binary import synthesize_png_media
+
+    return resize_images(synthesize_png_media(spark, n=_N_MEDIA)).orderBy("media_id")
 
 
 @register(

@@ -12,12 +12,179 @@ import numpy as np
 import pytest
 
 from multithreaded_mapreduce_spark.multimodal.codecs import (
+    PNG_SIGNATURE,
     decode_netpbm,
+    decode_png,
     decode_wav_pcm16,
     encode_netpbm,
+    encode_png,
     encode_wav_pcm16,
     resize_nearest,
 )
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib + numpy unfilter) — golden-tested against the
+# reference repo's own .png inputs (reference single.png / vlarge1.png /
+# vlarge2.png: the screenshots whose word counts the wordcount goldens
+# in test_wordcount_parity.py pin)
+# ---------------------------------------------------------------------------
+
+#: (file, (h, w, c), sha256 of the decoded raster bytes) — the pixel
+#: digests certify the decode end to end; alpha is fully opaque on all
+#: three (terminal screenshots), asserted as an independent property
+PNG_GOLDENS = (
+    (
+        "/root/reference/single.png",
+        (561, 539, 4),
+        "69a2b3c68ac93c0b54e33aa9f314a4eddb5a8b19c8f251ba14eb55ac12ab218d",
+    ),
+    (
+        "/root/reference/vlarge1.png",
+        (672, 558, 4),
+        "7d4966a94022ebeb4e32327ea9daca0f99362bede82345c6658ff50a9304fb67",
+    ),
+    (
+        "/root/reference/vlarge2.png",
+        (672, 558, 4),
+        "61ec7030952bfe1c6239c9f8ae98d922357f7d356ef6dc31053ad11be6d74be2",
+    ),
+)
+
+
+def test_png_round_trip_gray_rgb_rgba():
+    rng = np.random.default_rng(7)
+    for shape in ((13, 9), (11, 17, 3), (8, 5, 4), (1, 1), (2, 1, 4)):
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_png(encode_png(px))
+        assert out.shape == px.shape and (out == px).all(), shape
+
+
+def _forward_filter(raster: np.ndarray, fts: list[int], bpp: int) -> bytes:
+    """Independent reimplementation of the FORWARD scanline filters
+    straight from the PNG spec §9 (scalar python, no shared code with
+    the decoder) — filtering with these and decoding back is a
+    spec-level check of all five unfilter paths."""
+    h, stride = raster.shape
+    out = bytearray()
+    for y in range(h):
+        ft = fts[y]
+        out.append(ft)
+        for x in range(stride):
+            cur = int(raster[y, x])
+            a = int(raster[y, x - bpp]) if x >= bpp else 0
+            b = int(raster[y - 1, x]) if y > 0 else 0
+            c = int(raster[y - 1, x - bpp]) if (y > 0 and x >= bpp) else 0
+            if ft == 0:
+                v = cur
+            elif ft == 1:
+                v = cur - a
+            elif ft == 2:
+                v = cur - b
+            elif ft == 3:
+                v = cur - (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = cur - pred
+            out.append(v & 0xFF)
+    return bytes(out)
+
+
+def _hand_built_png(raster: np.ndarray, bpp: int, fts: list[int], color_type: int,
+                    extra_chunks: bytes = b"") -> bytes:
+    """Assemble a PNG whose scanlines use the given per-row filter
+    types (the encoder only emits filter 0, so this exercises the
+    other four unfilter paths)."""
+    import struct as _s
+    import zlib as _z
+
+    h, stride = raster.shape
+    w = stride // bpp
+    raw = _forward_filter(raster, fts, bpp)
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + extra_chunks
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilter_all_five_filters_vs_spec_reimpl():
+    """Craft PNGs whose rows cycle through every filter type, filtered
+    by an independent forward implementation of spec §9 — decode must
+    recover the exact raster for gray (bpp 1), RGB (bpp 3) and RGBA
+    (bpp 4)."""
+    rng = np.random.default_rng(11)
+    for bpp, ct in ((1, 0), (3, 2), (4, 6)):
+        h, w = 7, 5
+        px = rng.integers(0, 256, size=(h, w * bpp), dtype=np.uint8)
+        fts = [(y % 5) for y in range(h)]
+        payload = _hand_built_png(px, bpp, fts, ct)
+        got = decode_png(payload)
+        want = px.reshape((h, w)) if bpp == 1 else px.reshape((h, w, bpp))
+        assert (got == want).all(), (bpp, ct)
+
+
+def test_png_palette_expands_through_plte():
+    import struct as _s
+    import zlib as _z
+
+    plte = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250], [9, 9, 9]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+    payload = _hand_built_png(
+        idx, 1, [0, 0], 3, extra_chunks=chunk(b"PLTE", plte.tobytes())
+    )
+    got = decode_png(payload)
+    assert got.shape == (2, 4, 3)
+    assert (got == plte[idx]).all()
+
+
+def test_png_rejects_bad_magic_crc_and_interlace():
+    px = np.zeros((2, 2), dtype=np.uint8)
+    good = encode_png(px)
+    with pytest.raises(ValueError):
+        decode_png(b"\xff\xd8\xff\xe0 JFIF not png")
+    corrupt = bytearray(good)
+    corrupt[-10] ^= 0xFF  # flip a byte inside IEND/IDAT region
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+    # Adam7 flag set (with CRC fixed up) must be rejected explicitly
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    bad = (
+        PNG_SIGNATURE
+        + _s.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + good[8 + 25 :]
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bad)
+
+
+def test_png_reference_goldens_decode_exactly():
+    """The reference repo's own PNG inputs decode to the pinned
+    dimensions and pixel digests; all three are fully opaque RGBA
+    (terminal screenshots), an independent structural property."""
+    for path, shape, digest in PNG_GOLDENS:
+        px = decode_png(open(path, "rb").read())
+        assert px.shape == shape
+        assert hashlib.sha256(px.tobytes()).hexdigest() == digest
+        assert int(px[..., 3].min()) == 255
 
 
 def test_netpbm_round_trip_rgb_and_gray():
@@ -126,6 +293,96 @@ def test_spark_netpbm_resize_digest_matches_local_resample(spark):
         assert r.resized_md5 == hashlib.md5(want).hexdigest()
         assert r.resized_bytes == len(want)
         assert max(r.width, r.height) == RESIZE_TARGET
+
+
+def test_spark_png_decode_matches_local_decode(spark):
+    """media_decode_metadata's path: the distributed PNG decode returns
+    exactly the dims/channels a driver-side decode of the same payload
+    produces — for gray, RGB and RGBA images."""
+    from multithreaded_mapreduce_spark.multimodal.binary import (
+        decode_images,
+        synthesize_png_media,
+    )
+
+    media = synthesize_png_media(spark, n=24)
+    got = {r.media_id: r for r in decode_images(media).collect()}
+    seen_channels = set()
+    for row in media.filter("kind = 'image'").collect():
+        px = decode_png(bytes(row.payload))
+        h, w = px.shape[:2]
+        c = px.shape[2] if px.ndim == 3 else 1
+        r = got[row.media_id]
+        assert (r.width, r.height, r.n_channels) == (w, h, c)
+        seen_channels.add(c)
+    assert seen_channels == {1, 3, 4}
+
+
+def test_spark_png_resize_digest_matches_local_resample(spark):
+    """media_resize's path: the distributed thumbnail's md5 equals a
+    driver-side decode → nearest resample → PNG re-encode of the same
+    payload — the pixel path is byte-exact end to end."""
+    from multithreaded_mapreduce_spark.multimodal.binary import (
+        RESIZE_TARGET,
+        resize_images,
+        synthesize_png_media,
+    )
+
+    media = synthesize_png_media(spark, n=24)
+    got = {r.media_id: r for r in resize_images(media).collect()}
+    for row in media.filter("kind = 'image'").collect():
+        px = decode_png(bytes(row.payload))
+        h, w = px.shape[:2]
+        scale = RESIZE_TARGET / max(w, h)
+        nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+        want = encode_png(resize_nearest(px, nw, nh))
+        r = got[row.media_id]
+        assert r.resized_md5 == hashlib.md5(want).hexdigest()
+        assert r.resized_bytes == len(want)
+        assert max(r.width, r.height) == RESIZE_TARGET
+        # the thumbnail decodes back to the resampled raster
+        assert (decode_png(want) == resize_nearest(px, nw, nh)).all()
+
+
+def test_spark_png_features_are_pixel_histograms(spark):
+    """media_feature_vectors' path: for PNG payloads the 16-bin feature
+    vector is the DECODED-PIXEL intensity histogram (L1-normalized),
+    not the compressed-byte histogram."""
+    from multithreaded_mapreduce_spark.multimodal.binary import (
+        extract_features,
+        synthesize_png_media,
+    )
+
+    media = synthesize_png_media(spark, n=12)
+    got = {r.media_id: np.array(r.features) for r in extract_features(media).collect()}
+    for row in media.filter("kind = 'image'").collect():
+        px = decode_png(bytes(row.payload)).ravel()
+        hist = np.bincount(px >> 4, minlength=16).astype(np.float64)
+        want = (hist / hist.sum()).astype(np.float32)
+        assert np.array_equal(got[row.media_id], want)
+        # and it differs from the raw-byte histogram (compressed bytes)
+        raw = np.frombuffer(bytes(row.payload), dtype=np.uint8)
+        rh = np.bincount(raw >> 4, minlength=16).astype(np.float64)
+        assert not np.array_equal(want, (rh / rh.sum()).astype(np.float32))
+
+
+def test_media_decode_metadata_on_reference_goldens(spark):
+    """Drive the registered decode operator over a media table built
+    from the reference repo's own .png files — dims/channels must match
+    the pinned goldens (the exact analogue of the netpbm path)."""
+    from multithreaded_mapreduce_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        decode_images,
+    )
+
+    rows = []
+    want = {}
+    for i, (path, (h, w, c), _digest) in enumerate(PNG_GOLDENS):
+        payload = open(path, "rb").read()
+        rows.append((i, "image", payload, len(payload), "image/png"))
+        want[i] = (w, h, c)
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2, "media_id")
+    got = {r.media_id: (r.width, r.height, r.n_channels) for r in decode_images(media).collect()}
+    assert got == want
 
 
 def test_spark_wav_energy_matches_numpy(spark):
