@@ -126,6 +126,9 @@ HEADLINE = (
     "dedup_incremental_neardup",     # batch-x-corpus asymmetric banding
     "quality_gate_agreement",        # Cohen's kappa between gates
     "events_cusum_daily",            # sustained-drift CUSUM fold
+    # r8: operators above the 0.4 s bar, appended after every subtotal
+    # marker so all rX_comparable prefixes stay intact
+    "skew_auto_join",                # measured plain/AQE/salted decision
 )
 
 
@@ -279,6 +282,7 @@ def main() -> None:
     # r5 task 8)
     from multithreaded_mapreduce_spark.operators.anomaly import LAST_ZSCORE_DECISION
     from multithreaded_mapreduce_spark.operators import dedup as _dedup
+    from multithreaded_mapreduce_spark.operators import skew as _skew
     from multithreaded_mapreduce_spark.operators.dedup import (
         LAST_CONTAINMENT_DECISION,
         LAST_JACCARD_DECISION,
@@ -336,6 +340,8 @@ def main() -> None:
         # md5-uniform eval-sample modulus for the ground-truth-bound
         # eval queries (k = 1 → identity; k > 1 → 1-in-k doc sample)
         "eval_sample_decision": dict(_dedup.LAST_EVAL_SAMPLE_DECISION),
+        # measured straggler factor → plain / aqe / salted join choice
+        "skew_auto_decision": dict(_skew.LAST_SKEW_JOIN_DECISION),
         # label-sized CC relations broadcast vs shuffle (node ceiling)
         "cc_bcast_auto_decision": _dedup.LAST_CC_BCAST_DECISION,
         "sf": _sf_from_dir(sf_dir),

@@ -22,6 +22,8 @@ last worker (reference 1.cpp:274-280), with no skew handling.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -166,4 +168,122 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x_uniform"),
         )
         .orderBy(F.col("n_rows").desc(), "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew_auto_join: the probe above wired into an automatic join-strategy
+# decision (VERDICT r7 task 4)
+# ---------------------------------------------------------------------------
+
+#: straggler-factor thresholds for the auto decision: under AQE_MIN_X
+#: the key distribution is near-uniform and the default plan (Catalyst
+#: is free to broadcast the dim) is right; between them a forced
+#: shuffled sort-merge join lets AQE's runtime skew-splitting handle
+#: moderate hot keys; at or past SALT_MIN_X one reducer would carry
+#: >= 16x the uniform load and the explicit 8-way salt is the plan a
+#: pipeline should pick BEFORE launching the job.
+SKEW_AQE_MIN_X = 4.0
+SKEW_SALT_MIN_X = 16.0
+
+_SKEW_JOIN_DECISION_CACHE: dict[str, dict] = {}
+LAST_SKEW_JOIN_DECISION: dict = {}
+
+
+def _skew_join_decision(spark: SparkSession, sf_dir: str) -> dict:
+    """Measured per-corpus join-strategy decision (memoized, the LSH
+    pattern): one pass over events.user_id yields the max straggler
+    factor max(n_rows)·ndv/total — exactly the x_uniform statistic
+    join_key_skew_report publishes — and the thresholds above pick
+    plain / aqe / salted. Env-forceable via MMR_SKEW_JOIN_PATH for the
+    path-equivalence tests."""
+    global LAST_SKEW_JOIN_DECISION
+    env = os.environ.get("MMR_SKEW_JOIN_PATH", "")
+    if env in ("plain", "aqe", "salted"):
+        LAST_SKEW_JOIN_DECISION = {"forced": env, "path": env}
+        return LAST_SKEW_JOIN_DECISION
+    key = os.path.realpath(sf_dir)
+    if key not in _SKEW_JOIN_DECISION_CACHE:
+        per = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        row = per.agg(
+            F.max("n").alias("max_n"),
+            F.sum("n").alias("total"),
+            F.count(F.lit(1)).alias("ndv"),
+        ).first()
+        max_n, total, ndv = int(row["max_n"] or 0), int(row["total"] or 0), int(row["ndv"] or 0)
+        max_x = (max_n * ndv / total) if total else 0.0
+        path = (
+            "salted"
+            if max_x >= SKEW_SALT_MIN_X
+            else ("aqe" if max_x >= SKEW_AQE_MIN_X else "plain")
+        )
+        _SKEW_JOIN_DECISION_CACHE[key] = {
+            "max_key_rows": max_n,
+            "ndv": ndv,
+            "total": total,
+            "max_x_uniform": round(max_x, 4),
+            "aqe_min_x": SKEW_AQE_MIN_X,
+            "salt_min_x": SKEW_SALT_MIN_X,
+            "path": path,
+        }
+    LAST_SKEW_JOIN_DECISION = _SKEW_JOIN_DECISION_CACHE[key]
+    return LAST_SKEW_JOIN_DECISION
+
+
+@register(
+    "skew_auto_join",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       count(*) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(e.value AS {DEC})) AS DOUBLE), 2) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c_mktsegment
+""",
+    description="events ⋈ customer with the join strategy chosen by the "
+    "MEASURED key-skew probe (the statistic join_key_skew_report "
+    "publishes, wired into a decision): max straggler factor "
+    f"max(n)·ndv/total under {SKEW_AQE_MIN_X} → plain join (Catalyst "
+    f"free to broadcast), under {SKEW_SALT_MIN_X} → forced shuffled "
+    "sort-merge join so AQE's runtime skew-splitting can act, past it "
+    "→ the explicit 8-way salted join (skew_salted_event_user_totals' "
+    "rewrite). The probe is one map-side-combinable aggregate, "
+    "memoized per corpus and stamped into bench_result.json; all three "
+    "paths are value-identical (pytest-asserted against each other and "
+    "this plain-join oracle), so the decision can only change the "
+    "plan, never the answer. Per-segment revenue rollup output.",
+    tags=("join", "skew", "salting", "aqe", "scale", "auto-decision"),
+)
+def skew_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    path = _skew_join_decision(spark, sf_dir)["path"]
+    if path == "salted":
+        joined = salted_join(
+            events, customer, "user_id", salt_source=F.xxhash64("event_id")
+        )
+    elif path == "aqe":
+        # forced shuffled SMJ: a broadcast join cannot skew, so pin the
+        # exchange and let AQE's skewJoin split hot partitions at runtime
+        joined = events.join(customer.hint("merge"), "user_id")
+    else:
+        joined = events.join(customer, "user_id")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -241,6 +241,74 @@ def test_salted_join_correct_under_adversarial_hot_key(spark):
     assert max(counts) < 2 * min(counts), counts
 
 
+def test_skew_auto_join_paths_equivalent_and_plain_on_uniform(spark, sf_dir, monkeypatch):
+    """VERDICT r7 task 4: the measured skew decision. All three forced
+    paths (plain / AQE-shuffled / salted) return identical rows, and on
+    the near-uniform fixture events (max straggler factor ~1.3) the
+    auto decision picks the plain join with the probe stats recorded."""
+    import multithreaded_mapreduce_spark.operators.skew as sk
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = {}
+    for path in ("plain", "aqe", "salted"):
+        monkeypatch.setenv("MMR_SKEW_JOIN_PATH", path)
+        got[path] = rows(Q["skew_auto_join"].builder(spark, sf_dir))
+        assert sk.LAST_SKEW_JOIN_DECISION == {"forced": path, "path": path}
+    assert got["plain"] == got["aqe"] == got["salted"]
+    assert len(got["plain"]) > 0
+    monkeypatch.delenv("MMR_SKEW_JOIN_PATH", raising=False)
+    sk._SKEW_JOIN_DECISION_CACHE.clear()
+    auto = rows(Q["skew_auto_join"].builder(spark, sf_dir))
+    d = sk.LAST_SKEW_JOIN_DECISION
+    assert auto == got["plain"]
+    assert d["path"] == "plain"
+    assert 0 < d["max_x_uniform"] < sk.SKEW_AQE_MIN_X
+    assert d["ndv"] > 0 and d["total"] >= d["ndv"]
+    # memoized: a second build must reuse the cached decision object
+    again = rows(Q["skew_auto_join"].builder(spark, sf_dir))
+    assert again == auto and sk.LAST_SKEW_JOIN_DECISION is d
+    assert len(sk._SKEW_JOIN_DECISION_CACHE) == 1
+
+
+def test_skew_auto_join_engages_salted_on_hot_key(spark, tmp_path, monkeypatch):
+    """On a corpus where one user carries ~95% of the events (straggler
+    factor far past SALT_MIN_X) the auto rule must pick the salted
+    rewrite WITHOUT the env knob — and its answer must equal the
+    forced-plain join's exactly."""
+    from pyspark.sql import functions as F
+
+    import multithreaded_mapreduce_spark.operators.skew as sk
+
+    n = 5_000
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 20 != 0, F.lit(7))
+        .otherwise(((F.col("id") / 20).cast("long") % 50) + 100)
+        .alias("user_id"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    customer = spark.range(300).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("SEG"), (F.col("id") % 5)).alias("c_mktsegment"),
+    )
+    events.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    customer.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    fixture = str(tmp_path)
+
+    monkeypatch.delenv("MMR_SKEW_JOIN_PATH", raising=False)
+    sk._SKEW_JOIN_DECISION_CACHE.clear()
+    auto = sorted(tuple(r) for r in Q["skew_auto_join"].builder(spark, fixture).collect())
+    d = dict(sk.LAST_SKEW_JOIN_DECISION)
+    assert d["path"] == "salted", d
+    assert d["max_x_uniform"] >= sk.SKEW_SALT_MIN_X
+    monkeypatch.setenv("MMR_SKEW_JOIN_PATH", "plain")
+    plain = sorted(tuple(r) for r in Q["skew_auto_join"].builder(spark, fixture).collect())
+    sk._SKEW_JOIN_DECISION_CACHE.clear()
+    assert auto == plain and len(auto) > 0
+
+
 def _file_dim_ranges(out_dir: str, col_name: str) -> list[tuple]:
     """Per-file (min, max) of ``col_name`` read straight from the
     parquet footers — what a stats-based reader skips on."""
