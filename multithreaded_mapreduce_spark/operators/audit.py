@@ -479,11 +479,16 @@ def _profile_oracle() -> str:
     tags=("audit", "report", "aggregate", "layout"),
 )
 def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _profile_frame(spark, sf_dir, approx=False)
+
+
+def _profile_frame(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    ndv_agg = F.approx_count_distinct if approx else F.countDistinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
         aggs.append(F.count(F.col(c)).alias(f"cnt_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"ndv_{c}"))
+        aggs.append(ndv_agg(F.col(c)).alias(f"ndv_{c}"))
         if kind == "num":
             aggs.append(F.min(c).cast("double").alias(f"min_{c}"))
             aggs.append(F.max(c).cast("double").alias(f"max_{c}"))
@@ -524,3 +529,24 @@ def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .orderBy("column_name")
     )
+
+
+@register(
+    "column_stats_profile_approx",
+    oracle=None,
+    description="The documented 100 TB knob of column_stats_profile "
+    "made concrete (VERDICT r7 task 5): the identical one-scan "
+    "per-column profile with exact count(DISTINCT) swapped for "
+    "approx_count_distinct (HyperLogLog++, default 5% rsd). The "
+    "multi-distinct Expand operator — x|columns| map-side rows, the "
+    "exact plan's scale cost — DISAPPEARS from this plan "
+    "(plan-asserted in tests/test_layout_ops.py); sketches merge "
+    "map-side like any other aggregate. Rows-only for the driver "
+    "(HLL values are engine-specific); pytest bounds every approx ndv "
+    "within 15% of the exact twin's and requires all deterministic "
+    "columns (n_rows, n_nulls, typed min/max) bit-equal to the exact "
+    "profile, which IS oracle-checked.",
+    tags=("audit", "report", "aggregate", "layout", "approx", "scale"),
+)
+def column_stats_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _profile_frame(spark, sf_dir, approx=True)
