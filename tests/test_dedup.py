@@ -442,6 +442,109 @@ def test_ngram_df_cut_probe_engages_and_disengages(spark, tmp_path, monkeypatch)
     assert got_b == []
 
 
+def test_ngram_df_cut_margin_confirm_decision_shape(spark, tmp_path, monkeypatch):
+    """VERDICT r7 task 8: pin the decision dict's exact shape on BOTH
+    sides of the margin-confirm branch (ADVICE r6). The fixtures are
+    built sample-aware — boilerplate membership is assigned per doc
+    AFTER computing the probe's own xxhash64 1/16 sample — so the
+    sampled max-df fraction lands deterministically in the confirm
+    margin [1/8, 1/4) of docs:
+
+    (a) full-corpus fraction also under the 1/2 cut → the confirm pass
+        runs, records its exact numbers, and DISENGAGES (the accepted
+        residual risk below the 1/4-cut margin is the documented
+        ~1e-11 Hoeffding bound next to NGRAM_DF_CUT_*);
+    (b) unsampled docs mostly boilerplate (an adversarially
+        unrepresentative sample) → the confirm pass must catch the
+        true crossing and ENGAGE — the exact divergence window the r6
+        fix closed."""
+    from pyspark.sql import functions as F
+
+    import multithreaded_mapreduce_spark.operators.dedup as dd
+
+    n = 4000
+    ids = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(dd._NGRAM_PROBE_MOD)) == 0).alias(
+            "in_sample"
+        ),
+    )
+    sample_flags = {r.doc_id: r.in_sample for r in ids.collect()}
+    sampled = sorted(i for i, s in sample_flags.items() if s)
+    unsampled = sorted(i for i, s in sample_flags.items() if not s)
+    assert len(sampled) >= dd._NGRAM_PROBE_MIN_DOCS
+
+    def build(dirname: str, frac_sampled: float, frac_unsampled: float) -> str:
+        boiler = set(sampled[: int(frac_sampled * len(sampled))])
+        boiler |= set(unsampled[: int(frac_unsampled * len(unsampled))])
+        rows = [
+            (
+                i,
+                f"b1 b2 b3 b4 b5 u{i}" if i in boiler else f"a{i} b{i} c{i} d{i}",
+                "en",
+                "src0",
+            )
+            for i in range(n)
+        ]
+        d = tmp_path / dirname
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    monkeypatch.delenv("MMR_NGRAM_DF_CUT", raising=False)
+    # (a) sampled fraction 0.18 (margin), full fraction ~0.18 (< 1/2)
+    d_a = build("margin_disengage", 0.18, 0.18)
+    dd._NGRAM_DFCUT_DECISION_CACHE.clear()
+    Q["dedup_ngram_jaccard"].builder(spark, d_a).count()
+    dec = dict(dd.LAST_NGRAM_DFCUT_DECISION)
+    assert set(dec) == {
+        "sample_docs",
+        "sample_max_df",
+        "engage",
+        "confirm_full_max_df",
+        "confirm_n_docs",
+    }, dec
+    sd, mdf = dec["sample_docs"], dec["sample_max_df"]
+    # the sample landed in the margin: disengaged by sample, within 2x
+    assert mdf * dd.NGRAM_DF_CUT_DEN * 2 < sd * dd.NGRAM_DF_CUT_NUM
+    assert mdf * dd.NGRAM_DF_CUT_DEN * 4 >= sd * dd.NGRAM_DF_CUT_NUM
+    # and the confirm decided on the full-corpus truth
+    assert dec["engage"] == (
+        dec["confirm_full_max_df"] * dd.NGRAM_DF_CUT_DEN
+        > dec["confirm_n_docs"] * dd.NGRAM_DF_CUT_NUM
+    )
+    assert dec["engage"] is False
+
+    # (b) same sampled fraction, but 60% of UNSAMPLED docs boilerplate:
+    # the confirm pass must catch the true crossing the sample missed
+    d_b = build("margin_engage", 0.18, 0.60)
+    dd._NGRAM_DFCUT_DECISION_CACHE.clear()
+    Q["dedup_ngram_jaccard"].builder(spark, d_b).count()
+    dec_b = dict(dd.LAST_NGRAM_DFCUT_DECISION)
+    dd._NGRAM_DFCUT_DECISION_CACHE.clear()
+    assert set(dec_b) == set(dec)
+    assert dec_b["engage"] is True, dec_b
+    assert (
+        dec_b["confirm_full_max_df"] * dd.NGRAM_DF_CUT_DEN
+        > dec_b["confirm_n_docs"] * dd.NGRAM_DF_CUT_NUM
+    )
+    # no-confirm branches pin the 3-key shape (covered on the uniq /
+    # boiler fixtures of test_ngram_df_cut_probe_engages_and_disengages,
+    # asserted here against a fresh far-below-margin corpus)
+    uniq = [(i, f"a{i} b{i} c{i} d{i}", "en", "src0") for i in range(n)]
+    d_c = tmp_path / "below_margin"
+    spark.createDataFrame(
+        uniq, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(d_c / "documents.parquet"))
+    dd._NGRAM_DFCUT_DECISION_CACHE.clear()
+    Q["dedup_ngram_jaccard"].builder(spark, str(d_c)).count()
+    dec_c = dict(dd.LAST_NGRAM_DFCUT_DECISION)
+    dd._NGRAM_DFCUT_DECISION_CACHE.clear()
+    assert set(dec_c) == {"sample_docs", "sample_max_df", "engage"}
+    assert dec_c["engage"] is False
+
+
 def test_cluster_keep_best_one_rep_per_cluster_and_longest_wins(spark, sf_dir):
     """Exactly one kept doc per cluster; the kept doc has the maximal
     n_chars in its cluster (min doc_id on ties); total coverage equals
