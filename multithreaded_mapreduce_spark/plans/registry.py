@@ -163,23 +163,27 @@ def _load() -> None:
 #: windows remain covered by the local type-sensitive sf0.01 gate
 #: (tests/test_oracle_parity.py).
 #:
-#: r7-late adjustment: the 28 operators ADDED during round 7 (11 from
-#: the first r7 sessions, 17 from the late ones: layout / runtime
-#: filter / readability / eval / skew-probe / profiling / EWMA batch
-#: + streaming / CUSUM drift / pipe-syntax SQL / incremental near-dup
-#: / gate agreement) are all never-driver-checked, so each takes a slot from
-#: an already-driver-green re-green — q3/q9/q18/q2 (TPC-H, green r4),
-#: orc_source_lineitem_q6, scd2_customer_history,
-#: doc_quality_composite, pretraining_funnel_report,
-#: knn_ivf_exact_ann, kmeans_lloyd, dedup_simhash_verified,
-#: dedup_jaccard_pairs, dedup_ngram_jaccard, dedup_exact_substr,
-#: streaming_dedup_exactly_once, split_leakage_audit,
-#: q7_volume_shipping — leaving the 5 canaries and 4 re-greens
-#: (dedup_components, dedup_embedding_components,
-#: dedup_minhash_verified, wordcount_custom_source). Window
-#: arithmetic: 5 canaries + 13 catalog-closers + 28 r7 additions +
-#: 4 re-greens = 50. Every displaced query stays covered by the
-#: local sf0.01 gate.
+#: ROTATION (r8): CORRECTNESS_r07 went 50/50 green and closed the
+#: catalog (every oracle-bearing query has a driver-green row). This
+#: window therefore spends its slots on FRESHNESS: (a) the 5 standing
+#: canaries; (b) the 6 queries whose BUILDERS changed this round and
+#: must re-green after the refactor — skew_auto_join (new), the three
+#: eval-sampled reports (dedup_threshold_sweep, kfold_leakage_report,
+#: lsh_recall_report — identity at sf0.01, but the code path is new)
+#: and the two pair relations they memoize (dedup_jaccard_pairs,
+#: dedup_minhash_verified); (c) all 7 surviving r1-r2-vintage entries
+#: (doc_fingerprints, language_id, text_quality_scores,
+#: token_counting, anti_join_idle_customers, except_nations,
+#: intersect_nations); (d) 32 of the 43 r3-vintage entries — the 11
+#: left for r9 each have a close plan-class cousin in this window
+#: (wordcount_grouped_trace / wordcount_per_doc vs the wordcount
+#: canary, dedup_ngram_jaccard / dedup_embedding_pairs vs the five
+#: dedup rows, knn_quantized_ann / knn_sketch_ann vs the knn canary,
+#: events_sliding_windows vs events_tumbling_hourly,
+#: json_typed_extraction vs the two json rows in,
+#: except_all_order_priorities vs except_nations,
+#: distinct_nation_segments vs the set-op trio). After this round no
+#: green entry predates r3, and r9 can retire the r3/r4 tail.
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
     "wordcount",
@@ -187,87 +191,54 @@ FRONT_WINDOW: tuple[str, ...] = (
     "join_chain_revenue",
     "dedup_exact",
     "knn_cosine_bruteforce",
-    # the r6 driver err: array output crashed the comparator; fixed
-    "embedding_standardize",
-    # r6 operators (never driver-checked: registered post-pin)
-    "bpe_encode_documents",
-    "pack_bpe_sequences",
-    "pii_redact_documents",
-    "cluster_aware_split",
-    "script_char_profile",
-    "corpus_snapshot_diff",
-    "packing_efficiency_report",
-    "dedup_cluster_keep_best",
-    # the four r5-deferred twins
-    "media_text_frames",
-    "nation_revenue_share",
-    "length_gate_survivors",
-    "heavy_hitters_exact",
-    # re-greens: dedup heavies (incl. the r6 contraction-CC rewrite)
-    "dedup_components",
-    "dedup_embedding_components",
-    # (dedup_jaccard_pairs, r3-green, ceded its re-green slot to
-    # lsh_recall_report below, which composes it verbatim as the
-    # ground-truth side)
-    "lsh_recall_report",
-    # (dedup_ngram_jaccard, r3/r4-green, ceded its re-green slot to
-    # sql_pipe_segment_revenue — the Spark 4 pipe-syntax front-end row)
-    "sql_pipe_segment_revenue",
-    "dedup_minhash_verified",
-    # (dedup_simhash_verified, r3/r5-green, ceded its re-green slot to
-    # events_ewma_daily below; its banding twin above keeps the family.
-    # dedup_exact_substr, r4-green, ceded its slot to the incremental
-    # near-dup admission — never driver-checked, new this round)
-    "dedup_incremental_neardup",
-    "events_ewma_daily",
-    # operators new this round (never driver-checked)
-    "knn_pq_ann",
-    "hard_negative_mining",
+    # builders changed this round (eval sampling + pair memo + skew)
+    "skew_auto_join",
     "dedup_threshold_sweep",
-    "shingle_novelty_scores",
-    "tokenizer_fertility_report",
-    "embedding_outlier_report",
-    "stratified_kfold_assignment",
     "kfold_leakage_report",
-    "token_frequency_spectrum",
-    "embedding_threshold_sweep",
-    "curriculum_length_schedule",
-    # evaluation operators (new this round; they take the similarity /
-    # vectors re-green slots — knn_ivf_exact_ann and kmeans_lloyd are
-    # driver-green r3/r4, and the similarity family keeps the
-    # knn_cosine_bruteforce canary plus four first-run r7 entries)
-    "language_confusion_matrix",
-    "embedding_quantization_error_report",
-    # profiling / elastic re-sharding operators (new this round; they
-    # take the text-quality re-green slots — doc_quality_composite and
-    # pretraining_funnel_report are driver-green r4/r5)
-    "column_stats_profile",
-    "rendezvous_shard_moves",
-    # layout / runtime-filter / readability operators (new this round;
-    # never driver-checked) — they take the slots of four TPC-H
-    # re-greens (q3/q9/q18/q2, all driver-green r4 with canaries since),
-    # keeping q7 as the multi-join family re-green
-    "shard_layout_plan",
-    "zorder_layout_audit",
-    "bloom_prefilter_semi_join",
-    "readability_scores",
-    "ann_recall_report",
-    "join_key_skew_report",
-    # drift-detection op (new this round; takes the last TPC-H
-    # re-green slot — q7_volume_shipping is r4-green with heavy prior
-    # family coverage)
-    "events_cusum_daily",
-    # re-greens: sources (orc re-green ceded its slot to the r7 adds;
-    # the custom source keeps one as the only Python Data Source row)
-    "wordcount_custom_source",
-    # stateful-streaming twin (new this round; takes the
-    # streaming_dedup_exactly_once re-green slot — r5-green — so the
-    # streaming family's window entry is a first-run check instead)
-    "streaming_ewma_daily",
-    # gate-agreement evaluation (new this round; takes the sampling
-    # re-green slot — split_leakage_audit is r4-green and its
-    # production fix, cluster_aware_split, holds a slot above)
-    "quality_gate_agreement",
+    "lsh_recall_report",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_verified",
+    # r1-r2 vintage re-greens (the oldest surviving entries)
+    "doc_fingerprints",
+    "language_id",
+    "text_quality_scores",
+    "token_counting",
+    "anti_join_idle_customers",
+    "except_nations",
+    "intersect_nations",
+    # r3 vintage re-greens (32 of 43; the rest queue for r9)
+    "array_functions",
+    "boolean_bitwise_aggs",
+    "clean_corpus_pipeline",
+    "corpus_stats_by_source",
+    "count_distinct_parts",
+    "cube_orders",
+    "customer_order_momentum",
+    "date_parts",
+    "documents_profile",
+    "events_multires_rollup",
+    "events_rolling_median",
+    "events_session_window_native",
+    "events_tumbling_hourly",
+    "filter_project",
+    "full_outer_nation_parties",
+    "json_event_props",
+    "json_variant_stats",
+    "left_join_order_counts",
+    "map_functions",
+    "monthly_order_stats",
+    "part_price_distribution",
+    "q12_priority_by_returnflag",
+    "rollup_lineitem",
+    "running_customer_revenue",
+    "semi_join_active_customers",
+    "string_functions",
+    "supplier_acctbal_ranks",
+    "top_customers",
+    "topk_parts_per_brand",
+    "union_parties",
+    "user_event_deltas",
+    "user_sessions",
 )
 
 
