@@ -455,3 +455,50 @@ def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "daily_total", "ewma")
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "streaming_cusum_daily",
+    # the batch twin's recursive-CTE oracle, verbatim
+    oracle=__import__(
+        "multithreaded_mapreduce_spark.operators.timeseries",
+        fromlist=["CUSUM_DAILY_ORACLE"],
+    ).CUSUM_DAILY_ORACLE,
+    description="Custom stateful streaming twin of events_cusum_daily "
+    "— the streaming DRIFT detector beside streaming_ewma_daily's "
+    "smoother: per-type group state accumulates exact 1e-6-unit day "
+    "totals across micro-batches, and each emission recomputes the "
+    "series mean FROM STATE before re-folding the max-clamped chain "
+    "S_t = max(0, S_(t-1) + (x_t − μ)) with bit-exact replications of "
+    "the engine's decimal snaps. Unlike the EWMA (prefix-dependent), "
+    "μ depends on every day seen so far, so the whole chain genuinely "
+    "re-forms as data arrives — the state shape for global-statistic "
+    "recurrences; the last emission per (type, day) hash-matches the "
+    "batch recursive-CTE oracle. State is |days| entries per type — "
+    "time-bounded, never traffic-bounded.",
+    tags=("streaming", "stateful", "pandas-udf", "timeseries", "anomaly"),
+)
+def streaming_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import stream_events_multibatch
+    from ..streaming.stateful import running_type_cusum
+
+    typed = (
+        stream_events_multibatch(spark, sf_dir, n_files=4)
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type", F.col("ts").cast("date").alias("day"), "value"
+        )
+    )
+    updates = run_stream_to_memory(
+        running_type_cusum(typed), "q_streaming_cusum_daily", output_mode="update"
+    )
+    latest = Window.partitionBy("event_type", "day").orderBy(F.desc("version"))
+    return (
+        updates.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "day", "daily_total", "cusum", "drift_flag")
+        .orderBy("event_type", "day")
+    )

@@ -326,9 +326,9 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_cusum_daily",
-    oracle=f"""
+#: shared with the streaming twin (streaming_cusum_daily), like
+#: EWMA_DAILY_ORACLE above
+CUSUM_DAILY_ORACLE = f"""
 WITH RECURSIVE daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          round(CAST(sum(CAST(value AS {{DEC}})) AS DOUBLE), 2) AS daily_total
@@ -364,7 +364,12 @@ SELECT event_type, day, daily_total, cusum,
             WHEN cusum > mu THEN 1 ELSE 0 END AS drift_flag
 FROM cs
 ORDER BY event_type, day
-""".format(DEC=DEC),
+""".format(DEC=DEC)
+
+
+@register(
+    "events_cusum_daily",
+    oracle=CUSUM_DAILY_ORACLE,
     description="One-sided CUSUM drift detection per event type: "
     "S_t = max(0, S_(t-1) + (x_t − μ)) over the daily totals with μ = "
     "the series' exact-decimal mean, flagging days whose cumulative "

@@ -290,3 +290,115 @@ def running_type_ewma(typed_days: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# per-type daily one-sided CUSUM: max-clamped recurrence state with a
+# GLOBAL per-series statistic (mu) recomputed from state each emission
+# --------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("day", T.DateType(), True),
+        T.StructField("daily_total", T.DoubleType(), True),
+        T.StructField("cusum", T.DoubleType(), True),
+        T.StructField("drift_flag", T.IntegerType(), True),
+        T.StructField("version", T.LongType(), False),
+    ]
+)
+
+
+def _update_type_cusum(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """The CUSUM sibling of :func:`_update_type_ewma`: identical exact
+    per-day 1e-6-unit accumulation (a day may straddle micro-batches),
+    but the emission recomputes the series MEAN from state each batch
+    — μ depends on every day seen so far, so unlike the EWMA's purely
+    prefix-dependent chain the whole chain genuinely changes as data
+    arrives — then folds S_t = max(0, S_{t-1} + (x_t − μ)) with the
+    engines' exact decimal snaps. The last emission per (type, day)
+    covers all days and hash-matches the batch recursive-CTE oracle
+    (operators/timeseries.py CUSUM_DAILY_ORACLE). State stays |days|
+    entries per type — time-bounded, never traffic-bounded."""
+    import datetime as _dt
+    import json
+
+    if state.exists:
+        days = json.loads(state.get[0])
+        version = int(state.get[1])
+    else:
+        days, version = {}, 0
+    for pdf in pdfs:
+        for day, v in zip(pdf["day"], pdf["value"]):
+            k = day.isoformat() if hasattr(day, "isoformat") else str(day)
+            n, units = days.get(k, (0, 0))
+            if v is not None and not pd.isna(v):
+                n += 1
+                units += _dec6_units(v)
+            days[k] = [int(n), int(units)]
+    version += 1
+    state.update((json.dumps(days), version))
+
+    # daily totals exactly as the batch aggregate renders them
+    ordered = sorted(days)
+    totals = [
+        _round_like_spark(float(Decimal(days[k][1]).scaleb(-6)), 2)
+        if days[k][0]
+        else None
+        for k in ordered
+    ]
+    # μ: sum(CAST(daily_total AS DECIMAL(30,6))) cast double, / count,
+    # snapped through DECIMAL(30,12) → 6 dp — the batch expression
+    # replicated term by term (NULL totals skipped by sum, counted by
+    # count, exactly like SQL aggregates)
+    sum6 = sum(
+        (Decimal(repr(t)).quantize(_UNIT6, ROUND_HALF_UP) for t in totals if t is not None),
+        Decimal(0),
+    )
+    mu = _snap_ewma_step(float(sum6) / len(ordered)) if ordered else None
+
+    out_day, out_total, out_cusum, out_flag = [], [], [], []
+    prev: float | None = None
+    for i, (k, daily) in enumerate(zip(ordered, totals)):
+        if daily is None or (i > 0 and prev is None):
+            s = None
+        elif i == 0:
+            s = max(0.0, _snap_ewma_step(daily - mu))
+        else:
+            s = max(0.0, _snap_ewma_step(prev + (daily - mu)))
+        prev = s
+        out_day.append(_dt.date.fromisoformat(k))
+        out_total.append(daily)
+        out_cusum.append(s)
+        out_flag.append(None if s is None else (1 if s > mu else 0))
+    yield pd.DataFrame(
+        {
+            "event_type": pd.Series([key[0]] * len(out_day), dtype="object"),
+            "day": pd.Series(out_day, dtype="object"),
+            "daily_total": pd.Series(out_total, dtype="float64"),
+            "cusum": pd.Series(out_cusum, dtype="float64"),
+            "drift_flag": pd.Series(out_flag, dtype="object"),
+            "version": pd.Series([version] * len(out_day), dtype="int64"),
+        }
+    )
+
+
+def running_type_cusum(typed_days: DataFrame) -> DataFrame:
+    """Per-event-type daily one-sided CUSUM in explicit group state —
+    the streaming drift detector. Same input contract as
+    :func:`running_type_ewma`."""
+    return (
+        typed_days.select("event_type", "day", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_type_cusum,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

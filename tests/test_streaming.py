@@ -462,3 +462,26 @@ def test_streaming_ewma_matches_batch_operator(spark, sf_dir):
         for r in events_ewma_daily(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_cusum_matches_batch_operator(spark, sf_dir):
+    """End-state parity of the streaming CUSUM twin with the batch fold
+    (the oracle gate already checks the recursive CTE; this pins the
+    two ENGINE paths to each other across the multi-batch replay —
+    including the global mean recomputed from state each emission)."""
+    from multithreaded_mapreduce_spark.operators.streaming_queries import (
+        streaming_cusum_daily,
+    )
+    from multithreaded_mapreduce_spark.operators.timeseries import events_cusum_daily
+
+    got = {
+        (r.event_type, r.day): (r.daily_total, r.cusum, r.drift_flag)
+        for r in streaming_cusum_daily(spark, sf_dir).collect()
+    }
+    want = {
+        (r.event_type, r.day): (r.daily_total, r.cusum, r.drift_flag)
+        for r in events_cusum_daily(spark, sf_dir).collect()
+    }
+    assert got == want
+    # non-degenerate: the replay produces at least one live chain value
+    assert any(c is not None for (_t, c, _f) in got.values())
