@@ -401,6 +401,99 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------
+# token-budget epoch planning: the "how many epochs of each domain"
+# table. temperature_mix_allocation above plans a DOC budget capped at
+# availability (sub-sampling only); real pretraining mixes also
+# UP-sample scarce high-value domains past 1 epoch (the repeat factors
+# published for LLaMA-class runs), and the budget is measured in
+# TOKENS, not documents.
+# ------------------------------------------------------------------
+
+EPOCH_PLAN_ALPHA = 0.5
+EPOCH_PLAN_TOKEN_BUDGET = 200_000
+
+
+@register(
+    "token_budget_epoch_plan",
+    oracle=f"""
+WITH tok AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(coalesce(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                           t -> length(t) > 0))), 0) AS BIGINT)
+             AS n_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT *, pow(CAST(n_tokens AS DOUBLE), {EPOCH_PLAN_ALPHA}) AS w FROM tok
+), z AS (
+  SELECT sum(w) AS z FROM t
+)
+SELECT source, n_docs, n_tokens,
+       CAST(round(CAST(w / z AS DECIMAL(30,12)), 6) AS DOUBLE) AS q,
+       CAST(floor(CAST(w / z * {EPOCH_PLAN_TOKEN_BUDGET} AS DECIMAL(30,12)))
+            AS BIGINT) AS alloc_tokens,
+       CAST(round(CAST(
+         CAST(floor(CAST(w / z * {EPOCH_PLAN_TOKEN_BUDGET} AS DECIMAL(30,12)))
+              AS DOUBLE) / nullif(n_tokens, 0) AS DECIMAL(30,12)), 4)
+            AS DOUBLE) AS epochs
+FROM t CROSS JOIN z
+ORDER BY source
+""",
+    description=f"Token-budget epoch plan (alpha={EPOCH_PLAN_ALPHA}): "
+    "per-source whitespace-token counts feed a temperature-scaled "
+    "share q_s = tok_s^alpha / sum tok_t^alpha, an allocated token "
+    f"budget out of {EPOCH_PLAN_TOKEN_BUDGET} total, and the EPOCHS "
+    "repeat factor alloc/available — the published-for-LLaMA-class-"
+    "runs mixing table where scarce high-value domains exceed 1 epoch "
+    "(up-sampling) and bulk domains fall below it. Complements "
+    "temperature_mix_allocation (doc budget, availability-capped, "
+    "sub-sampling only). Token counting is scan-side array math; the "
+    "plan is one map-side-combinable aggregate plus a |sources|-row "
+    "normalizer broadcast back; every pow/divide snaps through "
+    "DECIMAL(30,12) before floor/round so both engines agree to the "
+    "last bit. Sources with zero tokens report NULL epochs "
+    "identically in both engines.",
+    tags=("sampling", "mixing", "pipeline", "tokens"),
+)
+def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
+    tok = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(ntok), F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+    t = tok.withColumn(
+        "w", F.pow(F.col("n_tokens").cast("double"), F.lit(EPOCH_PLAN_ALPHA))
+    )
+    z = t.agg(F.sum("w").alias("z"))
+    alloc = F.floor(
+        (F.col("w") / F.col("z") * EPOCH_PLAN_TOKEN_BUDGET).cast("decimal(30,12)")
+    ).cast("bigint")
+    return (
+        t.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round((F.col("w") / F.col("z")).cast("decimal(30,12)"), 6)
+            .cast("double")
+            .alias("q"),
+            alloc.alias("alloc_tokens"),
+            F.round(
+                F.try_divide(
+                    alloc.cast("double"),
+                    F.nullif(F.col("n_tokens"), F.lit(0)).cast("double"),
+                ).cast("decimal(30,12)"),
+                4,
+            )
+            .cast("double")
+            .alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
 #: hex digits for the admission hash: 13 → values in [0, 2^52), every
 #: one exactly representable as a double, so u = units / 2^52 is an
 #: exact IEEE quotient in both engines.

@@ -412,3 +412,26 @@ def test_curriculum_schedule_is_a_staged_permutation(spark, sf_dir):
     for r in rows:
         nt = toks[r.doc_id]
         assert r.stage == (0 if nt < lo else 1 if nt < hi else 2), (r.doc_id, nt)
+
+
+def test_token_budget_epoch_plan_invariants(spark, sf_dir):
+    """Allocation shares sum to ~1, allocated tokens sum to within
+    |sources| of the budget (per-source floors), epochs = alloc /
+    available, and the temperature actually up-samples: the scarcest
+    source's epoch factor strictly exceeds the most abundant's."""
+    from multithreaded_mapreduce_spark.operators.sampling import (
+        EPOCH_PLAN_TOKEN_BUDGET,
+    )
+
+    rows = Q["token_budget_epoch_plan"].builder(spark, sf_dir).collect()
+    assert rows
+    live = [r for r in rows if r.n_tokens > 0]
+    assert abs(sum(r.q for r in rows) - 1.0) < 1e-4
+    total_alloc = sum(r.alloc_tokens for r in rows)
+    assert EPOCH_PLAN_TOKEN_BUDGET - len(rows) <= total_alloc <= EPOCH_PLAN_TOKEN_BUDGET
+    for r in live:
+        assert abs(r.epochs - round(r.alloc_tokens / r.n_tokens, 4)) < 1e-9
+    scarcest = min(live, key=lambda r: r.n_tokens)
+    biggest = max(live, key=lambda r: r.n_tokens)
+    if scarcest.n_tokens < biggest.n_tokens:
+        assert scarcest.epochs > biggest.epochs
