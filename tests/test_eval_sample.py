@@ -172,3 +172,21 @@ def test_pair_memo_is_shared_across_eval_consumers(spark, sf_dir):
     assert stats["misses"] == base["misses"] + 1
     assert stats["hits"] >= base["hits"] + 2
     release_result_memos()
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_threshold_sweep", "kfold_leakage_report", "lsh_recall_report"]
+)
+def test_engaged_modulus_parity_at_sf01(spark, name):
+    """The modulus actually used at bench scale (sf0.1: 5000 docs,
+    target 2000 → k = 3) hash-matches the oracle — the driver's sf0.01
+    gate only ever exercises the k = 1 identity, so this pins the
+    ENGAGED path on the real data it runs on."""
+    import os
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 data not present")
+    compare_query(spark, sf01, Q[name].builder, Q[name].oracle)
+    assert dd.LAST_EVAL_SAMPLE_DECISION["modulus"] == 3
+    assert dd.LAST_EVAL_SAMPLE_DECISION["engaged"] is True
