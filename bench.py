@@ -128,7 +128,12 @@ HEADLINE = (
     "events_cusum_daily",            # sustained-drift CUSUM fold
     # r8: operators above the 0.4 s bar, appended after every subtotal
     # marker so all rX_comparable prefixes stay intact
+    # (streaming_cusum_daily is deliberately NOT benched: cost-identical
+    # to streaming_ewma_daily's replay+state plan class, which already
+    # regression-tracks it — SCALE.md probe row instead, same policy as
+    # dedup_cluster_keep_best)
     "skew_auto_join",                # measured plain/AQE/salted decision
+    "events_holt_daily",             # coupled level+trend forecast fold
 )
 
 

@@ -453,3 +453,136 @@ def events_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+#: Holt double-exponential smoothing coefficients: level_t = α·x_t +
+#: (1−α)(level+trend), trend_t = β(level_t − level) + (1−β)·trend.
+#: α = 0.5 keeps (1−α) exactly representable; the β complements are
+#: interpolated from the SAME python doubles into both engines, so
+#: whatever IEEE value 1−0.3 lands on, both sides use it bit-for-bit.
+HOLT_ALPHA = 0.5
+_HOLT_A1 = 1 - HOLT_ALPHA
+HOLT_BETA = 0.3
+_HOLT_B1 = 1 - HOLT_BETA
+
+_HOLT_SNAP = "CAST(round(CAST({x} AS DECIMAL(30,12)), 6) AS DOUBLE)"
+_HOLT_LEVEL_SQL = _HOLT_SNAP.format(
+    x=f"{HOLT_ALPHA!r} * i.daily_total + {_HOLT_A1!r} * (h.level + h.trend)"
+)
+
+HOLT_DAILY_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(CAST(sum(CAST(value AS {DEC})) AS DOUBLE), 2) AS daily_total
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, day, daily_total,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM daily
+), hw AS (
+  SELECT event_type, day, daily_total, t,
+         daily_total AS level,
+         CASE WHEN daily_total IS NULL THEN NULL
+              ELSE CAST(0.0 AS DOUBLE) END AS trend
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.event_type, i.day, i.daily_total, i.t,
+         {_HOLT_LEVEL_SQL} AS level,
+         {_HOLT_SNAP.format(x=f"{HOLT_BETA!r} * ({_HOLT_LEVEL_SQL} - h.level) + {_HOLT_B1!r} * h.trend")} AS trend
+  FROM idx i JOIN hw h ON i.event_type IS NOT DISTINCT FROM h.event_type
+                      AND i.t = h.t + 1
+)
+SELECT event_type, day, daily_total, level, trend,
+       CASE WHEN level IS NULL OR trend IS NULL THEN NULL
+            ELSE {_HOLT_SNAP.format(x="level + trend")} END AS forecast_next
+FROM hw
+ORDER BY event_type, day
+"""
+
+
+@register(
+    "events_holt_daily",
+    oracle=HOLT_DAILY_ORACLE,
+    description=f"Holt double-exponential smoothing of daily per-type "
+    f"volume (α={HOLT_ALPHA}, β={HOLT_BETA}): a LEVEL + TREND "
+    "two-accumulator recurrence — level_t = α·x_t + "
+    "(1−α)(level+trend), trend_t = β(level_t − level) + (1−β)·trend — "
+    "plus the one-step-ahead forecast level+trend, the baseline a "
+    "capacity planner reads where the EWMA's flat level lags every "
+    "ramp. Completes the smoothing family (EWMA: one accumulator; "
+    "CUSUM: clamped accumulator + global μ; Holt: COUPLED accumulator "
+    "pair — the fold state is a struct, the shape any k-variable "
+    "recurrence takes). Same scale story as the siblings: sequential "
+    "per series, parallel across series, one map-side-combinable "
+    "daily rollup then a bounded |days|-element fold, every step "
+    "snapped through DECIMAL(30,12)→6dp so the chain is bit-identical "
+    "to the recursive-CTE oracle; a NULL day poisons level, trend and "
+    "forecast identically in both engines.",
+    tags=("timeseries", "events", "report", "iterative", "forecast"),
+)
+def events_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias(
+            "daily_total"
+        )
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "daily_total"))).alias("xs")
+    )
+    acc0 = F.array().cast(
+        "array<struct<day:date,daily_total:double,level:double,trend:double>>"
+    )
+
+    def _snap6(c):
+        return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+
+    def _step(acc, x):
+        prev = F.element_at(acc, -1)
+        lv = F.when(F.size(acc) == 0, x["daily_total"]).otherwise(
+            _snap6(
+                F.lit(HOLT_ALPHA) * x["daily_total"]
+                + F.lit(_HOLT_A1) * (prev["level"] + prev["trend"])
+            )
+        )
+        tr = F.when(
+            F.size(acc) == 0,
+            F.when(x["daily_total"].isNull(), F.lit(None).cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        ).otherwise(
+            _snap6(F.lit(HOLT_BETA) * (lv - prev["level"]) + F.lit(_HOLT_B1) * prev["trend"])
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["daily_total"].alias("daily_total"),
+                    lv.alias("level"),
+                    tr.alias("trend"),
+                )
+            ),
+        )
+
+    fc = F.when(
+        F.col("r.level").isNull() | F.col("r.trend").isNull(),
+        F.lit(None).cast("double"),
+    ).otherwise(_snap6(F.col("r.level") + F.col("r.trend")))
+    return (
+        arr.select(
+            "event_type", F.explode(F.aggregate("xs", acc0, _step)).alias("r")
+        )
+        .select(
+            "event_type",
+            "r.day",
+            "r.daily_total",
+            "r.level",
+            "r.trend",
+            fc.alias("forecast_next"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -424,3 +424,88 @@ def test_cusum_fold_matches_python_on_random_series(spark):
     for sid, xs, mu in cases:
         for t, e in enumerate(py_cusum(xs, mu)):
             assert abs(got[(sid, t)] - e) < 1e-9, (sid, t, got[(sid, t)], e)
+
+
+def test_holt_fold_matches_python_on_random_series(spark):
+    """The events_holt_daily coupled level+trend fold must replay a
+    transparent Python recurrence on random series — the struct-state
+    fold's inter-accumulator coupling (trend reads the NEW level) is
+    exactly where an off-by-one-step bug would hide."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from multithreaded_mapreduce_spark.operators.timeseries import (
+        _HOLT_A1,
+        _HOLT_B1,
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+
+    rng = random.Random(777)
+
+    def snap6(x):
+        return float(
+            Decimal(repr(x))
+            .quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+            .quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+
+    def py_holt(xs):
+        out = []
+        l = b = None
+        for i, x in enumerate(xs):
+            if i == 0:
+                l, b = x, 0.0
+            else:
+                nl = snap6(HOLT_ALPHA * x + _HOLT_A1 * (l + b))
+                b = snap6(HOLT_BETA * (nl - l) + _HOLT_B1 * b)
+                l = nl
+            out.append((l, b))
+        return out
+
+    cases = []
+    for sid in range(8):
+        n = rng.choice([1, 2, 5, 30])
+        xs = [round(rng.uniform(-200, 200), 2) for _ in range(n)]
+        cases.append((sid, xs))
+    rows = [(sid, i, x) for sid, xs in cases for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "sid long, t long, x double")
+    arr = df.groupBy("sid").agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", F.col("x").alias("daily_total")))
+        ).alias("xs")
+    )
+    acc0 = F.array().cast("array<struct<t:long,level:double,trend:double>>")
+
+    def _snap6(c):
+        return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+
+    def _step(acc, s):
+        prev = F.element_at(acc, -1)
+        lv = F.when(F.size(acc) == 0, s["daily_total"]).otherwise(
+            _snap6(
+                F.lit(HOLT_ALPHA) * s["daily_total"]
+                + F.lit(_HOLT_A1) * (prev["level"] + prev["trend"])
+            )
+        )
+        tr = F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(
+            _snap6(
+                F.lit(HOLT_BETA) * (lv - prev["level"]) + F.lit(_HOLT_B1) * prev["trend"]
+            )
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(s["t"].alias("t"), lv.alias("level"), tr.alias("trend"))
+            ),
+        )
+
+    got = {
+        (r.sid, r.r.t): (r.r.level, r.r.trend)
+        for r in arr.select(
+            "sid", F.explode(F.aggregate("xs", acc0, _step)).alias("r")
+        ).collect()
+    }
+    for sid, xs in cases:
+        for t, (l, b) in enumerate(py_holt(xs)):
+            gl, gb = got[(sid, t)]
+            assert abs(gl - l) < 1e-9 and abs(gb - b) < 1e-9, (sid, t, gl, gb, l, b)
