@@ -182,8 +182,12 @@ def _load() -> None:
 #: events_sliding_windows vs events_tumbling_hourly,
 #: json_typed_extraction vs the two json rows in,
 #: except_all_order_priorities vs except_nations,
-#: distinct_nation_segments vs the set-op trio). After this round no
-#: green entry predates r3, and r9 can retire the r3/r4 tail.
+#: distinct_nation_segments vs the set-op trio, and — ceded to the
+#: three late-r8 operators below — boolean_bitwise_aggs vs the
+#: array/map/string scalar rows, count_distinct_parts vs
+#: documents_profile / corpus_stats_by_source, events_multires_rollup
+#: vs events_tumbling_hourly + events_rolling_median). After this
+#: round no green entry predates r3, and r9 can retire the r3/r4 tail.
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
     "wordcount",
@@ -198,6 +202,10 @@ FRONT_WINDOW: tuple[str, ...] = (
     "lsh_recall_report",
     "dedup_jaccard_pairs",
     "dedup_minhash_verified",
+    # operators new this round (never driver-checked)
+    "streaming_cusum_daily",
+    "token_budget_epoch_plan",
+    "events_holt_daily",
     # r1-r2 vintage re-greens (the oldest surviving entries)
     "doc_fingerprints",
     "language_id",
@@ -206,17 +214,14 @@ FRONT_WINDOW: tuple[str, ...] = (
     "anti_join_idle_customers",
     "except_nations",
     "intersect_nations",
-    # r3 vintage re-greens (32 of 43; the rest queue for r9)
+    # r3 vintage re-greens (29 of 43; the rest queue for r9)
     "array_functions",
-    "boolean_bitwise_aggs",
     "clean_corpus_pipeline",
     "corpus_stats_by_source",
-    "count_distinct_parts",
     "cube_orders",
     "customer_order_momentum",
     "date_parts",
     "documents_profile",
-    "events_multires_rollup",
     "events_rolling_median",
     "events_session_window_native",
     "events_tumbling_hourly",
