@@ -254,6 +254,25 @@ def main() -> None:
     release_tracked()
     release_result_memos()
     spark.catalog.clearCache()
+
+    def _memo_deltas(before: dict) -> dict:
+        """Trio-scoped hit/miss DELTAS — the cumulative process-wide
+        counters would fold in every earlier headline run's misses and
+        obscure the one-build claim this stamp exists to evidence."""
+        out = {}
+        for memo in ("jaccard_pairs", "minhash_verified_pairs"):
+            now = result_memo_stats(memo) or {"hits": 0, "misses": 0}
+            base = before.get(memo) or {"hits": 0, "misses": 0}
+            out[memo] = {
+                "hits": now["hits"] - base["hits"],
+                "misses": now["misses"] - base["misses"],
+            }
+        return out
+
+    pairs_before = {
+        m: result_memo_stats(m)
+        for m in ("jaccard_pairs", "minhash_verified_pairs")
+    }
     pairs_warm: dict[str, float] = {}
     for name in pairs_trio:
         release_tracked()  # keep per-build persists released; memo stays
@@ -265,10 +284,7 @@ def main() -> None:
     pairs_memo_stamp = {
         "trio_seconds": pairs_warm,
         "trio_total": round(sum(pairs_warm.values()), 3),
-        "stats": {
-            "jaccard_pairs": result_memo_stats("jaccard_pairs"),
-            "minhash_verified_pairs": result_memo_stats("minhash_verified_pairs"),
-        },
+        "trio_stats": _memo_deltas(pairs_before),
     }
     release_result_memos()
 

@@ -243,22 +243,22 @@ def resize_images(
             cols: dict[str, list] = {k: [] for k in out_schema.fieldNames()}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 head = bytes(payload[:8])
-                if head == PNG_SIGNATURE or head[:2] in (b"P5", b"P6"):
-                    # REAL path: decode raster, resample, re-encode
+                real = head == PNG_SIGNATURE or head[:2] in (b"P5", b"P6")
+                if real:
                     is_png = head == PNG_SIGNATURE
                     px = decode_png(payload) if is_png else decode_netpbm(bytes(payload))
                     h, w = px.shape[:2]
                     c = px.shape[2] if px.ndim == 3 else 1
-                    scale = target / max(w, h)
-                    nw = max(1, round(w * scale))
-                    nh = max(1, round(h * scale))
+                else:
+                    w, h, c = _decode_payload(payload, fake_codec)
+                # shared thumbnail geometry: longest edge → target
+                scale = target / max(w, h)
+                nw = max(1, round(w * scale))
+                nh = max(1, round(h * scale))
+                if real:
                     resized = resize_nearest(px, nw, nh)
                     buf = encode_png(resized) if is_png else encode_netpbm(resized)
                 else:
-                    w, h, c = _decode_payload(payload, fake_codec)
-                    scale = target / max(w, h)
-                    nw = max(1, round(w * scale))
-                    nh = max(1, round(h * scale))
                     # STUB resample: deterministic bytes standing in for
                     # the interpolated pixel buffer
                     seed = hashlib.sha256(payload + f"{nw}x{nh}x{c}".encode()).digest()
@@ -414,10 +414,10 @@ def synthesize_png_media(
         elif i % 6 == 4:  # video: raw byte stream (chunk-sampled)
             payload = _det_bytes(f"vid-{i}", 256 + 16 * i)
             rows.append((i, "video", payload, len(payload), "application/octet-stream"))
-        else:  # image: cycle gray / RGB / RGBA PNG
+        else:  # image: cycle gray / gray+alpha / RGB / RGBA PNG
             w = 8 + (i * 3) % 25
             h = 6 + (i * 5) % 19
-            c = (1, 3, 4)[(i // 3) % 3]  # i%3==2 is audio, so cycle by i//3
+            c = (1, 2, 3, 4)[(i // 3) % 4]  # i%3==2 is audio, so cycle by i//3
             raw = _det_bytes(f"png-{i}", w * h * c)
             px = np.frombuffer(raw, dtype=np.uint8)
             px = px.reshape((h, w)) if c == 1 else px.reshape((h, w, c))

@@ -57,15 +57,17 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
 
 def encode_png(pixels: np.ndarray) -> bytes:
     """Encode an 8-bit raster as a non-interlaced PNG: (h, w) gray →
-    color type 0, (h, w, 3) → RGB (2), (h, w, 4) → RGBA (6). Scanlines
-    are written with filter 0 — a valid (if uncompressed-friendly)
-    choice every decoder must accept."""
+    color type 0, (h, w, 2) → gray+alpha (4), (h, w, 3) → RGB (2),
+    (h, w, 4) → RGBA (6) — every channel count the decoder can emit
+    round-trips (palette images decode to RGB, so re-encoding one is
+    color type 2). Scanlines are written with filter 0 — a valid (if
+    uncompressed-friendly) choice every decoder must accept."""
     if pixels.dtype != np.uint8:
         raise ValueError("8-bit PNG requires uint8 pixels")
     if pixels.ndim == 2:
         color_type, h, w = 0, *pixels.shape
-    elif pixels.ndim == 3 and pixels.shape[2] in (3, 4):
-        color_type = {3: 2, 4: 6}[pixels.shape[2]]
+    elif pixels.ndim == 3 and pixels.shape[2] in (2, 3, 4):
+        color_type = {2: 4, 3: 2, 4: 6}[pixels.shape[2]]
         h, w = pixels.shape[:2]
     else:
         raise ValueError(f"unsupported pixel shape {pixels.shape}")
@@ -149,7 +151,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         typ = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
-        if len(data) != ln:
+        if len(data) != ln or len(payload) < pos + 12 + ln:
             raise ValueError(f"truncated PNG chunk {typ!r}")
         (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:

@@ -174,7 +174,7 @@ def _load() -> None:
 #: dedup_minhash_verified); (c) all 7 surviving r1-r2-vintage entries
 #: (doc_fingerprints, language_id, text_quality_scores,
 #: token_counting, anti_join_idle_customers, except_nations,
-#: intersect_nations); (d) 32 of the 43 r3-vintage entries — the 11
+#: intersect_nations); (d) 29 of the 43 r3-vintage entries — the 14
 #: left for r9 each have a close plan-class cousin in this window
 #: (wordcount_grouped_trace / wordcount_per_doc vs the wordcount
 #: canary, dedup_ngram_jaccard / dedup_embedding_pairs vs the five

@@ -53,7 +53,7 @@ PNG_GOLDENS = (
 
 def test_png_round_trip_gray_rgb_rgba():
     rng = np.random.default_rng(7)
-    for shape in ((13, 9), (11, 17, 3), (8, 5, 4), (1, 1), (2, 1, 4)):
+    for shape in ((13, 9), (11, 17, 3), (8, 5, 4), (7, 6, 2), (1, 1), (2, 1, 4)):
         px = rng.integers(0, 256, size=shape, dtype=np.uint8)
         out = decode_png(encode_png(px))
         assert out.shape == px.shape and (out == px).all(), shape
@@ -159,6 +159,10 @@ def test_png_rejects_bad_magic_crc_and_interlace():
     corrupt[-10] ^= 0xFF  # flip a byte inside IEND/IDAT region
     with pytest.raises(ValueError):
         decode_png(bytes(corrupt))
+    # truncation INSIDE a chunk's CRC trailer must raise the codec's
+    # ValueError, not a bare struct.error
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-2])
     # Adam7 flag set (with CRC fixed up) must be rejected explicitly
     import struct as _s
     import zlib as _z
@@ -314,7 +318,7 @@ def test_spark_png_decode_matches_local_decode(spark):
         r = got[row.media_id]
         assert (r.width, r.height, r.n_channels) == (w, h, c)
         seen_channels.add(c)
-    assert seen_channels == {1, 3, 4}
+    assert seen_channels == {1, 2, 3, 4}
 
 
 def test_spark_png_resize_digest_matches_local_resample(spark):
