@@ -134,6 +134,7 @@ HEADLINE = (
     # dedup_cluster_keep_best)
     "skew_auto_join",                # measured plain/AQE/salted decision
     "events_holt_daily",             # coupled level+trend forecast fold
+    "media_png_roundtrip",           # oracle-checked PNG codec round trip
 )
 
 

@@ -244,6 +244,112 @@ def media_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_png_roundtrip",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 9 AS w,
+         3 + doc_id % 7 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+), blocks AS (
+  SELECT doc_id, w, h, c, j,
+         md5('png:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS hx
+  FROM p, unnest(range(0, CAST(ceil(w*h*c/16.0) AS BIGINT))) AS u(j)
+), stream AS (
+  SELECT doc_id, w, h, c, string_agg(hx, '' ORDER BY j) AS hexstream
+  FROM blocks GROUP BY doc_id, w, h, c
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(c AS INT) AS n_channels,
+       CAST(w*h*c AS BIGINT) AS n_px,
+       md5(substr(hexstream, 1, CAST(w*h*c*2 AS BIGINT))) AS px_md5
+FROM stream
+ORDER BY doc_id
+""",
+    description="PNG codec certification, ORACLE-CHECKED: every doc_id "
+    "derives a deterministic raster (md5-counter bytes; gray/RGB/RGBA "
+    "cycling, dims from the id), the executor ENCODES it to a real "
+    "PNG and DECODES it back through the pure-stdlib codec, and the "
+    "emitted digest is the md5 of the decoded raster's hex — while "
+    "DuckDB reproduces the same digest from pure md5 string "
+    "arithmetic, never touching a PNG. A hash match certifies the "
+    "compress → filter → chunk → inflate → unfilter round trip is "
+    "byte-lossless for every raster in the corpus — the driver-"
+    "checkable closure of the codec-path family (the synthesized-"
+    "media twins can only rows-check). The payload is built and "
+    "consumed inside one mapInPandas task: pixels never shuffle, "
+    "only (id, dims, 32-byte digest) rows leave the executor.",
+    tags=("multimodal", "image", "pandas-udf", "real-codec", "oracle-checked"),
+)
+def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..sources.tables import load_table, spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
+        .select("doc_id")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_channels", T.IntegerType(), False),
+            T.StructField("n_px", T.LongType(), False),
+            T.StructField("px_md5", T.StringType(), False),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..multimodal.codecs import decode_png, encode_png
+
+        for pdf in batches:
+            ids, ws, hs, cs, npx, digs = [], [], [], [], [], []
+            for mid in pdf["doc_id"]:
+                i = int(mid)
+                w, h = 4 + i % 9, 3 + i % 7
+                c = (1, 3, 4)[i % 3]
+                need = w * h * c
+                buf = bytearray()
+                j = 0
+                while len(buf) < need:
+                    buf += hashlib.md5(f"png:{i}:{j}".encode()).digest()
+                    j += 1
+                px = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
+                px = px.reshape((h, w)) if c == 1 else px.reshape((h, w, c))
+                back = decode_png(encode_png(px))
+                ids.append(i)
+                ws.append(back.shape[1])
+                hs.append(back.shape[0])
+                cs.append(back.shape[2] if back.ndim == 3 else 1)
+                npx.append(back.size)
+                digs.append(hashlib.md5(back.tobytes().hex().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "n_channels": pd.array(cs, dtype="int32"),
+                    "n_px": pd.array(npx, dtype="int64"),
+                    "px_md5": digs,
+                }
+            )
+
+    return docs.mapInPandas(roundtrip, out_schema).orderBy("doc_id")
+
+
+@register(
     "media_frame_dedup",
     oracle="""
 WITH params AS (

@@ -174,7 +174,7 @@ def _load() -> None:
 #: dedup_minhash_verified); (c) all 7 surviving r1-r2-vintage entries
 #: (doc_fingerprints, language_id, text_quality_scores,
 #: token_counting, anti_join_idle_customers, except_nations,
-#: intersect_nations); (d) 29 of the 43 r3-vintage entries — the 14
+#: intersect_nations); (d) 28 of the 43 r3-vintage entries — the 15
 #: left for r9 each have a close plan-class cousin in this window
 #: (wordcount_grouped_trace / wordcount_per_doc vs the wordcount
 #: canary, dedup_ngram_jaccard / dedup_embedding_pairs vs the five
@@ -186,7 +186,9 @@ def _load() -> None:
 #: three late-r8 operators below — boolean_bitwise_aggs vs the
 #: array/map/string scalar rows, count_distinct_parts vs
 #: documents_profile / corpus_stats_by_source, events_multires_rollup
-#: vs events_tumbling_hourly + events_rolling_median). After this
+#: vs events_tumbling_hourly + events_rolling_median, and
+#: string_functions — ceded to media_png_roundtrip — vs the
+#: array/map/date/json scalar rows). After this
 #: round no green entry predates r3, and r9 can retire the r3/r4 tail.
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
@@ -203,6 +205,7 @@ FRONT_WINDOW: tuple[str, ...] = (
     "dedup_jaccard_pairs",
     "dedup_minhash_verified",
     # operators new this round (never driver-checked)
+    "media_png_roundtrip",
     "streaming_cusum_daily",
     "token_budget_epoch_plan",
     "events_holt_daily",
@@ -214,7 +217,7 @@ FRONT_WINDOW: tuple[str, ...] = (
     "anti_join_idle_customers",
     "except_nations",
     "intersect_nations",
-    # r3 vintage re-greens (29 of 43; the rest queue for r9)
+    # r3 vintage re-greens (28 of 43; the rest queue for r9)
     "array_functions",
     "clean_corpus_pipeline",
     "corpus_stats_by_source",
@@ -237,7 +240,6 @@ FRONT_WINDOW: tuple[str, ...] = (
     "rollup_lineitem",
     "running_customer_revenue",
     "semi_join_active_customers",
-    "string_functions",
     "supplier_acctbal_ranks",
     "top_customers",
     "topk_parts_per_brand",
