@@ -458,6 +458,54 @@ def streaming_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_holt_daily",
+    # the batch twin's recursive-CTE oracle, verbatim
+    oracle=__import__(
+        "multithreaded_mapreduce_spark.operators.timeseries",
+        fromlist=["HOLT_DAILY_ORACLE"],
+    ).HOLT_DAILY_ORACLE,
+    description="Custom stateful streaming twin of events_holt_daily — "
+    "completing the stateful-recurrence trilogy (EWMA: prefix "
+    "recurrence; CUSUM: global-statistic recurrence; Holt: COUPLED "
+    "level+trend recurrence where the trend update reads the NEW "
+    "level): per-type group state accumulates exact 1e-6-unit day "
+    "totals across micro-batches and each emission re-folds the "
+    "two-accumulator chain with bit-exact replications of the "
+    "engine's decimal snaps, emitting level, trend and the "
+    "one-step-ahead forecast. The last emission per (type, day) "
+    "hash-matches the batch recursive-CTE oracle. State is |days| "
+    "entries per type — time-bounded, never traffic-bounded.",
+    tags=("streaming", "stateful", "pandas-udf", "timeseries", "forecast"),
+)
+def streaming_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import stream_events_multibatch
+    from ..streaming.stateful import running_type_holt
+
+    typed = (
+        stream_events_multibatch(spark, sf_dir, n_files=4)
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type", F.col("ts").cast("date").alias("day"), "value"
+        )
+    )
+    updates = run_stream_to_memory(
+        running_type_holt(typed), "q_streaming_holt_daily", output_mode="update"
+    )
+    latest = Window.partitionBy("event_type", "day").orderBy(F.desc("version"))
+    return (
+        updates.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type", "day", "daily_total", "level", "trend", "forecast_next"
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
     "streaming_cusum_daily",
     # the batch twin's recursive-CTE oracle, verbatim
     oracle=__import__(

@@ -387,6 +387,114 @@ def _update_type_cusum(
     )
 
 
+# --------------------------------------------------------------------------
+# per-type daily Holt level+trend: COUPLED two-variable recurrence state
+# --------------------------------------------------------------------------
+
+HOLT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("day", T.DateType(), True),
+        T.StructField("daily_total", T.DoubleType(), True),
+        T.StructField("level", T.DoubleType(), True),
+        T.StructField("trend", T.DoubleType(), True),
+        T.StructField("forecast_next", T.DoubleType(), True),
+        T.StructField("version", T.LongType(), False),
+    ]
+)
+
+#: MUST stay equal to operators/timeseries.py's HOLT_* family (asserted
+#: in tests/test_streaming.py) — local copies keep the streaming layer
+#: import-free of operator modules, same policy as the EWMA constants
+HOLT_ALPHA = 0.5
+HOLT_A1 = 1 - HOLT_ALPHA
+HOLT_BETA = 0.3
+HOLT_B1 = 1 - HOLT_BETA
+
+
+def _update_type_holt(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """The Holt sibling of :func:`_update_type_ewma` — the COUPLED
+    recurrence state shape (trend reads the NEW level): same exact
+    per-day 1e-6-unit accumulation, chain re-folded per emission with
+    the engines' decimal snaps; the last emission per (type, day)
+    hash-matches the batch recursive-CTE oracle
+    (operators/timeseries.py HOLT_DAILY_ORACLE)."""
+    import datetime as _dt
+    import json
+
+    if state.exists:
+        days = json.loads(state.get[0])
+        version = int(state.get[1])
+    else:
+        days, version = {}, 0
+    for pdf in pdfs:
+        for day, v in zip(pdf["day"], pdf["value"]):
+            k = day.isoformat() if hasattr(day, "isoformat") else str(day)
+            n, units = days.get(k, (0, 0))
+            if v is not None and not pd.isna(v):
+                n += 1
+                units += _dec6_units(v)
+            days[k] = [int(n), int(units)]
+    version += 1
+    state.update((json.dumps(days), version))
+
+    out_day, out_total, out_level, out_trend, out_fc = [], [], [], [], []
+    l: float | None = None
+    b: float | None = None
+    for i, k in enumerate(sorted(days)):
+        n, units = days[k]
+        daily = (
+            _round_like_spark(float(Decimal(units).scaleb(-6)), 2) if n else None
+        )
+        if i == 0:
+            l = daily
+            b = 0.0 if daily is not None else None
+        elif daily is None or l is None:
+            l = b = None
+        else:
+            nl = _snap_ewma_step(HOLT_ALPHA * daily + HOLT_A1 * (l + b))
+            b = _snap_ewma_step(HOLT_BETA * (nl - l) + HOLT_B1 * b)
+            l = nl
+        fc = None if (l is None or b is None) else _snap_ewma_step(l + b)
+        out_day.append(_dt.date.fromisoformat(k))
+        out_total.append(daily)
+        out_level.append(l)
+        out_trend.append(b)
+        out_fc.append(fc)
+    yield pd.DataFrame(
+        {
+            "event_type": pd.Series([key[0]] * len(out_day), dtype="object"),
+            "day": pd.Series(out_day, dtype="object"),
+            "daily_total": pd.Series(out_total, dtype="float64"),
+            "level": pd.Series(out_level, dtype="float64"),
+            "trend": pd.Series(out_trend, dtype="float64"),
+            "forecast_next": pd.Series(out_fc, dtype="float64"),
+            "version": pd.Series([version] * len(out_day), dtype="int64"),
+        }
+    )
+
+
+def running_type_holt(typed_days: DataFrame) -> DataFrame:
+    """Per-event-type daily Holt level+trend in explicit group state —
+    the streaming forecaster. Same input contract as
+    :func:`running_type_ewma`."""
+    return (
+        typed_days.select("event_type", "day", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_type_holt,
+            outputStructType=HOLT_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_type_cusum(typed_days: DataFrame) -> DataFrame:
     """Per-event-type daily one-sided CUSUM in explicit group state —
     the streaming drift detector. Same input contract as

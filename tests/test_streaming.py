@@ -485,3 +485,29 @@ def test_streaming_cusum_matches_batch_operator(spark, sf_dir):
     assert got == want
     # non-degenerate: the replay produces at least one live chain value
     assert any(c is not None for (_t, c, _f) in got.values())
+
+
+def test_streaming_holt_matches_batch_operator_and_constants(spark, sf_dir):
+    """End-state parity of the streaming Holt twin with the batch fold,
+    plus the coefficient-copy equality guard (the streaming layer keeps
+    local constants to stay import-free of operator modules)."""
+    import multithreaded_mapreduce_spark.operators.timeseries as ts
+    import multithreaded_mapreduce_spark.streaming.stateful as st
+    from multithreaded_mapreduce_spark.operators.streaming_queries import (
+        streaming_holt_daily,
+    )
+    from multithreaded_mapreduce_spark.operators.timeseries import events_holt_daily
+
+    assert (st.HOLT_ALPHA, st.HOLT_A1, st.HOLT_BETA, st.HOLT_B1) == (
+        ts.HOLT_ALPHA, ts._HOLT_A1, ts.HOLT_BETA, ts._HOLT_B1
+    )
+    got = {
+        (r.event_type, r.day): (r.daily_total, r.level, r.trend, r.forecast_next)
+        for r in streaming_holt_daily(spark, sf_dir).collect()
+    }
+    want = {
+        (r.event_type, r.day): (r.daily_total, r.level, r.trend, r.forecast_next)
+        for r in events_holt_daily(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(l is not None for (_t, l, _b, _f) in got.values())
