@@ -8,8 +8,10 @@ need nothing beyond numpy, struct and zlib:
   palette / 4 gray+alpha / 6 RGBA): `decode_png` walks the chunk list
   with CRC verification, inflates the IDAT stream with stdlib zlib and
   un-applies all five scanline filters (None/Sub/Up/Average/Paeth) per
-  the PNG spec §9; `encode_png` writes filter-0 scanlines for gray /
-  RGB / RGBA rasters. This is the most common real image format — the
+  the PNG spec §9; `encode_png` writes gray / RGB / RGBA rasters with
+  filter-0 scanlines by default, or — given a `filter_seed` — a
+  deterministic per-scanline rotation through all five forward
+  filters. This is the most common real image format — the
   reference repo's own golden inputs are PNG screenshots
   (reference ``single.png``, ``vlarge1.png``, ``vlarge2.png``), and
   the decoder is golden-tested against them.
@@ -55,29 +57,72 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
+def _png_forward_filter(
+    cur: np.ndarray, prev: np.ndarray, bpp: int, ft: int
+) -> np.ndarray:
+    """Forward-apply one scanline filter (PNG spec §9): the encoder-side
+    inverse of :func:`_png_unfilter`'s reconstruction. Unlike
+    reconstruction, forward filtering has no sequential dependence —
+    a/b/c are the *original* (unfiltered) neighbor bytes — so every
+    filter vectorizes as a plain shifted-array expression."""
+    c32 = cur.astype(np.int32)
+    if ft == 0:  # None
+        return cur
+    a = np.zeros_like(c32)
+    a[bpp:] = c32[:-bpp]
+    if ft == 1:  # Sub
+        return ((c32 - a) & 0xFF).astype(np.uint8)
+    b = prev.astype(np.int32)
+    if ft == 2:  # Up
+        return ((c32 - b) & 0xFF).astype(np.uint8)
+    if ft == 3:  # Average
+        return ((c32 - ((a + b) >> 1)) & 0xFF).astype(np.uint8)
+    if ft == 4:  # Paeth
+        c = np.zeros_like(b)
+        c[bpp:] = b[:-bpp]
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        return ((c32 - pred) & 0xFF).astype(np.uint8)
+    raise ValueError(f"unknown PNG filter type {ft}")
+
+
+def encode_png(pixels: np.ndarray, *, filter_seed: int | None = None) -> bytes:
     """Encode an 8-bit raster as a non-interlaced PNG: (h, w) gray →
     color type 0, (h, w, 2) → gray+alpha (4), (h, w, 3) → RGB (2),
     (h, w, 4) → RGBA (6) — every channel count the decoder can emit
     round-trips (palette images decode to RGB, so re-encoding one is
-    color type 2). Scanlines are written with filter 0 — a valid (if
-    uncompressed-friendly) choice every decoder must accept."""
+    color type 2). With ``filter_seed=None`` every scanline is written
+    with filter 0 — a valid (if uncompressed-friendly) choice every
+    decoder must accept. With an integer seed, scanline ``y`` is
+    forward-filtered with type ``(seed + y) % 5``, deterministically
+    exercising all five spec §9 filters (None/Sub/Up/Average/Paeth)
+    across a tall-enough raster — so a roundtrip through
+    :func:`decode_png` certifies every reconstruction path, not just
+    the None case."""
     if pixels.dtype != np.uint8:
         raise ValueError("8-bit PNG requires uint8 pixels")
     if pixels.ndim == 2:
         color_type, h, w = 0, *pixels.shape
+        bpp = 1
     elif pixels.ndim == 3 and pixels.shape[2] in (2, 3, 4):
         color_type = {2: 4, 3: 2, 4: 6}[pixels.shape[2]]
         h, w = pixels.shape[:2]
+        bpp = pixels.shape[2]
     else:
         raise ValueError(f"unsupported pixel shape {pixels.shape}")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     flat = pixels.reshape(h, -1)
-    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    zero = np.zeros(w * bpp, dtype=np.uint8)
+    parts = []
+    for y in range(h):
+        ft = 0 if filter_seed is None else (int(filter_seed) + y) % 5
+        prev = flat[y - 1] if y else zero
+        parts.append(bytes([ft]) + _png_forward_filter(flat[y], prev, bpp, ft).tobytes())
     return (
         PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(parts), 9))
         + _png_chunk(b"IEND", b"")
     )
 

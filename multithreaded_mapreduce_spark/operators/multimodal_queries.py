@@ -272,7 +272,10 @@ ORDER BY doc_id
     description="PNG codec certification, ORACLE-CHECKED: every doc_id "
     "derives a deterministic raster (md5-counter bytes; gray/RGB/RGBA "
     "cycling, dims from the id), the executor ENCODES it to a real "
-    "PNG and DECODES it back through the pure-stdlib codec, and the "
+    "PNG (scanlines forward-filtered with the doc_id-seeded rotation "
+    "(doc_id + y) % 5, so all five spec-§9 filters — None/Sub/Up/"
+    "Average/Paeth — are exercised by the hash match, not only filter "
+    "0) and DECODES it back through the pure-stdlib codec, and the "
     "emitted digest is the md5 of the decoded raster's hex — while "
     "DuckDB reproduces the same digest from pure md5 string "
     "arithmetic, never touching a PNG. A hash match certifies the "
@@ -328,7 +331,12 @@ def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     j += 1
                 px = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
                 px = px.reshape((h, w)) if c == 1 else px.reshape((h, w, c))
-                back = decode_png(encode_png(px))
+                # doc_id-seeded scanline filters: scanline y is
+                # forward-filtered with type (i + y) % 5, so across the
+                # corpus (and within any raster with h >= 5) every spec
+                # §9 filter — None/Sub/Up/Average/Paeth — is exercised
+                # by the driver-checked digest match, not only filter 0.
+                back = decode_png(encode_png(px, filter_seed=i))
                 ids.append(i)
                 ws.append(back.shape[1])
                 hs.append(back.shape[0])
