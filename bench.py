@@ -289,6 +289,46 @@ def main() -> None:
     }
     release_result_memos()
 
+    # Banding-relation share (VERDICT r8 task 6): the registered
+    # dedup_minhash_verified builder and lsh_recall_report's caught
+    # side resolve through the SAME memo slot whenever eval sampling is
+    # disengaged (k=1 — every driver/correctness session). Evidence it
+    # here by running that calibration pair with sampling forced off
+    # (the k=1 session this share exists for); at the natural sf0.1
+    # modulus the sampled and full relations are genuinely different,
+    # so no share is possible or claimed there. Outside headline
+    # totals, like the other memo stamps.
+    import multithreaded_mapreduce_spark.operators.dedup as _ddmod
+
+    release_tracked()
+    spark.catalog.clearCache()
+    saved_target = _ddmod.EVAL_SAMPLE_TARGET_DOCS
+    _ddmod.EVAL_SAMPLE_TARGET_DOCS = 1 << 60  # disengage: k = 1
+    try:
+        band_before = {
+            m: result_memo_stats(m)
+            for m in ("jaccard_pairs", "minhash_verified_pairs")
+        }
+        band_warm: dict[str, float] = {}
+        for name in ("dedup_minhash_verified", "lsh_recall_report"):
+            release_tracked()
+            t0 = time.perf_counter()
+            queries[name].builder(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            band_warm[name] = round(time.perf_counter() - t0, 3)
+        banding_memo_stamp = {
+            "k1_pair_seconds": band_warm,
+            "k1_pair_total": round(sum(band_warm.values()), 3),
+            "k1_pair_stats": _memo_deltas(band_before),
+        }
+    finally:
+        _ddmod.EVAL_SAMPLE_TARGET_DOCS = saved_target
+    # re-point LAST_EVAL_SAMPLE_DECISION at the NATURAL modulus (the
+    # forced k=1 probe above clobbered it); memoized, so this is free
+    _ddmod._eval_sample_decision(spark, sf_dir)
+    release_result_memos()
+
     total = round(sum(timings.values()), 3)
     r3_set = HEADLINE[: HEADLINE.index("kmeans_lloyd")]
     r4_set = HEADLINE[: HEADLINE.index("pretraining_funnel_report")]
@@ -359,6 +399,9 @@ def main() -> None:
         "cc_memo_decision": cc_memo_stamp,
         # shared pair-relation memo: sweep cold, leakage + recall warm
         "pairs_memo_decision": pairs_memo_stamp,
+        # banding-relation share: dedup_minhash_verified cold, then
+        # lsh_recall_report's caught side HITS the same k=1 memo slot
+        "banding_memo_decision": banding_memo_stamp,
         # md5-uniform eval-sample modulus for the ground-truth-bound
         # eval queries (k = 1 → identity; k > 1 → 1-in-k doc sample)
         "eval_sample_decision": dict(_dedup.LAST_EVAL_SAMPLE_DECISION),

@@ -1592,7 +1592,10 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "neardup", "minhash", "lsh"),
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_verified_pairs(spark, sf_dir)
+    # routed through the shared k=1 memo slot: a calibration session
+    # that also runs lsh_recall_report with sampling disengaged reuses
+    # this exact banding relation instead of re-deriving it
+    return _verified_pairs_memo(spark, sf_dir, 1)
 
 
 def _minhash_verified_pairs(
@@ -2873,12 +2876,15 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return guard_checkpoint_result(out)
 
 
-def _eval_verified_pairs(spark: SparkSession, sf_dir: str, target: int | None = None) -> DataFrame:
-    """Banding-survivor pairs over the eval sample, checkpoint-memoized
-    per (corpus, modulus) — the caught side of lsh_recall_report.
-    Identity with dedup_minhash_verified when sampling is disengaged."""
-    d = _eval_sample_decision(spark, sf_dir, target)
-    k = d["modulus"]
+def _verified_pairs_memo(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Banding-survivor pairs over the 1-in-k eval sample (full corpus
+    at k == 1), checkpoint-memoized per (corpus, modulus). Shared by
+    the REGISTERED dedup_minhash_verified builder (always k=1 — the
+    production relation) and lsh_recall_report's caught side (the
+    eval-sample modulus), so whenever sampling is disengaged — every
+    driver/correctness session — a calibration session builds the
+    banding relation ONCE (VERDICT r8 task 6: the memo had one
+    consumer and never hit)."""
     key = f"{os.path.realpath(sf_dir)}|k={k}"
 
     def build() -> DataFrame:
@@ -2886,6 +2892,14 @@ def _eval_verified_pairs(spark: SparkSession, sf_dir: str, target: int | None = 
         return _minhash_verified_pairs(spark, sf_dir, docs=docs)
 
     return memoized_result_checkpoint("minhash_verified_pairs", key, build)
+
+
+def _eval_verified_pairs(spark: SparkSession, sf_dir: str, target: int | None = None) -> DataFrame:
+    """Banding-survivor pairs over the eval sample — the caught side of
+    lsh_recall_report. Identity with dedup_minhash_verified when
+    sampling is disengaged (and then literally the same memo slot)."""
+    d = _eval_sample_decision(spark, sf_dir, target)
+    return _verified_pairs_memo(spark, sf_dir, d["modulus"])
 
 
 def _lsh_recall_oracle() -> str:

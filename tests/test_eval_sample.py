@@ -174,6 +174,30 @@ def test_pair_memo_is_shared_across_eval_consumers(spark, sf_dir):
     release_result_memos()
 
 
+def test_banding_memo_shared_with_registered_builder(spark, sf_dir):
+    """VERDICT r8 task 6: the registered dedup_minhash_verified builder
+    and lsh_recall_report's caught side resolve through the SAME
+    minhash_verified_pairs memo slot when sampling is disengaged (the
+    fixture's k = 1) — a calibration session builds the banding
+    relation once, and the memoized frame is value-identical to a
+    fresh unmemoized build."""
+    from multithreaded_mapreduce_spark.plans.caching import (
+        release_result_memos,
+        result_memo_stats,
+    )
+
+    release_result_memos()
+    base = result_memo_stats("minhash_verified_pairs") or {"hits": 0, "misses": 0}
+    reg = Q["dedup_minhash_verified"].builder(spark, sf_dir)
+    reg_rows = _multiset(reg)
+    Q["lsh_recall_report"].builder(spark, sf_dir).collect()
+    stats = result_memo_stats("minhash_verified_pairs")
+    assert stats["misses"] == base["misses"] + 1
+    assert stats["hits"] >= base["hits"] + 1
+    assert reg_rows == _multiset(dd._minhash_verified_pairs(spark, sf_dir))
+    release_result_memos()
+
+
 @pytest.mark.parametrize(
     "name", ["dedup_threshold_sweep", "kfold_leakage_report", "lsh_recall_report"]
 )
