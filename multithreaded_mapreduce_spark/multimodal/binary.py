@@ -73,11 +73,12 @@ def _decode_payload(payload: bytes, fake_codec: bool) -> tuple[int, int, int]:
     REAL for PNG (the most common image format — pure stdlib zlib
     inflate + numpy scanline unfilter, golden-tested against the
     reference repo's own .png files) and for binary Netpbm; formats
-    that genuinely need an external codec library (JPEG/WebP/…) raise
+    that genuinely need an external codec library (WebP/AVIF/…) raise
     ``NotImplementedError`` unless the clearly-marked deterministic
     fake is requested (``fake_codec=True`` — plumbing stand-in used by
     the stub-path unit tests, never by a registered query)."""
     from .codecs import PNG_SIGNATURE, decode_netpbm, decode_png
+    from .jpeg import decode_jpeg
 
     head = bytes(payload[:8])
     if head == PNG_SIGNATURE:
@@ -88,11 +89,16 @@ def _decode_payload(payload: bytes, fake_codec: bool) -> tuple[int, int, int]:
         px = decode_netpbm(bytes(payload))
         h, w = px.shape[:2]
         return w, h, (px.shape[2] if px.ndim == 3 else 1)
+    if head[:2] == b"\xff\xd8":
+        px = decode_jpeg(payload)
+        h, w = px.shape[:2]
+        return w, h, (px.shape[2] if px.ndim == 3 else 1)
     if not fake_codec:
         raise NotImplementedError(
-            "only PNG and binary Netpbm decode natively (pure stdlib/numpy); "
-            "JPEG/WebP need a codec library (PIL/libvips) not present in this "
-            "environment; pass fake_codec=True for the deterministic stub"
+            "PNG, baseline JPEG and binary Netpbm decode natively (pure "
+            "stdlib/numpy); WebP/AVIF need a codec library (PIL/libvips) not "
+            "present in this environment; pass fake_codec=True for the "
+            "deterministic stub"
         )
     d = hashlib.sha256(payload).digest()
     width = 16 + d[0] % 240
@@ -346,7 +352,8 @@ def window_audio_frames(
 # REAL codec path (pure numpy — see multimodal/codecs.py): Netpbm images
 # and WAV PCM16 audio need no external library, so decode / resize /
 # sample-frame math below is genuine, not a stand-in. Only exotic
-# codecs (JPEG/MP3/MP4) remain behind the NotImplementedError stub.
+# codecs (MP3/MP4 — containers + psychoacoustic coders) remain behind
+# the NotImplementedError stub; JPEG decodes natively since r9 (jpeg.py).
 # ---------------------------------------------------------------------------
 
 

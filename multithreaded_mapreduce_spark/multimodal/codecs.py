@@ -27,7 +27,8 @@ need nothing beyond numpy, struct and zlib:
 
 These power the multimodal operators' decode/resize/feature paths with
 REAL pixel and sample math; only codecs that genuinely need an external
-library (JPEG/MP3/MP4) remain behind the explicit NotImplementedError.
+library (MP3/MP4) remain behind the explicit NotImplementedError;
+baseline JPEG decodes/encodes natively in the sibling module jpeg.py.
 """
 
 from __future__ import annotations

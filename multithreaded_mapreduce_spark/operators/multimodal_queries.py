@@ -5,7 +5,7 @@ every run sees identical payload bytes), and since r8 the image paths
 are REAL end to end: payloads are genuine PNG (pure-stdlib zlib codec,
 golden-tested against the reference repo's own .png inputs) or binary
 Netpbm files, decoded/resampled/featurized from actual pixels. Only
-formats that require an external codec library (JPEG/MP3/MP4) remain
+formats that require an external codec library (MP3/MP4) remain
 behind the clearly-marked stub (``fake_codec`` / NotImplementedError),
 exercised by the plumbing unit tests. What every query here exercises
 for the 100 TB media pipeline: binary columns + typed metadata schema,
@@ -54,7 +54,7 @@ _N_MEDIA = 96
     "against the reference repo's own .png inputs (reference "
     "single.png 539x561 RGBA, vlarge1/2.png 558x672 RGBA) in "
     "tests/test_multimodal_codecs.py; only codecs needing an external "
-    "library (JPEG/MP3/MP4) remain stubbed.",
+    "library (MP3/MP4) remain stubbed.",
     tags=("multimodal", "image", "pandas-udf", "real-codec"),
 )
 def media_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +198,7 @@ def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "payloads parsed with the pure-numpy Netpbm codec — true width/"
     "height/channels from the header plus mean luminance from the "
     "actual raster. No external image library involved; only exotic "
-    "codecs (JPEG etc.) remain stubbed.",
+    "codecs (MP3/MP4 etc.) remain stubbed.",
     tags=("multimodal", "image", "pandas-udf", "real-codec"),
 )
 def media_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +351,123 @@ def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_channels": pd.array(cs, dtype="int32"),
                     "n_px": pd.array(npx, dtype="int64"),
                     "px_md5": digs,
+                }
+            )
+
+    return docs.mapInPandas(roundtrip, out_schema).orderBy("doc_id")
+
+
+@register(
+    "media_jpeg_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST(16 + doc_id % 17 AS INT) AS width,
+       CAST(16 + doc_id % 13 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS n_channels,
+       CAST((16 + doc_id % 17) * (16 + doc_id % 13)
+            * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) AS BIGINT) AS n_px,
+       CASE WHEN doc_id % 3 = 0 THEN '420' ELSE '444' END AS subsampling,
+       CAST(doc_id % 4 AS INT) AS restart_interval,
+       TRUE AS within_tol
+FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+ORDER BY doc_id
+""",
+    description="Baseline-JPEG codec certification, ORACLE-CHECKED: "
+    "every doc_id derives a deterministic SMOOTH raster (linear ramp, "
+    "gray/RGB alternating, dims from the id), the executor ENCODES it "
+    "with the pure-numpy baseline JPEG coder (Annex K tables; quality, "
+    "4:2:0/4:4:4 subsampling and DRI restart interval all cycled from "
+    "the id so every encoder/decoder feature is exercised) and DECODES "
+    "it back through the marker walk + Huffman + IDCT path. JPEG is "
+    "lossy, so unlike media_png_roundtrip the certified artifact is "
+    "the BOUNDED-ERROR CONTRACT: decoded dims must equal the oracle's "
+    "arithmetic exactly and max|decoded - original| <= 4 (measured "
+    "worst case 2 on this raster family) — a broken DCT, quant table, "
+    "Huffman code or upsampler fails the bound or the dims hash. "
+    "Bit-level determinism is pinned by digest tests in "
+    "tests/test_jpeg_codec.py (the netpbm pattern). Pixels never "
+    "shuffle: encode+decode live inside one mapInPandas task and only "
+    "(id, dims, flags) rows leave the executor.",
+    tags=("multimodal", "image", "pandas-udf", "real-codec", "oracle-checked"),
+)
+def media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..sources.tables import load_table, spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
+        .select("doc_id")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_channels", T.IntegerType(), False),
+            T.StructField("n_px", T.LongType(), False),
+            T.StructField("subsampling", T.StringType(), False),
+            T.StructField("restart_interval", T.IntegerType(), False),
+            T.StructField("within_tol", T.BooleanType(), False),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..multimodal.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = {k: [] for k in out_schema.fieldNames()}
+            for mid in pdf["doc_id"]:
+                i = int(mid)
+                w, h = 16 + i % 17, 16 + i % 13
+                c = 1 if i % 2 == 0 else 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                if c == 1:
+                    px = (((i * 37) % 128) + yy + xx).astype(np.uint8)
+                else:
+                    px = np.stack(
+                        [(((i * 37 + ch * 40) % 128) + yy + xx) for ch in range(3)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                sub = "420" if i % 3 == 0 else "444"
+                ri = i % 4
+                back = decode_jpeg(
+                    encode_jpeg(
+                        px,
+                        quality=85 + i % 11,
+                        subsampling=sub,
+                        restart_interval=ri,
+                    )
+                )
+                ok = back.shape == px.shape and bool(
+                    np.abs(back.astype(np.int64) - px.astype(np.int64)).max() <= 4
+                )
+                rows["doc_id"].append(i)
+                rows["width"].append(back.shape[1])
+                rows["height"].append(back.shape[0])
+                rows["n_channels"].append(back.shape[2] if back.ndim == 3 else 1)
+                rows["n_px"].append(int(back.size))
+                rows["subsampling"].append(sub)
+                rows["restart_interval"].append(ri)
+                rows["within_tol"].append(ok)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "n_channels": pd.array(rows["n_channels"], dtype="int32"),
+                    "n_px": pd.array(rows["n_px"], dtype="int64"),
+                    "subsampling": rows["subsampling"],
+                    "restart_interval": pd.array(
+                        rows["restart_interval"], dtype="int32"
+                    ),
+                    "within_tol": pd.array(rows["within_tol"], dtype="boolean"),
                 }
             )
 

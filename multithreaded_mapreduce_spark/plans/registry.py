@@ -190,6 +190,33 @@ def _load() -> None:
 #: string_functions — ceded to media_png_roundtrip — vs the
 #: array/map/date/json scalar rows). After this
 #: round no green entry predates r3, and r9 can retire the r3/r4 tail.
+#: ROTATION (r9): CORRECTNESS_r08 went 50/50 green; after it the only
+#: oracle-bearing query with NO driver row ever is streaming_holt_daily
+#: (landed after the r8 window froze) — it gets the first non-canary
+#: slot (VERDICT r8 task 1). Then: (a) the 5 standing canaries;
+#: (b) the one operator new this round (media_jpeg_roundtrip — the
+#: native baseline-JPEG codec certification, task 8); (c) the 5
+#: builders changed this round and re-greening after the refactor —
+#: media_png_roundtrip (doc_id-seeded scanline filters now drive all
+#: five spec-§9 paths through the digest match, task 2),
+#: ann_recall_report + knn_sketch_ann (the md5-uniform query-set
+#: sample, task 3 — identity at sf0.01, but the code path is new),
+#: dedup_minhash_verified + lsh_recall_report (the shared k=1 banding
+#: memo slot, task 6); (d) ALL 13 remaining r3-vintage entries
+#: (task 4 — after this round no green entry predates r4);
+#: (e) 25 of the 44 r4-vintage entries, chosen for plan-class
+#: diversity (asof/range/bucketed/salted joins, MERGE, SCD2,
+#: recursive/lateral SQL, pagerank, Lloyd, IVF, deciles, pivot,
+#: grouping sets, moments, funnel/cohort, and 6 structurally-distinct
+#: TPC-H queries). The 19 r4 entries left for r10 each have a close
+#: plan-class cousin in this window: q3/q6/q14 and q8/q10/q15/q16/
+#: q19/q20 (join+agg TPC-H shapes) vs q2/q7/q9/q13/q17/q21 + the join
+#: canary; q4/q18/q22 (correlated-subquery family) vs q17/q21;
+#: string_agg_status_list vs argminmax_median_mode +
+#: grouping_sets_lineitem; customer_abc/rfm vs cohort_weekly_retention
+#: + funnel_view_click_purchase; corpus_dedup_report /
+#: dedup_incremental_batch vs the dedup rows; bpe_merge_candidates vs
+#: the r5-vintage BPE family (younger greens).
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
     "wordcount",
@@ -197,55 +224,58 @@ FRONT_WINDOW: tuple[str, ...] = (
     "join_chain_revenue",
     "dedup_exact",
     "knn_cosine_bruteforce",
-    # builders changed this round (eval sampling + pair memo + skew)
-    "skew_auto_join",
-    "dedup_threshold_sweep",
-    "kfold_leakage_report",
-    "lsh_recall_report",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_verified",
-    # operators new this round (never driver-checked)
+    # the single never-driver-checked oracle-bearing query (r8 late)
+    "streaming_holt_daily",
+    # operator new this round (never driver-checked)
+    "media_jpeg_roundtrip",
+    # builders changed this round (PNG filter seed / ANN query sample /
+    # shared banding memo)
     "media_png_roundtrip",
-    "streaming_cusum_daily",
-    "token_budget_epoch_plan",
-    "events_holt_daily",
-    # r1-r2 vintage re-greens (the oldest surviving entries)
-    "doc_fingerprints",
-    "language_id",
-    "text_quality_scores",
-    "token_counting",
-    "anti_join_idle_customers",
-    "except_nations",
-    "intersect_nations",
-    # r3 vintage re-greens (28 of 43; the rest queue for r9)
-    "array_functions",
-    "clean_corpus_pipeline",
-    "corpus_stats_by_source",
-    "cube_orders",
-    "customer_order_momentum",
-    "date_parts",
-    "documents_profile",
-    "events_rolling_median",
-    "events_session_window_native",
-    "events_tumbling_hourly",
-    "filter_project",
-    "full_outer_nation_parties",
-    "json_event_props",
-    "json_variant_stats",
-    "left_join_order_counts",
-    "map_functions",
-    "monthly_order_stats",
-    "part_price_distribution",
-    "q12_priority_by_returnflag",
-    "rollup_lineitem",
-    "running_customer_revenue",
-    "semi_join_active_customers",
-    "supplier_acctbal_ranks",
-    "top_customers",
-    "topk_parts_per_brand",
-    "union_parties",
-    "user_event_deltas",
-    "user_sessions",
+    "ann_recall_report",
+    "knn_sketch_ann",
+    "dedup_minhash_verified",
+    "lsh_recall_report",
+    # r3 vintage re-greens (the final 13 — closes the r3 tail)
+    "boolean_bitwise_aggs",
+    "count_distinct_parts",
+    "dedup_embedding_pairs",
+    "dedup_ngram_jaccard",
+    "distinct_nation_segments",
+    "events_multires_rollup",
+    "events_sliding_windows",
+    "except_all_order_priorities",
+    "json_typed_extraction",
+    "knn_quantized_ann",
+    "string_functions",
+    "wordcount_grouped_trace",
+    "wordcount_per_doc",
+    # r4 vintage re-greens (25 of 44; the 19 left for r10 have
+    # plan-class cousins here — see the rotation note above)
+    "argminmax_median_mode",
+    "asof_purchase_attribution",
+    "bucketed_join_order_revenue",
+    "cohort_weekly_retention",
+    "funnel_view_click_purchase",
+    "grouping_sets_lineitem",
+    "kmeans_lloyd",
+    "knn_ivf_exact_ann",
+    "lineitem_moment_stats",
+    "merge_upsert_customer_state",
+    "part_price_deciles_exact",
+    "pivot_orders_status",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_sole_return_supplier",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q9_profit_by_nation",
+    "range_join_error_context",
+    "scd2_customer_history",
+    "skew_salted_event_user_totals",
+    "sql_lateral_top_orders",
+    "sql_q5_local_supplier_volume",
+    "sql_recursive_order_chains",
+    "token_pagerank",
 )
 
 
