@@ -135,6 +135,9 @@ HEADLINE = (
     "skew_auto_join",                # measured plain/AQE/salted decision
     "events_holt_daily",             # coupled level+trend forecast fold
     "media_png_roundtrip",           # oracle-checked PNG codec round trip
+    # r9: operators above the 0.4 s bar, appended after every subtotal
+    # marker so all rX_comparable prefixes stay intact
+    "media_jpeg_roundtrip",          # oracle-checked baseline-JPEG codec
 )
 
 
@@ -155,6 +158,15 @@ def main() -> None:
     queries["wordcount"].builder(spark, "/root/testdata/sf0.001").write.mode(
         "overwrite"
     ).format("noop").save()
+    # Python-worker + codec-import warmup (r8 variance flag: the first
+    # mapInPandas codec run paid worker spawn + numpy/zlib/codec import
+    # inside its timed region — media_png_roundtrip min 1.0 s but
+    # median 9.6 s). One tiny sf0.001 pass hoists that one-time cost
+    # out of every timed codec query.
+    for _codec_q in ("media_png_roundtrip", "media_jpeg_roundtrip"):
+        queries[_codec_q].builder(spark, "/root/testdata/sf0.001").write.mode(
+            "overwrite"
+        ).format("noop").save()
     # bucketed tables are a one-time write-side cost (like building an
     # index), not per-query work — create them outside the timed region
     from multithreaded_mapreduce_spark.operators.bucketing import ensure_bucketed_tables
