@@ -301,15 +301,19 @@ def main() -> None:
     }
     release_result_memos()
 
-    # Banding-relation share (VERDICT r8 task 6): the registered
-    # dedup_minhash_verified builder and lsh_recall_report's caught
-    # side resolve through the SAME memo slot whenever eval sampling is
-    # disengaged (k=1 — every driver/correctness session). Evidence it
-    # here by running that calibration pair with sampling forced off
-    # (the k=1 session this share exists for); at the natural sf0.1
-    # modulus the sampled and full relations are genuinely different,
-    # so no share is possible or claimed there. Outside headline
-    # totals, like the other memo stamps.
+    # Banding-relation share (VERDICT r8 task 6): lsh_recall_report's
+    # caught side memoizes the banding relation, and the registered
+    # dedup_minhash_verified builder opportunistically PEEKS the k=1
+    # slot — a calibration session that ran the recall report hands the
+    # production relation over for free, while a standalone
+    # dedup_minhash_verified run stays the plain lazy plan (no eager
+    # checkpoint materialization — measured ~25-30% of the build at the
+    # edge-bound 10x scale). Evidence the share here by running the
+    # pair recall-first with sampling forced off (the k=1 session the
+    # share exists for); at the natural sf0.1 modulus the sampled and
+    # full relations are genuinely different, so no share is possible
+    # or claimed there. Outside headline totals, like the other memo
+    # stamps.
     import multithreaded_mapreduce_spark.operators.dedup as _ddmod
 
     release_tracked()
@@ -322,7 +326,7 @@ def main() -> None:
             for m in ("jaccard_pairs", "minhash_verified_pairs")
         }
         band_warm: dict[str, float] = {}
-        for name in ("dedup_minhash_verified", "lsh_recall_report"):
+        for name in ("lsh_recall_report", "dedup_minhash_verified"):
             release_tracked()
             t0 = time.perf_counter()
             queries[name].builder(spark, sf_dir).write.mode("overwrite").format(

@@ -29,6 +29,7 @@ from ..functions.vectors import cosine_exact
 from ..plans.caching import (
     guard_checkpoint_result,
     memoized_result_checkpoint,
+    peek_result_memo,
     tracked_local_checkpoint,
     tracked_persist,
 )
@@ -1592,10 +1593,16 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "neardup", "minhash", "lsh"),
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # routed through the shared k=1 memo slot: a calibration session
-    # that also runs lsh_recall_report with sampling disengaged reuses
-    # this exact banding relation instead of re-deriving it
-    return _verified_pairs_memo(spark, sf_dir, 1)
+    # opportunistic share of the k=1 banding memo: if a calibration
+    # session (lsh_recall_report with sampling disengaged) already
+    # built this exact relation, reuse it; otherwise run the plain
+    # lazy plan — NEVER pay the eager checkpoint materialization here
+    # (measured ~25-30% of the build at the edge-bound 10x scale,
+    # where pair volume grows 10x)
+    hit = peek_result_memo(
+        "minhash_verified_pairs", f"{os.path.realpath(sf_dir)}|k=1"
+    )
+    return hit if hit is not None else _minhash_verified_pairs(spark, sf_dir)
 
 
 def _minhash_verified_pairs(
@@ -2878,13 +2885,15 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _verified_pairs_memo(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """Banding-survivor pairs over the 1-in-k eval sample (full corpus
-    at k == 1), checkpoint-memoized per (corpus, modulus). Shared by
-    the REGISTERED dedup_minhash_verified builder (always k=1 — the
-    production relation) and lsh_recall_report's caught side (the
-    eval-sample modulus), so whenever sampling is disengaged — every
-    driver/correctness session — a calibration session builds the
-    banding relation ONCE (VERDICT r8 task 6: the memo had one
-    consumer and never hit)."""
+    at k == 1), checkpoint-memoized per (corpus, modulus) — built by
+    lsh_recall_report's caught side. When sampling is disengaged
+    (k == 1, every driver/correctness session) the k=1 slot holds
+    exactly the production banding relation, and the REGISTERED
+    dedup_minhash_verified builder opportunistically reuses it via
+    peek_result_memo — so a calibration session builds the relation
+    ONCE (VERDICT r8 task 6), while a standalone dedup_minhash_verified
+    run pays neither the build twice nor the eager checkpoint
+    materialization."""
     key = f"{os.path.realpath(sf_dir)}|k={k}"
 
     def build() -> DataFrame:

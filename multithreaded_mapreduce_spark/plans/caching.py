@@ -268,6 +268,23 @@ def memoized_result_checkpoint(name: str, key: str, build) -> DataFrame:
     return out
 
 
+def peek_result_memo(name: str, key: str) -> DataFrame | None:
+    """Return the memoized checkpointed result for (name, key) if one
+    is already warm, WITHOUT building or materializing anything on a
+    miss. For consumers whose plain plan is already optimal (no reuse
+    of their own) but that can opportunistically ride a calibration
+    session's artifact: a hit costs nothing and saves the full build;
+    a miss costs nothing at all — in particular no eager localCheckpoint
+    materialization, which measures ~25-30% of the build at the
+    edge-bound 10x scale for the pair relations."""
+    hit = _RESULT_MEMO.get(name)
+    if hit is not None and hit[0] == key:
+        stats = _MEMO_STATS.setdefault(name, {"key": key, "hits": 0, "misses": 0})
+        stats["hits"] += 1
+        return hit[1]
+    return None
+
+
 def _unpersist_memo_blocks(rids, blocking: bool = False) -> None:
     for spark, rid in rids:
         try:

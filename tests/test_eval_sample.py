@@ -175,12 +175,13 @@ def test_pair_memo_is_shared_across_eval_consumers(spark, sf_dir):
 
 
 def test_banding_memo_shared_with_registered_builder(spark, sf_dir):
-    """VERDICT r8 task 6: the registered dedup_minhash_verified builder
-    and lsh_recall_report's caught side resolve through the SAME
-    minhash_verified_pairs memo slot when sampling is disengaged (the
-    fixture's k = 1) — a calibration session builds the banding
-    relation once, and the memoized frame is value-identical to a
-    fresh unmemoized build."""
+    """VERDICT r8 task 6: lsh_recall_report's caught side memoizes the
+    banding relation, and the registered dedup_minhash_verified builder
+    opportunistically PEEKS the k=1 slot when sampling is disengaged
+    (the fixture's k = 1) — a calibration session builds the relation
+    once, the peeked frame is value-identical to a fresh unmemoized
+    build, and a COLD dedup_minhash_verified run stays the plain lazy
+    plan (no memo write, no eager materialization)."""
     from multithreaded_mapreduce_spark.plans.caching import (
         release_result_memos,
         result_memo_stats,
@@ -188,13 +189,20 @@ def test_banding_memo_shared_with_registered_builder(spark, sf_dir):
 
     release_result_memos()
     base = result_memo_stats("minhash_verified_pairs") or {"hits": 0, "misses": 0}
-    reg = Q["dedup_minhash_verified"].builder(spark, sf_dir)
-    reg_rows = _multiset(reg)
+    # cold: the registered builder must NOT populate or pay the memo
+    cold = Q["dedup_minhash_verified"].builder(spark, sf_dir)
+    cold_rows = _multiset(cold)
+    mid = result_memo_stats("minhash_verified_pairs") or {"hits": 0, "misses": 0}
+    assert mid["misses"] == base["misses"] and mid["hits"] == base["hits"]
+    # calibration session: recall report builds the k=1 memo ...
     Q["lsh_recall_report"].builder(spark, sf_dir).collect()
+    # ... and the production builder rides it for free
+    warm_rows = _multiset(Q["dedup_minhash_verified"].builder(spark, sf_dir))
     stats = result_memo_stats("minhash_verified_pairs")
     assert stats["misses"] == base["misses"] + 1
     assert stats["hits"] >= base["hits"] + 1
-    assert reg_rows == _multiset(dd._minhash_verified_pairs(spark, sf_dir))
+    assert cold_rows == warm_rows
+    assert cold_rows == _multiset(dd._minhash_verified_pairs(spark, sf_dir))
     release_result_memos()
 
 
