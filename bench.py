@@ -138,6 +138,7 @@ HEADLINE = (
     # r9: operators above the 0.4 s bar, appended after every subtotal
     # marker so all rX_comparable prefixes stay intact
     "media_jpeg_roundtrip",          # oracle-checked baseline-JPEG codec
+    "media_phash_dedup",             # perceptual-hash image dedup (real codec)
 )
 
 

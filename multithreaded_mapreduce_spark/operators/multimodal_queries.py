@@ -475,6 +475,135 @@ def media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_phash_dedup",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id // 3 AS g,
+         16 + (doc_id // 3) % 13 AS w,
+         12 + (doc_id // 3) % 9 AS h
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+), blocks AS (
+  SELECT doc_id, g, w, h, j,
+         md5('img:' || CAST(g AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS hx
+  FROM p, unnest(range(0, CAST(ceil(w*h/16.0) AS BIGINT))) AS u(j)
+), stream AS (
+  SELECT doc_id, w, h, string_agg(hx, '' ORDER BY j) AS s
+  FROM blocks GROUP BY doc_id, w, h
+), cells AS (
+  SELECT doc_id, k,
+         ((k // 8) * h) // 8 AS yi,
+         ((k % 8) * w) // 9 AS xi,
+         (((k % 8) + 1) * w) // 9 AS xj,
+         w, s
+  FROM stream, unnest(range(0, 64)) AS u(k)
+), vals AS (
+  SELECT doc_id, k,
+    ((strpos('0123456789abcdef', substr(substr(s, (yi*w+xi)*2+1, 2),1,1))-1)*16
+     + (strpos('0123456789abcdef', substr(substr(s, (yi*w+xi)*2+1, 2),2,1))-1))*250//255 AS va,
+    ((strpos('0123456789abcdef', substr(substr(s, (yi*w+xj)*2+1, 2),1,1))-1)*16
+     + (strpos('0123456789abcdef', substr(substr(s, (yi*w+xj)*2+1, 2),2,1))-1))*250//255 AS vb
+  FROM cells
+), hashes AS (
+  SELECT doc_id,
+    printf('%08x%08x',
+      CAST(sum(CASE WHEN va < vb AND k >= 32 THEN 1::BIGINT << (k-32) ELSE 0 END) AS BIGINT),
+      CAST(sum(CASE WHEN va < vb AND k < 32 THEN 1::BIGINT << k ELSE 0 END) AS BIGINT)
+    ) AS phash
+  FROM vals GROUP BY doc_id
+)
+SELECT doc_id, phash,
+       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS dup_group_size
+FROM hashes
+ORDER BY doc_id
+""",
+    description="Perceptual-hash image dedup, ORACLE-CHECKED through "
+    "the REAL codec: every doc_id derives a raster whose CONTENT "
+    "repeats every 3 ids but whose BYTES differ (a per-id brightness "
+    "shift — the re-encoded/re-uploaded image the exact-digest dedups "
+    "cannot catch); the executor PNG-encodes it (doc_id-seeded "
+    "scanline filters), decodes it back, and computes an 8x8 "
+    "difference hash (dHash) from the DECODED pixels — floor-map "
+    "nearest resample to 8x9, left<right gradient bits, 64-bit "
+    "fingerprint as hex. Brightness shifts cancel in the gradient "
+    "comparisons, so near-dup variants collapse to one fingerprint, "
+    "which DuckDB reproduces from pure md5/strpos arithmetic without "
+    "touching a pixel — certifying codec roundtrip, resample map, "
+    "gradient bits and group sizes in one hash match. Scale shape: "
+    "pixels never shuffle (hashing lives in one mapInPandas task); "
+    "only (id, 8-byte fingerprint) rows reach the dup-group exchange, "
+    "the same digest-groupBy plan as dedup_exact — at 100 TB swap "
+    "dHash for any stronger perceptual hash inside the same task.",
+    tags=("multimodal", "image", "dedup", "pandas-udf", "real-codec", "oracle-checked"),
+)
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..plans.caching import tracked_persist
+    from ..sources.tables import load_table, spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
+        .select("doc_id")
+    )
+    hash_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("phash", T.StringType(), False),
+        ]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..multimodal.codecs import decode_png, encode_png
+
+        for pdf in batches:
+            ids, hs = [], []
+            for mid in pdf["doc_id"]:
+                i = int(mid)
+                g = i // 3
+                w, h = 16 + g % 13, 12 + g % 9
+                need = w * h
+                buf = bytearray()
+                j = 0
+                while len(buf) < need:
+                    buf += hashlib.md5(f"img:{g}:{j}".encode()).digest()
+                    j += 1
+                b = np.frombuffer(bytes(buf[:need]), dtype=np.uint8).astype(np.int64)
+                px = ((b * 250) // 255 + i % 3).astype(np.uint8).reshape(h, w)
+                # real-codec roundtrip: hash what a decoder actually sees
+                px = decode_png(encode_png(px, filter_seed=i))
+                bits = 0
+                for y in range(8):
+                    yi = (y * h) // 8
+                    row = px[yi].astype(np.int64)
+                    for x in range(8):
+                        xi, xj = (x * w) // 9, ((x + 1) * w) // 9
+                        if row[xi] < row[xj]:
+                            bits |= 1 << (y * 8 + x)
+                ids.append(i)
+                hs.append("%016x" % bits)
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"), "phash": hs}
+            )
+
+    hashes = docs.mapInPandas(hash_batch, hash_schema).transform(tracked_persist)
+    groups = hashes.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_group_size")
+    )
+    return (
+        hashes.join(groups, "phash")
+        .select("doc_id", "phash", "dup_group_size")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "media_frame_dedup",
     oracle="""
 WITH params AS (

@@ -204,7 +204,7 @@ def _load() -> None:
 #: dedup_minhash_verified + lsh_recall_report (the shared k=1 banding
 #: memo slot, task 6); (d) ALL 13 remaining r3-vintage entries
 #: (task 4 — after this round no green entry predates r4);
-#: (e) 25 of the 44 r4-vintage entries, chosen for plan-class
+#: (e) 24 of the 44 r4-vintage entries, chosen for plan-class
 #: diversity (asof/range/bucketed/salted joins, MERGE, SCD2,
 #: recursive/lateral SQL, pagerank, Lloyd, IVF, deciles, pivot,
 #: grouping sets, moments, funnel/cohort, and 6 structurally-distinct
@@ -226,8 +226,9 @@ FRONT_WINDOW: tuple[str, ...] = (
     "knn_cosine_bruteforce",
     # the single never-driver-checked oracle-bearing query (r8 late)
     "streaming_holt_daily",
-    # operator new this round (never driver-checked)
+    # operators new this round (never driver-checked)
     "media_jpeg_roundtrip",
+    "media_phash_dedup",
     # builders changed this round (PNG filter seed / ANN query sample /
     # shared banding memo)
     "media_png_roundtrip",
@@ -273,7 +274,6 @@ FRONT_WINDOW: tuple[str, ...] = (
     "scd2_customer_history",
     "skew_salted_event_user_totals",
     "sql_lateral_top_orders",
-    "sql_q5_local_supplier_volume",
     "sql_recursive_order_chains",
     "token_pagerank",
 )
