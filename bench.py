@@ -139,6 +139,7 @@ HEADLINE = (
     # marker so all rX_comparable prefixes stay intact
     "media_jpeg_roundtrip",          # oracle-checked baseline-JPEG codec
     "media_phash_dedup",             # perceptual-hash image dedup (real codec)
+    "media_wav_roundtrip",           # oracle-checked WAV PCM16 codec roundtrip
 )
 
 

@@ -475,6 +475,107 @@ def media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_wav_roundtrip",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         64 + doc_id % 97 AS n,
+         8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+), blocks AS (
+  SELECT doc_id, n, rate, j,
+         md5('wav:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS hx
+  FROM p, unnest(range(0, CAST(ceil(n*2/16.0) AS BIGINT))) AS u(j)
+), stream AS (
+  SELECT doc_id, n, rate, string_agg(hx, '' ORDER BY j) AS s
+  FROM blocks GROUP BY doc_id, n, rate
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(rate AS INT) AS sample_rate,
+       md5(substr(s, 1, CAST(n*4 AS BIGINT))) AS pcm_md5
+FROM stream
+ORDER BY doc_id
+""",
+    description="WAV PCM16 codec certification, ORACLE-CHECKED — the "
+    "audio closure of the codec-certification family (PNG r8, JPEG "
+    "r9): every doc_id derives a deterministic int16 sample stream "
+    "(md5-counter bytes, little-endian; length and sample rate cycled "
+    "from the id), the executor ENCODES it to a real RIFF/WAVE file "
+    "and DECODES it back through the chunk-walking parser, and the "
+    "emitted digest is the md5 of the decoded samples' byte hex — "
+    "while DuckDB reproduces the same digest from pure md5 string "
+    "arithmetic, never touching a WAV. WAV is lossless, so a hash "
+    "match certifies header layout, chunk walk and sample byte order "
+    "end to end (the rows-only media_wav_energy twin can now lean on "
+    "a driver-checked codec). Samples never shuffle: encode+decode "
+    "live inside one mapInPandas task and only (id, n, rate, digest) "
+    "rows leave the executor.",
+    tags=("multimodal", "audio", "pandas-udf", "real-codec", "oracle-checked"),
+)
+def media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..sources.tables import load_table, spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
+        .select("doc_id")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("pcm_md5", T.StringType(), False),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..multimodal.codecs import decode_wav_pcm16, encode_wav_pcm16
+
+        for pdf in batches:
+            ids, ns, rates, digs = [], [], [], []
+            for mid in pdf["doc_id"]:
+                i = int(mid)
+                n = 64 + i % 97
+                rate = 8000 + (i % 4) * 4000
+                need = n * 2
+                buf = bytearray()
+                j = 0
+                while len(buf) < need:
+                    buf += hashlib.md5(f"wav:{i}:{j}".encode()).digest()
+                    j += 1
+                samples = np.frombuffer(bytes(buf[:need]), dtype="<i2")
+                back, back_rate = decode_wav_pcm16(encode_wav_pcm16(samples, rate))
+                ids.append(i)
+                ns.append(int(back.size))
+                rates.append(int(back_rate))
+                digs.append(
+                    hashlib.md5(
+                        back.astype("<i2").tobytes().hex().encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "n_samples": pd.array(ns, dtype="int64"),
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                    "pcm_md5": digs,
+                }
+            )
+
+    return docs.mapInPandas(roundtrip, out_schema).orderBy("doc_id")
+
+
+@register(
     "media_phash_dedup",
     oracle="""
 WITH p AS (

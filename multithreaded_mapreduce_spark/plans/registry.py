@@ -204,7 +204,7 @@ def _load() -> None:
 #: dedup_minhash_verified + lsh_recall_report (the shared k=1 banding
 #: memo slot, task 6); (d) ALL 13 remaining r3-vintage entries
 #: (task 4 — after this round no green entry predates r4);
-#: (e) 24 of the 44 r4-vintage entries, chosen for plan-class
+#: (e) 23 of the 44 r4-vintage entries, chosen for plan-class
 #: diversity (asof/range/bucketed/salted joins, MERGE, SCD2,
 #: recursive/lateral SQL, pagerank, Lloyd, IVF, deciles, pivot,
 #: grouping sets, moments, funnel/cohort, and 6 structurally-distinct
@@ -229,6 +229,7 @@ FRONT_WINDOW: tuple[str, ...] = (
     # operators new this round (never driver-checked)
     "media_jpeg_roundtrip",
     "media_phash_dedup",
+    "media_wav_roundtrip",
     # builders changed this round (PNG filter seed / ANN query sample /
     # shared banding memo)
     "media_png_roundtrip",
@@ -257,7 +258,6 @@ FRONT_WINDOW: tuple[str, ...] = (
     "bucketed_join_order_revenue",
     "cohort_weekly_retention",
     "funnel_view_click_purchase",
-    "grouping_sets_lineitem",
     "kmeans_lloyd",
     "knn_ivf_exact_ann",
     "lineitem_moment_stats",
