@@ -194,8 +194,11 @@ def _load() -> None:
 #: oracle-bearing query with NO driver row ever is streaming_holt_daily
 #: (landed after the r8 window froze) — it gets the first non-canary
 #: slot (VERDICT r8 task 1). Then: (a) the 5 standing canaries;
-#: (b) the one operator new this round (media_jpeg_roundtrip — the
-#: native baseline-JPEG codec certification, task 8); (c) the 5
+#: (b) the three operators new this round — media_jpeg_roundtrip (the
+#: native baseline-JPEG codec certification, task 8),
+#: media_phash_dedup (perceptual image dedup through the real codec)
+#: and media_wav_roundtrip (the lossless audio closure of the
+#: codec-certification family); (c) the 5
 #: builders changed this round and re-greening after the refactor —
 #: media_png_roundtrip (doc_id-seeded scanline filters now drive all
 #: five spec-§9 paths through the digest match, task 2),
