@@ -140,6 +140,7 @@ HEADLINE = (
     "media_jpeg_roundtrip",          # oracle-checked baseline-JPEG codec
     "media_phash_dedup",             # perceptual-hash image dedup (real codec)
     "media_wav_roundtrip",           # oracle-checked WAV PCM16 codec roundtrip
+    "media_phash_near_pairs",        # Hamming-banded perceptual near-dup pairs
 )
 
 

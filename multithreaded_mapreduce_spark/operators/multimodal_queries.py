@@ -705,6 +705,192 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_phash_near_pairs",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id // 2 AS b, doc_id % 2 AS v,
+         18 + (doc_id // 2) % 11 AS w, 14 + (doc_id // 2) % 7 AS h
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+), blocks AS (
+  SELECT doc_id, b, v, w, h, j,
+         md5('nearimg:' || CAST(b AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS hx
+  FROM p, unnest(range(0, CAST(ceil(w*h/16.0) AS BIGINT))) AS u(j)
+), stream AS (
+  SELECT doc_id, b, v, w, h, string_agg(hx, '' ORDER BY j) AS s
+  FROM blocks GROUP BY ALL
+), pert AS (
+  SELECT *, ((b%8)*h)//8 AS py, ((b%8)*w)//9 AS pxi, (((b%8)+1)*w)//9 AS pxj
+  FROM stream
+), cells AS (
+  SELECT doc_id, v, k,
+         ((k // 8) * h) // 8 AS yi,
+         ((k % 8) * w) // 9 AS xi,
+         (((k % 8) + 1) * w) // 9 AS xj,
+         w, s, py, pxi, pxj
+  FROM pert, unnest(range(0, 64)) AS u(k)
+), vals AS (
+  SELECT doc_id, k,
+    CASE WHEN v=1 AND yi*w+xi = py*w+pxi THEN 200
+         WHEN v=1 AND yi*w+xi = py*w+pxj THEN 100
+         ELSE ((strpos('0123456789abcdef', substr(substr(s,(yi*w+xi)*2+1,2),1,1))-1)*16
+              + (strpos('0123456789abcdef', substr(substr(s,(yi*w+xi)*2+1,2),2,1))-1))*250//255
+    END AS va,
+    CASE WHEN v=1 AND yi*w+xj = py*w+pxi THEN 200
+         WHEN v=1 AND yi*w+xj = py*w+pxj THEN 100
+         ELSE ((strpos('0123456789abcdef', substr(substr(s,(yi*w+xj)*2+1,2),1,1))-1)*16
+              + (strpos('0123456789abcdef', substr(substr(s,(yi*w+xj)*2+1,2),2,1))-1))*250//255
+    END AS vb
+  FROM cells
+), hashes AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN va < vb AND k < 32 THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS lo,
+    CAST(sum(CASE WHEN va < vb AND k >= 32 THEN 1::BIGINT << (k-32) ELSE 0 END) AS BIGINT) AS hi
+  FROM vals GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+         CAST(bit_count(CAST(xor(a.lo, bb.lo) AS BIGINT))
+            + bit_count(CAST(xor(a.hi, bb.hi) AS BIGINT)) AS BIGINT) AS hamming
+  FROM hashes a JOIN hashes bb ON a.doc_id < bb.doc_id
+   AND ( (a.lo & 65535) = (bb.lo & 65535)
+      OR ((a.lo >> 16) & 65535) = ((bb.lo >> 16) & 65535)
+      OR (a.hi & 65535) = (bb.hi & 65535)
+      OR ((a.hi >> 16) & 65535) = ((bb.hi >> 16) & 65535))
+)
+SELECT doc_a, doc_b, hamming FROM pairs
+WHERE hamming BETWEEN 1 AND 6
+ORDER BY doc_a, doc_b
+""",
+    description="Perceptual NEAR-duplicate image pairs, ORACLE-CHECKED "
+    "through the real codec: the raster family plants pairs (2b, 2b+1) "
+    "sharing content where the odd variant carries a deterministic "
+    "localized pixel perturbation — a few dHash gradient bits flip, so "
+    "exact-fingerprint grouping (media_phash_dedup) misses the pair "
+    "but Hamming-banded LSH recovers it: each 64-bit dHash splits "
+    "into 4x16-bit bands, candidates share at least one band "
+    "(guaranteed complete for Hamming <= 3 by pigeonhole), survivors "
+    "filter on true Hamming in [1, 6]. DuckDB reproduces the hashes "
+    "from md5/strpos arithmetic and the SAME candidate rule as an "
+    "OR-of-band-equalities, so the reported pair set — an LSH "
+    "candidate geometry, not just values — is certified bit-for-bit "
+    "(the dedup_minhash_verified pattern, transplanted to images). "
+    "Scale shape: pixels stay in the mapInPandas task; the band "
+    "self-join shuffles (band, 16-bit key) rows only — the banded "
+    "near-dup plan class the text dedups already prove out.",
+    tags=("multimodal", "image", "dedup", "lsh", "pandas-udf", "real-codec", "oracle-checked"),
+)
+def media_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..plans.caching import tracked_persist
+    from ..sources.tables import load_table, spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
+        .select("doc_id")
+    )
+    hash_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("lo", T.LongType(), False),
+            T.StructField("hi", T.LongType(), False),
+        ]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..multimodal.codecs import decode_png, encode_png
+
+        for pdf in batches:
+            ids, los, his = [], [], []
+            for mid in pdf["doc_id"]:
+                i = int(mid)
+                b, v = i // 2, i % 2
+                w, h = 18 + b % 11, 14 + b % 7
+                need = w * h
+                buf = bytearray()
+                j = 0
+                while len(buf) < need:
+                    buf += hashlib.md5(f"nearimg:{b}:{j}".encode()).digest()
+                    j += 1
+                vals = (
+                    np.frombuffer(bytes(buf[:need]), dtype=np.uint8).astype(np.int64)
+                    * 250
+                ) // 255
+                if v == 1:
+                    py, px0 = (b % 8 * h) // 8, (b % 8 * w) // 9
+                    pxj = ((b % 8 + 1) * w) // 9
+                    vals[py * w + px0] = 200
+                    vals[py * w + pxj] = 100
+                px = vals.astype(np.uint8).reshape(h, w)
+                px = decode_png(encode_png(px, filter_seed=i))
+                bits = 0
+                for y in range(8):
+                    yi = (y * h) // 8
+                    row = px[yi].astype(np.int64)
+                    for x in range(8):
+                        xi, xj = (x * w) // 9, ((x + 1) * w) // 9
+                        if row[xi] < row[xj]:
+                            bits |= 1 << (y * 8 + x)
+                ids.append(i)
+                los.append(bits & 0xFFFFFFFF)
+                his.append(bits >> 32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "lo": pd.array(los, dtype="int64"),
+                    "hi": pd.array(his, dtype="int64"),
+                }
+            )
+
+    hashes = docs.mapInPandas(hash_batch, hash_schema).transform(tracked_persist)
+    mask = F.lit(65535)
+    band_vals = F.array(
+        F.col("lo").bitwiseAND(mask),
+        F.shiftright("lo", 16).bitwiseAND(mask),
+        F.col("hi").bitwiseAND(mask),
+        F.shiftright("hi", 16).bitwiseAND(mask),
+    )
+    bands = hashes.select(
+        "doc_id", "lo", "hi", F.posexplode(band_vals).alias("band", "band_val")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+        "band",
+        "band_val",
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+        "band",
+        "band_val",
+    )
+    cand = (
+        a.join(bb, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "lo_a", "hi_a", "lo_b", "hi_b")
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("bigint")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming").between(1, 6))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
     "media_frame_dedup",
     oracle="""
 WITH params AS (

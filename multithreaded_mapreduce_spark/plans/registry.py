@@ -194,11 +194,14 @@ def _load() -> None:
 #: oracle-bearing query with NO driver row ever is streaming_holt_daily
 #: (landed after the r8 window froze) — it gets the first non-canary
 #: slot (VERDICT r8 task 1). Then: (a) the 5 standing canaries;
-#: (b) the three operators new this round — media_jpeg_roundtrip (the
+#: (b) the four operators new this round — media_jpeg_roundtrip (the
 #: native baseline-JPEG codec certification, task 8),
-#: media_phash_dedup (perceptual image dedup through the real codec)
-#: and media_wav_roundtrip (the lossless audio closure of the
-#: codec-certification family); (c) the 5
+#: media_phash_dedup (perceptual image dedup through the real codec),
+#: media_wav_roundtrip (the lossless audio closure of the
+#: codec-certification family) and media_phash_near_pairs
+#: (Hamming-banded perceptual NEAR-dup pairs — the LSH candidate
+#: geometry itself oracle-certified, the dedup_minhash_verified
+#: pattern transplanted to images); (c) the 5
 #: builders changed this round and re-greening after the refactor —
 #: media_png_roundtrip (doc_id-seeded scanline filters now drive all
 #: five spec-§9 paths through the digest match, task 2),
@@ -207,19 +210,22 @@ def _load() -> None:
 #: dedup_minhash_verified + lsh_recall_report (the shared k=1 banding
 #: memo slot, task 6); (d) ALL 13 remaining r3-vintage entries
 #: (task 4 — after this round no green entry predates r4);
-#: (e) 23 of the 44 r4-vintage entries, chosen for plan-class
+#: (e) 22 of the 44 r4-vintage entries, chosen for plan-class
 #: diversity (asof/range/bucketed/salted joins, MERGE, SCD2,
 #: recursive/lateral SQL, pagerank, Lloyd, IVF, deciles, pivot,
-#: grouping sets, moments, funnel/cohort, and 6 structurally-distinct
-#: TPC-H queries). The 19 r4 entries left for r10 each have a close
+#: moments, funnel, and 6 structurally-distinct
+#: TPC-H queries). The 22 r4 entries left for r10 each have a close
 #: plan-class cousin in this window: q3/q6/q14 and q8/q10/q15/q16/
 #: q19/q20 (join+agg TPC-H shapes) vs q2/q7/q9/q13/q17/q21 + the join
 #: canary; q4/q18/q22 (correlated-subquery family) vs q17/q21;
-#: string_agg_status_list vs argminmax_median_mode +
-#: grouping_sets_lineitem; customer_abc/rfm vs cohort_weekly_retention
-#: + funnel_view_click_purchase; corpus_dedup_report /
-#: dedup_incremental_batch vs the dedup rows; bpe_merge_candidates vs
-#: the r5-vintage BPE family (younger greens).
+#: string_agg_status_list + grouping_sets_lineitem vs
+#: argminmax_median_mode (+ cube/rollup, r8-green); customer_abc/rfm
+#: and cohort_weekly_retention vs funnel_view_click_purchase;
+#: sql_q5_local_supplier_volume vs sql_lateral/sql_recursive + q7;
+#: corpus_dedup_report / dedup_incremental_batch vs the dedup rows;
+#: bpe_merge_candidates vs the r5-vintage BPE family (younger greens).
+#: (sql_q5, grouping_sets_lineitem and cohort_weekly_retention ceded
+#: their slots to the three late-round media-certification operators.)
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
     "wordcount",
@@ -233,6 +239,7 @@ FRONT_WINDOW: tuple[str, ...] = (
     "media_jpeg_roundtrip",
     "media_phash_dedup",
     "media_wav_roundtrip",
+    "media_phash_near_pairs",
     # builders changed this round (PNG filter seed / ANN query sample /
     # shared banding memo)
     "media_png_roundtrip",
@@ -259,7 +266,6 @@ FRONT_WINDOW: tuple[str, ...] = (
     "argminmax_median_mode",
     "asof_purchase_attribution",
     "bucketed_join_order_revenue",
-    "cohort_weekly_retention",
     "funnel_view_click_purchase",
     "kmeans_lloyd",
     "knn_ivf_exact_ann",
