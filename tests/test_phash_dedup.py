@@ -53,6 +53,46 @@ def test_brightness_shift_is_byte_distinct_but_hash_identical():
     assert _dhash_hex(_raster(3)) != _dhash_hex(_raster(6))
 
 
+def _near_raster(doc_id: int) -> np.ndarray:
+    """media_phash_near_pairs' raster family (perturbed odd variants)."""
+    b, v = doc_id // 2, doc_id % 2
+    w, h = 18 + b % 11, 14 + b % 7
+    need = w * h
+    buf = bytearray()
+    j = 0
+    while len(buf) < need:
+        buf += hashlib.md5(f"nearimg:{b}:{j}".encode()).digest()
+        j += 1
+    vals = (
+        np.frombuffer(bytes(buf[:need]), dtype=np.uint8).astype(np.int64) * 250
+    ) // 255
+    if v == 1:
+        py, pxi = (b % 8 * h) // 8, (b % 8 * w) // 9
+        pxj = ((b % 8 + 1) * w) // 9
+        vals[py * w + pxi] = 200
+        vals[py * w + pxj] = 100
+    return vals.astype(np.uint8).reshape(h, w)
+
+
+def test_near_pairs_recovers_perturbed_variants(spark, sf_dir):
+    """The planted (2b, 2b+1) pairs differ in fingerprint (so exact
+    grouping misses them) yet surface through the Hamming banding with
+    small distances; reported hammings match a scalar recomputation."""
+    rows = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in Q["media_phash_near_pairs"].builder(spark, sf_dir).collect()
+    }
+    assert rows, "no near pairs surfaced"
+    within = {(a, b): d for (a, b), d in rows.items() if a // 2 == b // 2}
+    assert len(within) >= 10  # most planted perturbations flip >= 1 bit
+    for (a, b), d in list(rows.items())[:20]:
+        ha = _dhash_hex(_near_raster(a))
+        hb = _dhash_hex(_near_raster(b))
+        assert ha != hb  # near, not equal — the exact-group blind spot
+        assert bin(int(ha, 16) ^ int(hb, 16)).count("1") == d
+        assert 1 <= d <= 6
+
+
 def test_query_groups_match_scalar_recomputation(spark, sf_dir):
     rows = {
         r.doc_id: (r.phash, r.dup_group_size)
