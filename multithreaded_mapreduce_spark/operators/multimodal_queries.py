@@ -43,6 +43,30 @@ from ..plans.registry import register
 _N_MEDIA = 96
 
 
+def _distinct_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct non-null, non-negative doc_ids, hash-distributed.
+
+    The raster-from-id media queries derive their payload from doc_id
+    ALONE, so their output contract is one row per DISTINCT id — a
+    damaged corpus carrying a duplicated doc_id must not double-emit
+    rows or inflate dup-group sizes (the oracles' id projections are
+    DISTINCT for the same reason; the contract is pinned family-wide
+    by tests/test_media_id_contract.py). dropDuplicates also plays
+    spread()'s role here: its exchange hash-distributes the ids
+    across the session's cores before the CPU-heavy codec work.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+
+
 @register(
     "media_decode_metadata",
     oracle=None,
@@ -247,7 +271,7 @@ def media_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_png_roundtrip",
     oracle="""
 WITH p AS (
-  SELECT doc_id,
+  SELECT DISTINCT doc_id,
          4 + doc_id % 9 AS w,
          3 + doc_id % 7 AS h,
          CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
@@ -293,16 +317,9 @@ def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from ..sources.tables import load_table, spread
-
-    docs = spread(
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
-        .select("doc_id")
-    )
+    docs = _distinct_ids(spark, sf_dir)
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -360,7 +377,7 @@ def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_jpeg_roundtrip",
     oracle="""
-SELECT doc_id,
+SELECT DISTINCT doc_id,
        CAST(16 + doc_id % 17 AS INT) AS width,
        CAST(16 + doc_id % 13 AS INT) AS height,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS n_channels,
@@ -395,16 +412,9 @@ def media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from ..sources.tables import load_table, spread
-
-    docs = spread(
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
-        .select("doc_id")
-    )
+    docs = _distinct_ids(spark, sf_dir)
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -478,7 +488,7 @@ def media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_wav_roundtrip",
     oracle="""
 WITH p AS (
-  SELECT doc_id,
+  SELECT DISTINCT doc_id,
          64 + doc_id % 97 AS n,
          8000 + (doc_id % 4) * 4000 AS rate
   FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
@@ -519,16 +529,9 @@ def media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from ..sources.tables import load_table, spread
-
-    docs = spread(
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
-        .select("doc_id")
-    )
+    docs = _distinct_ids(spark, sf_dir)
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -579,7 +582,7 @@ def media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_phash_dedup",
     oracle="""
 WITH p AS (
-  SELECT doc_id, doc_id // 3 AS g,
+  SELECT DISTINCT doc_id, doc_id // 3 AS g,
          16 + (doc_id // 3) % 13 AS w,
          12 + (doc_id // 3) % 9 AS h
   FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
@@ -646,13 +649,7 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from ..plans.caching import tracked_persist
-    from ..sources.tables import load_table, spread
-
-    docs = spread(
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
-        .select("doc_id")
-    )
+    docs = _distinct_ids(spark, sf_dir)
     hash_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -708,7 +705,7 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_phash_near_pairs",
     oracle="""
 WITH p AS (
-  SELECT doc_id, doc_id // 2 AS b, doc_id % 2 AS v,
+  SELECT DISTINCT doc_id, doc_id // 2 AS b, doc_id % 2 AS v,
          18 + (doc_id // 2) % 11 AS w, 14 + (doc_id // 2) % 7 AS h
   FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
 ), blocks AS (
@@ -788,13 +785,7 @@ def media_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from ..plans.caching import tracked_persist
-    from ..sources.tables import load_table, spread
-
-    docs = spread(
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
-        .select("doc_id")
-    )
+    docs = _distinct_ids(spark, sf_dir)
     hash_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),

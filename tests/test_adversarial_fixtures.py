@@ -61,11 +61,15 @@ _EDGE_DOCS = [
 
 
 def _doc_queries() -> list[str]:
-    wanted = {"text", "dedup", "chunking", "pipeline", "tokenizer", "ngram"}
+    # Select by ORACLE TEXT, not tags: every oracle-bearing query that
+    # reads documents must survive the edge rows. The previous tag
+    # filter let the r9 media-certification family (image/audio/
+    # real-codec tags only) dodge the duplicate-doc_id fixture and ship
+    # a per-row-vs-GROUP-BY divergence (VERDICT r9 what's-wrong #1-2).
     return sorted(
         n
         for n, q in _Q.items()
-        if q.oracle and (set(q.tags) & wanted) and "streaming" not in q.tags
+        if q.oracle and "documents" in q.oracle and "streaming" not in q.tags
     )
 
 
