@@ -277,8 +277,12 @@ class _BitReader:
         self._nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated scan data")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated scan data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -517,6 +521,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # T.81 §B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them instead of rejecting the stream
+        while data[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(data):
+                raise ValueError("JPEG truncated: no SOS/EOI")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -594,24 +604,41 @@ def _decode_scan(
     restart_interval: int,
 ) -> np.ndarray:
     fh, fw, comps = frame
-    if len(scan_sel) != len(comps):
+    if len(scan_sel) != len(comps) and len(scan_sel) != 1:
         raise ValueError("partial (multi-scan) JPEG not supported")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:
         raise ValueError(f"sampling factors up to 2 supported (got {hmax}x{vmax})")
-    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
     by_comp_id = {c[0]: i for i, c in enumerate(comps)}
     order = []
     zz_store: list[np.ndarray] = []
     grids: list[tuple[int, int]] = []
-    for cs, td, ta in scan_sel:
+    if len(scan_sel) == 1:
+        # T.81 §A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one data unit and blocks traverse the component's OWN
+        # grid (ceil(cw/8) x ceil(ch/8)), regardless of the frame's
+        # declared sampling factors. Decoding it as interleaved would
+        # read vi*hi blocks per MCU and desync the bit stream.
+        cs, td, ta = scan_sel[0]
         ci = by_comp_id[cs]
         _, hi, vi, _tq = comps[ci]
-        grids.append((mcuy * vi, mcux * hi))
-        zz_store.append(np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.int64))
-        order.append((ci, hi, vi, td, ta))
+        cw = (fw * hi + hmax - 1) // hmax
+        ch = (fh * vi + vmax - 1) // vmax
+        mcux = (cw + 7) // 8
+        mcuy = (ch + 7) // 8
+        grids.append((mcuy, mcux))
+        zz_store.append(np.zeros((mcuy * mcux, 64), dtype=np.int64))
+        order.append((ci, 1, 1, td, ta))  # one data unit per MCU
+    else:
+        mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+        for cs, td, ta in scan_sel:
+            ci = by_comp_id[cs]
+            _, hi, vi, _tq = comps[ci]
+            grids.append((mcuy * vi, mcux * hi))
+            zz_store.append(np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.int64))
+            order.append((ci, hi, vi, td, ta))
 
     reader = _BitReader(data, pos)
     preds = [0] * len(comps)
@@ -623,6 +650,8 @@ def _decode_scan(
                 # encoder must have emitted an RSTn marker here
                 reader._acc = 0
                 reader._nbits = 0
+                if reader.pos + 1 >= len(reader.data):
+                    raise ValueError("truncated scan data")
                 if not (
                     reader.data[reader.pos] == 0xFF
                     and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
@@ -666,8 +695,11 @@ def _decode_scan(
 
     # --- reconstruct planes ---
     planes = []
-    for si, (ci, hi, vi, _td, _ta) in enumerate(order):
-        _cid, _hi, _vi, tq = comps[ci]
+    for si, (ci, _sh, _sv, _td, _ta) in enumerate(order):
+        # upsample ratio comes from the component's TRUE sampling
+        # factors, not the traversal steps in `order` (which are 1,1
+        # for a non-interleaved single-component scan)
+        _cid, hi, vi, tq = comps[ci]
         qt = qtables.get(tq)
         if qt is None:
             raise ValueError(f"frame references undefined quant table {tq}")

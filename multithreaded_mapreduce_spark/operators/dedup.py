@@ -347,8 +347,18 @@ def _eval_sample_decision(spark: SparkSession, sf_dir: str, target: int | None =
     arithmetic the oracle CTE runs inline, so both engines draw the
     same sample."""
     global LAST_EVAL_SAMPLE_DECISION
+    from ..sources.tables import _dataset_mtime_ns, table_path
+
     t = EVAL_SAMPLE_TARGET_DOCS if target is None else target
-    key = (os.path.realpath(sf_dir), t)
+    # mtime in the key (ADVICE r9): the oracle CTE recomputes k from
+    # the CURRENT table on every run, so a fixture rewritten in-process
+    # under the same path must re-probe or the two engines would draw
+    # different samples near the k boundary
+    key = (
+        os.path.realpath(sf_dir),
+        t,
+        _dataset_mtime_ns(table_path(sf_dir, "documents")),
+    )
     if key not in _EVAL_SAMPLE_CACHE:
         n = load_table(spark, sf_dir, "documents").count()
         k = max(1, (n + t - 1) // t)
@@ -392,6 +402,19 @@ def _eval_sample_ctes(target: int | None = None) -> str:
 )"""
 
 
+def _docs_stamp(sf_dir: str) -> str:
+    """Corpus identity for memo keys: path + dataset mtime, so a
+    fixture rewritten in-process under the same path evicts instead of
+    serving a stale checkpointed relation (ADVICE r9 — the oracle
+    always reads the CURRENT table)."""
+    from ..sources.tables import _dataset_mtime_ns, table_path
+
+    return (
+        f"{os.path.realpath(sf_dir)}"
+        f"@{_dataset_mtime_ns(table_path(sf_dir, 'documents'))}"
+    )
+
+
 def _jaccard_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL exact pair relation, checkpoint-memoized per corpus
     (VERDICT r7 task 3): the sweep/eval consumers share one build in a
@@ -399,7 +422,7 @@ def _jaccard_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the path-decision knobs so the forced-path equivalence
     tests still exercise both plans."""
     key = (
-        f"{os.path.realpath(sf_dir)}|k=1"
+        f"{_docs_stamp(sf_dir)}|k=1"
         f"|path={os.environ.get('MMR_JACCARD_PATH', '')}"
         f"|budget={_BROADCAST_BUDGET_BYTES}"
     )
@@ -422,7 +445,7 @@ def _eval_pairs(spark: SparkSession, sf_dir: str, target: int | None = None) -> 
     if k <= 1:
         return _jaccard_pairs_memo(spark, sf_dir)
     key = (
-        f"{os.path.realpath(sf_dir)}|k={k}"
+        f"{_docs_stamp(sf_dir)}|k={k}"
         f"|path={os.environ.get('MMR_JACCARD_PATH', '')}"
         f"|budget={_BROADCAST_BUDGET_BYTES}"
     )
@@ -1600,7 +1623,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured ~25-30% of the build at the edge-bound 10x scale,
     # where pair volume grows 10x)
     hit = peek_result_memo(
-        "minhash_verified_pairs", f"{os.path.realpath(sf_dir)}|k=1"
+        "minhash_verified_pairs", f"{_docs_stamp(sf_dir)}|k=1"
     )
     return hit if hit is not None else _minhash_verified_pairs(spark, sf_dir)
 
@@ -1915,7 +1938,7 @@ def _doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    return memoized_result_checkpoint("jaccard_doc_components", sf_dir, build)
+    return memoized_result_checkpoint("jaccard_doc_components", _docs_stamp(sf_dir), build)
 
 
 @register(
@@ -2894,7 +2917,7 @@ def _verified_pairs_memo(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     ONCE (VERDICT r8 task 6), while a standalone dedup_minhash_verified
     run pays neither the build twice nor the eager checkpoint
     materialization."""
-    key = f"{os.path.realpath(sf_dir)}|k={k}"
+    key = f"{_docs_stamp(sf_dir)}|k={k}"
 
     def build() -> DataFrame:
         docs = _eval_sampled_docs(spark, sf_dir, k) if k > 1 else None

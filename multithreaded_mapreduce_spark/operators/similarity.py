@@ -77,8 +77,18 @@ def _ann_eval_decision(spark: SparkSession, sf_dir: str, target: int | None = No
     fixes the modulus ``k = ceil(n / target)`` by the same integer
     math the oracle CTE runs inline."""
     global LAST_ANN_EVAL_DECISION
+    from ..sources.tables import _dataset_mtime_ns, table_path
+
     t = ANN_EVAL_TARGET_QUERIES if target is None else target
-    key = (os.path.realpath(sf_dir), t)
+    # mtime in the key (ADVICE r9): the oracle CTE recomputes k from
+    # the CURRENT table on every run, so a fixture rewritten in-process
+    # under the same path must re-probe or the two engines would draw
+    # different query sets near the k boundary
+    key = (
+        os.path.realpath(sf_dir),
+        t,
+        _dataset_mtime_ns(table_path(sf_dir, "embeddings")),
+    )
     if key not in _ANN_EVAL_CACHE:
         n = (
             load_table(spark, sf_dir, "embeddings")

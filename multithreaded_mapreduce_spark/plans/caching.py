@@ -244,14 +244,37 @@ _RESULT_MEMO: dict[str, tuple[str, DataFrame, list[tuple[object, int]]]] = {}
 _MEMO_STATS: dict[str, dict] = {}
 
 
+def _memo_session_live(df: DataFrame) -> bool:
+    """A memo hit is only usable from the session that checkpointed it:
+    localCheckpoint blocks die with their session, so a handle bound to
+    a stopped session (an earlier test-module session in the same
+    process) crashes with an opaque missing-block error on first
+    action. Same hazard the _SCHEMA_CACHE in sources/tables.py guards
+    with ``hit[0] is spark`` — here the caller's session isn't a
+    parameter, so compare against the process's active session and
+    treat any doubt as a miss (rebuild is always correct, just
+    slower)."""
+    from pyspark.sql import SparkSession
+
+    try:
+        sess = df.sparkSession
+        if sess.sparkContext._jsc is None:  # session stopped
+            return False
+        active = SparkSession.getActiveSession()
+        return active is not None and active is sess
+    except Exception:
+        return False
+
+
 def memoized_result_checkpoint(name: str, key: str, build) -> DataFrame:
     """Return the memoized checkpointed result for (name, key), or run
     ``build()`` and checkpoint it. The returned frame's lineage is
     truncated, so it stays valid across release_tracked() epochs until
-    the memo itself is evicted (key change or release_result_memos)."""
+    the memo itself is evicted (key change, dead session, or
+    release_result_memos)."""
     stats = _MEMO_STATS.setdefault(name, {"key": key, "hits": 0, "misses": 0})
     hit = _RESULT_MEMO.get(name)
-    if hit is not None and hit[0] == key:
+    if hit is not None and hit[0] == key and _memo_session_live(hit[1]):
         stats["hits"] += 1
         return hit[1]
     if hit is not None:
@@ -276,9 +299,15 @@ def peek_result_memo(name: str, key: str) -> DataFrame | None:
     session's artifact: a hit costs nothing and saves the full build;
     a miss costs nothing at all — in particular no eager localCheckpoint
     materialization, which measures ~25-30% of the build at the
-    edge-bound 10x scale for the pair relations."""
+    edge-bound 10x scale for the pair relations. A hit whose session
+    has died is evicted and reported as a miss (the caller's plain
+    lazy plan is always a correct fallback)."""
     hit = _RESULT_MEMO.get(name)
     if hit is not None and hit[0] == key:
+        if not _memo_session_live(hit[1]):
+            _unpersist_memo_blocks(hit[2])
+            del _RESULT_MEMO[name]
+            return None
         stats = _MEMO_STATS.setdefault(name, {"key": key, "hits": 0, "misses": 0})
         stats["hits"] += 1
         return hit[1]

@@ -36,7 +36,7 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: (realpath(sf_dir), table, mtime_ns) -> (session, parquet schema).
+#: (realpath(sf_dir), table) -> (session, dataset mtime_ns, schema).
 #: ``spark.read.parquet`` with no schema is NOT free: every call
 #: re-reads footers to infer the schema on the JVM (~150 ms measured),
 #: which was the dominant fixed cost of trivial queries' builder phase
@@ -44,17 +44,45 @@ def table_path(sf_dir: str, name: str) -> str:
 #: back cuts the read call ~5× while still returning a FRESH DataFrame
 #: per call, so role-playing self-joins (two load_table calls joined
 #: against each other, e.g. q7's n1/n2 nations) keep distinct plan ids.
-#: The mtime key invalidates on rewritten fixture dirs; the session
-#: identity check invalidates across session restarts in tests.
-_SCHEMA_CACHE: dict[tuple, tuple[SparkSession, object]] = {}
+#: The mtime lives in the VALUE, not the key, so a rewrite supersedes
+#: the stale entry instead of accumulating beside it (one entry per
+#: (dir, table), bounded); the session identity check invalidates
+#: across session restarts in tests.
+_SCHEMA_CACHE: dict[tuple[str, str], tuple[SparkSession, int, object]] = {}
 
 
-def _read_parquet_cached_schema(spark: SparkSession, path: str, key: tuple) -> DataFrame:
+def _dataset_mtime_ns(path: str) -> int:
+    """Freshness stamp for a parquet path. For a directory-style
+    dataset the DIR mtime only moves when entries are added/removed/
+    renamed — overwriting part files in place leaves it unchanged, and
+    a stale cached schema would then be silently forced onto new data.
+    Take the max mtime across the directory's files instead (footer,
+    _SUCCESS, and part files all count)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return -1  # missing path: let the Spark reader raise its own error
+    newest = st.st_mtime_ns
+    if os.path.isdir(path):
+        try:
+            for entry in os.scandir(path):
+                try:
+                    newest = max(newest, entry.stat().st_mtime_ns)
+                except OSError:
+                    continue
+        except OSError:
+            pass
+    return newest
+
+
+def _read_parquet_cached_schema(
+    spark: SparkSession, path: str, key: tuple[str, str], mtime: int
+) -> DataFrame:
     hit = _SCHEMA_CACHE.get(key)
-    if hit is not None and hit[0] is spark:
-        return spark.read.schema(hit[1]).parquet(path)
+    if hit is not None and hit[0] is spark and hit[1] == mtime:
+        return spark.read.schema(hit[2]).parquet(path)
     df = spark.read.parquet(path)
-    _SCHEMA_CACHE[key] = (spark, df.schema)
+    _SCHEMA_CACHE[key] = (spark, mtime, df.schema)
     return df
 
 
@@ -64,12 +92,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)
     path = table_path(sf_dir, name)
-    try:
-        mtime = os.stat(path).st_mtime_ns
-    except OSError:
-        mtime = -1  # missing path: let the Spark reader raise its own error
-    key = (os.path.realpath(sf_dir), name, mtime)
-    return _ltz(_read_parquet_cached_schema(spark, path, key))
+    key = (os.path.realpath(sf_dir), name)
+    return _ltz(
+        _read_parquet_cached_schema(spark, path, key, _dataset_mtime_ns(path))
+    )
 
 
 def _ltz(df: DataFrame) -> DataFrame:
@@ -104,12 +130,8 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
-    try:
-        mtime = os.stat(path).st_mtime_ns
-    except OSError:
-        mtime = -1
     df = _read_parquet_cached_schema(
-        spark, path, (os.path.realpath(sf_dir), "events", mtime)
+        spark, path, (os.path.realpath(sf_dir), "events"), _dataset_mtime_ns(path)
     )
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":

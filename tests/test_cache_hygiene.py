@@ -117,7 +117,8 @@ def test_components_consumers_share_one_cc_pass(spark, sf_dir):
     release_result_memos()
     Q["dedup_components"].builder(spark, sf_dir).count()
     s0 = result_memo_stats("jaccard_doc_components")
-    assert s0 is not None and s0["key"] == sf_dir
+    # key = corpus path + dataset mtime stamp (ADVICE r9)
+    assert s0 is not None and s0["key"].startswith(f"{sf_dir}@")
     base_hits, base_misses = s0["hits"], s0["misses"]
     # the registry wrapper released tracked caches at this build's top;
     # the memo must still satisfy the next two consumers
@@ -128,3 +129,52 @@ def test_components_consumers_share_one_cc_pass(spark, sf_dir):
     assert s1["hits"] == base_hits + 2
     assert release_result_memos() == 1
     assert _persistent_rdds(spark) == 0 or release_tracked() >= 0
+
+
+def test_dead_session_memo_hit_is_evicted(spark, sf_dir):
+    """ADVICE r9: a memo entry bound to a stopped session must read as
+    a MISS (peek returns None and evicts; the checkpointing getter
+    rebuilds) instead of handing back a frame whose localCheckpoint
+    blocks are gone."""
+    from multithreaded_mapreduce_spark.plans import caching as C
+
+    class _DeadSessionFrame:
+        @property
+        def sparkSession(self):  # a stopped session's context is gone
+            raise RuntimeError("session stopped")
+
+    release_result_memos()
+    C._RESULT_MEMO["zombie"] = ("k", _DeadSessionFrame(), [])
+    assert C.peek_result_memo("zombie", "k") is None
+    assert "zombie" not in C._RESULT_MEMO  # evicted, not retried forever
+
+    C._RESULT_MEMO["zombie2"] = ("k", _DeadSessionFrame(), [])
+    from multithreaded_mapreduce_spark.sources.tables import load_table
+
+    out = C.memoized_result_checkpoint(
+        "zombie2", "k", lambda: load_table(spark, sf_dir, "region")
+    )
+    assert out.count() > 0  # rebuilt from the live session
+    release_result_memos()
+
+
+def test_live_session_memo_still_hits(spark, sf_dir):
+    """The liveness guard must not turn real hits into rebuilds."""
+    from multithreaded_mapreduce_spark.plans.caching import (
+        memoized_result_checkpoint,
+        result_memo_stats,
+    )
+    from multithreaded_mapreduce_spark.sources.tables import load_table
+
+    release_result_memos()
+    build_calls = []
+
+    def build():
+        build_calls.append(1)
+        return load_table(spark, sf_dir, "region")
+
+    a = memoized_result_checkpoint("live_probe", "k", build)
+    b = memoized_result_checkpoint("live_probe", "k", build)
+    assert len(build_calls) == 1 and a is b
+    assert result_memo_stats("live_probe")["hits"] == 1
+    release_result_memos()

@@ -187,3 +187,44 @@ def test_binary_dispatch_decodes_jpeg_payloads():
     gray = _smooth(8)
     w, h, c = _decode_payload(encode_jpeg(gray, quality=90), fake_codec=False)
     assert (w, h, c) == (gray.shape[1], gray.shape[0], 1)
+
+
+def test_truncated_scan_raises_valueerror_not_indexerror():
+    """ADVICE r9: a stream cut mid-scan must hit the module's
+    ValueError contract, never a raw IndexError from the bit reader."""
+    buf = bytes(encode_jpeg(_smooth(4), quality=90))
+    sos = buf.index(b"\xff\xda")
+    (ln,) = struct.unpack(">H", buf[sos + 2 : sos + 4])
+    scan_start = sos + 2 + ln
+    for cut in (scan_start + 1, scan_start + (len(buf) - scan_start) // 2,
+                len(buf) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(buf[:cut])
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 §B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; real encoders emit them. The segment walk must skip, not
+    reject."""
+    buf = bytes(encode_jpeg(_smooth(7), quality=90))
+    sof = buf.index(b"\xff\xc0")
+    padded = buf[:sof] + b"\xff\xff\xff" + buf[sof:]
+    assert (decode_jpeg(padded) == decode_jpeg(buf)).all()
+    # fill bytes immediately after SOI too
+    padded2 = buf[:2] + b"\xff" + buf[2:]
+    assert (decode_jpeg(padded2) == decode_jpeg(buf)).all()
+
+
+def test_single_component_scan_is_non_interleaved():
+    """ADVICE r9 / T.81 §A.2.2: a single-component scan ignores the
+    frame's sampling factors — blocks traverse the component's own
+    grid. A grayscale stream whose SOF declares 2x2 sampling must
+    decode identically to its 1x1 twin (the entropy bits are the
+    same non-interleaved sequence either way)."""
+    for i in (4, 6, 10):  # gray members of the raster family
+        buf = bytes(encode_jpeg(_smooth(i), quality=90))
+        sof = buf.index(b"\xff\xc0")
+        hv_at = sof + 2 + 2 + 7  # marker + len + prec/fh/fw/nf/cid
+        assert buf[hv_at] == 0x11
+        patched = buf[:hv_at] + b"\x22" + buf[hv_at + 1 :]
+        assert (decode_jpeg(patched) == decode_jpeg(buf)).all()

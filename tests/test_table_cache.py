@@ -29,10 +29,10 @@ def test_two_loads_self_join_without_ambiguity(spark, sf_dir):
 def test_schema_cache_populates_and_reuses(spark, sf_dir):
     tb.load_table(spark, sf_dir, "region")
     key = (os.path.realpath(sf_dir), "region")
-    entries = [k for k in tb._SCHEMA_CACHE if k[:2] == key]
-    assert entries, "schema cache did not populate for region"
-    sess, schema = tb._SCHEMA_CACHE[entries[-1]]
+    assert key in tb._SCHEMA_CACHE, "schema cache did not populate for region"
+    sess, mtime, schema = tb._SCHEMA_CACHE[key]
     assert sess is spark
+    assert mtime == tb._dataset_mtime_ns(tb.table_path(sf_dir, "region"))
     assert "r_regionkey" in schema.fieldNames()
 
 
@@ -53,6 +53,56 @@ def test_rewritten_fixture_dir_invalidates_by_mtime(spark, tmp_path):
     df2 = tb.load_table(spark, str(tmp_path), "region")
     assert df2.columns == ["r_regionkey", "r_name", "r_comment"]
     assert [tuple(r) for r in df2.collect()] == [(2, "ASIA", "note")]
+
+
+def test_inplace_part_overwrite_invalidates(spark, tmp_path):
+    """ADVICE r9: a directory-style dataset whose PART FILES are
+    overwritten in place leaves the dir mtime unchanged — the cache
+    must key on the newest file inside, not the dir entry, or a stale
+    schema gets forced onto the new data."""
+    import shutil
+    import tempfile
+
+    p = str(tmp_path / "region.parquet")
+    spark.createDataFrame(
+        [(1, "AMERICA")], "r_regionkey long, r_name string"
+    ).write.mode("overwrite").parquet(p)
+    df1 = tb.load_table(spark, str(tmp_path), "region")
+    assert df1.columns == ["r_regionkey", "r_name"]
+    # write the new-schema dataset elsewhere, then copy its part file
+    # CONTENTS over the old one and mirror names — dir mtime untouched
+    with tempfile.TemporaryDirectory() as alt:
+        spark.createDataFrame(
+            [(2, "ASIA", "note")],
+            "r_regionkey long, r_name string, r_comment string",
+        ).write.mode("overwrite").parquet(os.path.join(alt, "w"))
+        new_part = next(
+            f for f in os.listdir(os.path.join(alt, "w")) if f.endswith(".parquet")
+        )
+        old_parts = [f for f in os.listdir(p) if f.endswith(".parquet")]
+        dir_mtime = os.stat(p).st_mtime_ns
+        for old in old_parts:
+            shutil.copyfile(os.path.join(alt, "w", new_part), os.path.join(p, old))
+        for f in os.listdir(p):  # stale Hadoop checksums of the old bytes
+            if f.startswith(".") and f.endswith(".crc"):
+                os.remove(os.path.join(p, f))
+        os.utime(p, ns=(dir_mtime, dir_mtime))  # pin the dir mtime
+    df2 = tb.load_table(spark, str(tmp_path), "region")
+    assert df2.columns == ["r_regionkey", "r_name", "r_comment"]
+
+
+def test_cache_stays_bounded_per_table(spark, tmp_path):
+    """Rewrites supersede the entry for their (dir, table) instead of
+    accumulating one entry per mtime."""
+    p = str(tmp_path / "nation.parquet")
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, f"N{i}", 0)], "n_nationkey long, n_name string, n_regionkey int"
+        ).write.mode("overwrite").parquet(p)
+        tb.load_table(spark, str(tmp_path), "nation")
+    key = (os.path.realpath(str(tmp_path)), "nation")
+    matches = [k for k in tb._SCHEMA_CACHE if k[0] == key[0] and k[1] == "nation"]
+    assert matches == [key]
 
 
 def test_cached_schema_read_matches_inferred_read(spark, sf_dir):
