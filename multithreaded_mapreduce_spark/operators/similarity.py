@@ -1726,3 +1726,30 @@ def ann_recall_report(
         )
         .orderBy("query_id")
     )
+
+
+#: forced sample cap for the registered *_sampled twin: small enough
+#: that the 1-in-k draw ENGAGES on every driver fixture (the 10-vector
+#: registered query set -> k = ceil(10/4) = 3)
+ANN_EVAL_FORCED_TARGET = 4
+
+
+@register(
+    "ann_recall_report_sampled",
+    oracle=_ann_recall_oracle(target=ANN_EVAL_FORCED_TARGET),
+    description="ann_recall_report with the query-sample target FORCED "
+    f"to {ANN_EVAL_FORCED_TARGET}, so the md5-uniform 1-in-k draw "
+    "ENGAGES (k = 3 on the 10-vector registered query set) at every "
+    "fixture size — the branch a 100 TB corpus actually runs. The "
+    "default-target twin is the identity draw (k = 1) on every "
+    "driver fixture, so without this entry the engaged branch would "
+    "only ever be pytest-checked (VERDICT r9 task 6); here the driver "
+    "certifies the restricted ground-truth scan, the restricted "
+    "sketch chain, and the oracle's mirrored inline sample CTE "
+    "end-to-end. Same plan shape as the production report — only the "
+    "modulus differs (the column_stats_profile_approx pattern: "
+    "register the engaged configuration as its own query).",
+    tags=("similarity", "knn", "ann", "report", "sampled"),
+)
+def ann_recall_report_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_recall_report(spark, sf_dir, eval_target=ANN_EVAL_FORCED_TARGET)

@@ -102,3 +102,17 @@ def test_forced_sample_parity_and_restriction(spark, sf_dir):
     restricted = full.filter(full["query_id"].isin(*keep))
     sampled = sim.ann_recall_report(spark, sf_dir, eval_target=FORCED_TARGET)
     assert _multiset(sampled) == _multiset(restricted)
+
+
+def test_registered_sampled_twin_engages_and_matches_oracle(spark, sf_dir):
+    """VERDICT r9 task 6: the registered ann_recall_report_sampled
+    entry must (a) exist with an oracle so the DRIVER certifies the
+    engaged branch, (b) actually engage (k > 1), and (c) hash-match
+    its forced-target oracle."""
+    q = Q["ann_recall_report_sampled"]
+    assert q.oracle is not None
+    compare_query(spark, sf_dir, q.builder, q.oracle)
+    d = sim._ann_eval_decision(
+        spark, sf_dir, target=sim.ANN_EVAL_FORCED_TARGET
+    )
+    assert d["engaged"] and d["modulus"] > 1
