@@ -352,8 +352,9 @@ def window_audio_frames(
 # REAL codec path (pure numpy — see multimodal/codecs.py): Netpbm images
 # and WAV PCM16 audio need no external library, so decode / resize /
 # sample-frame math below is genuine, not a stand-in. Only exotic
-# codecs (MP3/MP4 — containers + psychoacoustic coders) remain behind
-# the NotImplementedError stub; JPEG decodes natively since r9 (jpeg.py).
+# BITSTREAMS (MP3/H.264 — psychoacoustic/entropy coders) remain behind
+# the NotImplementedError stub; JPEG decodes natively since r9 (jpeg.py)
+# and the MP4 CONTAINER layer demuxes natively since r10 (mp4.py).
 # ---------------------------------------------------------------------------
 
 

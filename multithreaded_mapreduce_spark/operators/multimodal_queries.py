@@ -5,9 +5,11 @@ every run sees identical payload bytes), and since r8 the image paths
 are REAL end to end: payloads are genuine PNG (pure-stdlib zlib codec,
 golden-tested against the reference repo's own .png inputs) or binary
 Netpbm files, decoded/resampled/featurized from actual pixels. Only
-formats that require an external codec library (MP3/MP4) remain
-behind the clearly-marked stub (``fake_codec`` / NotImplementedError),
-exercised by the plumbing unit tests. What every query here exercises
+formats that require an external codec library (MP3, video
+BITSTREAMS) remain behind the clearly-marked stub (``fake_codec`` /
+NotImplementedError), exercised by the plumbing unit tests — while
+the MP4 CONTAINER layer demuxes natively since r10 (multimodal/mp4.py,
+certified by media_mp4_metadata). What every query here exercises
 for the 100 TB media pipeline: binary columns + typed metadata schema,
 hash partitioning by media_id, Arrow-batched mapInPandas (bounded
 memory per batch), fan-out row production (frame sampling), and
@@ -77,8 +79,9 @@ def _distinct_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "walking, not a digest stand-in. The decoder is golden-tested "
     "against the reference repo's own .png inputs (reference "
     "single.png 539x561 RGBA, vlarge1/2.png 558x672 RGBA) in "
-    "tests/test_multimodal_codecs.py; only codecs needing an external "
-    "library (MP3/MP4) remain stubbed.",
+    "tests/test_multimodal_codecs.py; only codec BITSTREAMS needing an "
+    "external library (MP3, H.264) remain stubbed — the MP4 container "
+    "itself demuxes natively (media_mp4_metadata).",
     tags=("multimodal", "image", "pandas-udf", "real-codec"),
 )
 def media_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,7 +225,7 @@ def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "payloads parsed with the pure-numpy Netpbm codec — true width/"
     "height/channels from the header plus mean luminance from the "
     "actual raster. No external image library involved; only exotic "
-    "codecs (MP3/MP4 etc.) remain stubbed.",
+    "codec bitstreams (MP3, H.264 etc.) remain stubbed.",
     tags=("multimodal", "image", "pandas-udf", "real-codec"),
 )
 def media_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,6 +882,112 @@ def media_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming").between(1, 6))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "media_mp4_metadata",
+    oracle="""
+WITH p AS (
+  SELECT DISTINCT doc_id,
+         8 + doc_id % 25 AS n,
+         100 + (doc_id % 5) * 10 AS delta
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+), sizes AS (
+  SELECT doc_id, sum(50 + (doc_id + k) % 17) AS mb
+  FROM p, unnest(range(0, CAST(n AS BIGINT))) AS u(k)
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       'isom' AS brand,
+       'avc1' AS codec,
+       CAST(16 * (2 + p.doc_id % 9) AS INT) AS width,
+       CAST(16 * (2 + p.doc_id % 7) AS INT) AS height,
+       CAST(p.n * p.delta * 1000 // 600 AS BIGINT) AS duration_ms,
+       CAST(p.n AS BIGINT) AS n_samples,
+       CAST(s.mb AS BIGINT) AS mdat_bytes
+FROM p JOIN sizes s USING (doc_id)
+ORDER BY p.doc_id
+""",
+    description="ISO-BMFF (MP4) container metadata, ORACLE-CHECKED "
+    "(VERDICT r9 task 8): every doc_id derives deterministic video "
+    "parameters (dims, sample count, per-sample duration and sizes), "
+    "the executor MUXES a structurally-valid single-track MP4 — ftyp/"
+    "moov/mvhd/tkhd/stsd(avc1)/stts/stsz/stco + mdat, pure struct "
+    "packing, multimodal/mp4.py — and DEMUXES it back through the "
+    "box walk, emitting brand, codec fourcc, 16.16-fixed track dims, "
+    "movie duration in ms, stsz sample count and mdat byte length; "
+    "DuckDB reproduces every value from pure arithmetic without "
+    "touching a box. A hash match certifies the mux→demux round trip "
+    "of the metadata layer — the part of 'video support' that needs "
+    "no codec library (the mdat bitstream is declared filler; entropy "
+    "decode stays stubbed). Pixels-never-shuffle shape as the other "
+    "certifications: mux+demux live inside one mapInPandas task, only "
+    "(id, metadata) rows leave the executor.",
+    tags=("multimodal", "video", "pandas-udf", "real-codec", "oracle-checked"),
+)
+def media_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _distinct_ids(spark, sf_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("brand", T.StringType(), False),
+            T.StructField("codec", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("duration_ms", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("mdat_bytes", T.LongType(), False),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..multimodal.mp4 import encode_mp4_skeleton, parse_mp4_metadata
+
+        for pdf in batches:
+            rows = {k: [] for k in out_schema.fieldNames()}
+            for mid in pdf["doc_id"]:
+                i = int(mid)
+                n = 8 + i % 25
+                delta = 100 + (i % 5) * 10
+                sizes = [50 + (i + k) % 17 for k in range(n)]
+                meta = parse_mp4_metadata(
+                    encode_mp4_skeleton(
+                        width=16 * (2 + i % 9),
+                        height=16 * (2 + i % 7),
+                        timescale=600,
+                        n_samples=n,
+                        sample_delta=delta,
+                        sample_sizes=sizes,
+                        seed=f"mp4:{i}",
+                    )
+                )
+                rows["doc_id"].append(i)
+                rows["brand"].append(meta["brand"])
+                rows["codec"].append(meta["codec"])
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["duration_ms"].append(meta["duration_ms"])
+                rows["n_samples"].append(meta["n_samples"])
+                rows["mdat_bytes"].append(meta["mdat_bytes"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                    "brand": rows["brand"],
+                    "codec": rows["codec"],
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "duration_ms": pd.array(rows["duration_ms"], dtype="int64"),
+                    "n_samples": pd.array(rows["n_samples"], dtype="int64"),
+                    "mdat_bytes": pd.array(rows["mdat_bytes"], dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(roundtrip, out_schema).orderBy("doc_id")
 
 
 @register(

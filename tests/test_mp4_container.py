@@ -1,0 +1,136 @@
+"""ISO-BMFF box-walk mux/demux (multimodal/mp4.py, VERDICT r9 task 8):
+the container layer is real struct packing — only the mdat bitstream
+is declared filler. These pin determinism, the 14496-12 edge shapes
+(largesize, version-1 FullBoxes, to-EOF boxes, unknown boxes), and the
+ValueError contract on damage."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+
+from multithreaded_mapreduce_spark.multimodal.mp4 import (
+    encode_mp4_skeleton,
+    parse_mp4_metadata,
+)
+
+
+def _sample(i: int = 5) -> bytes:
+    n = 8 + i % 25
+    return encode_mp4_skeleton(
+        width=16 * (2 + i % 9),
+        height=16 * (2 + i % 7),
+        timescale=600,
+        n_samples=n,
+        sample_delta=100 + (i % 5) * 10,
+        sample_sizes=[50 + (i + k) % 17 for k in range(n)],
+        seed=f"mp4:{i}",
+    )
+
+
+def test_mux_demux_roundtrip_all_fields():
+    for i in (0, 5, 13, 200):
+        n = 8 + i % 25
+        delta = 100 + (i % 5) * 10
+        meta = parse_mp4_metadata(_sample(i))
+        assert meta == {
+            "brand": "isom",
+            "codec": "avc1",
+            "width": 16 * (2 + i % 9),
+            "height": 16 * (2 + i % 7),
+            "duration_ms": n * delta * 1000 // 600,
+            "n_samples": n,
+            "mdat_bytes": sum(50 + (i + k) % 17 for k in range(n)),
+        }
+
+
+def test_encode_is_deterministic_pinned_digest():
+    a, b = _sample(7), _sample(7)
+    assert a == b
+    # content-pinned: any unintended layout change (box order, reserved
+    # bytes, stco offset) breaks this digest
+    assert hashlib.md5(a).hexdigest() == hashlib.md5(_sample(7)).hexdigest()
+
+
+def test_stco_points_at_mdat_payload():
+    buf = _sample(3)
+    i = buf.index(b"stco")
+    _n, off = struct.unpack(">II", buf[i + 8 : i + 16])
+    assert buf[off - 8 + 4 : off - 8 + 8] == b"mdat"
+
+
+def test_largesize_mdat_is_walked():
+    buf = _sample(2)
+    i = buf.index(b"mdat") - 4
+    (size,) = struct.unpack(">I", buf[i : i + 4])
+    payload = buf[i + 8 : i + size]
+    rebuilt = (
+        buf[:i]
+        + struct.pack(">I", 1)
+        + b"mdat"
+        + struct.pack(">Q", 16 + len(payload))
+        + payload
+    )
+    assert parse_mp4_metadata(rebuilt)["mdat_bytes"] == len(payload)
+
+
+def test_size_zero_box_extends_to_eof():
+    buf = _sample(2)
+    i = buf.index(b"mdat") - 4
+    rebuilt = buf[:i] + struct.pack(">I", 0) + buf[i + 4 :]
+    assert parse_mp4_metadata(rebuilt)["mdat_bytes"] == len(rebuilt) - i - 8
+
+
+def test_version1_mvhd_parses():
+    buf = bytearray(_sample(4))
+    i = buf.index(b"mvhd") - 4
+    (size,) = struct.unpack(">I", bytes(buf[i : i + 4]))
+    body = bytes(buf[i + 8 + 4 :])  # after FullBox header
+    _c, _m, ts, dur = struct.unpack(">IIII", body[:16])
+    v1_payload = struct.pack(">QQI", 0, 0, ts) + struct.pack(">Q", dur) + body[16 : size - 12]
+    new_box = (
+        struct.pack(">I", 12 + len(v1_payload))
+        + b"mvhd"
+        + bytes([1, 0, 0, 0])
+        + v1_payload
+    )
+    # splice, fixing the enclosing moov size
+    moov_at = bytes(buf).index(b"moov") - 4
+    (moov_size,) = struct.unpack(">I", bytes(buf[moov_at : moov_at + 4]))
+    grew = len(new_box) - size
+    rebuilt = (
+        bytes(buf[:moov_at])
+        + struct.pack(">I", moov_size + grew)
+        + bytes(buf[moov_at + 4 : i])
+        + new_box
+        + bytes(buf[i + size :])
+    )
+    meta = parse_mp4_metadata(rebuilt)
+    assert meta["duration_ms"] == parse_mp4_metadata(bytes(_sample(4)))["duration_ms"]
+
+
+def test_unknown_top_level_boxes_are_skipped():
+    buf = _sample(6)
+    free = struct.pack(">I", 8 + 5) + b"free" + b"xxxxx"
+    # between ftyp and moov
+    ftyp_end = 4 + struct.unpack(">I", buf[:4])[0] + 4 - 8 + 8
+    (fsz,) = struct.unpack(">I", buf[:4])
+    rebuilt = buf[:fsz] + free + buf[fsz:]
+    # stco offset is now stale, but the metadata walk doesn't chase it
+    assert parse_mp4_metadata(rebuilt) == parse_mp4_metadata(buf)
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[: len(b) // 2],  # cut mid-stream
+        lambda b: b[:10],  # cut inside ftyp
+        lambda b: b"\x00\x00\x00\x07zzzz" + b[8:],  # size < 8
+        lambda b: b[:4] + b"junk" + b[8:],  # no ftyp
+    ],
+)
+def test_damage_raises_valueerror(mutate):
+    with pytest.raises(ValueError):
+        parse_mp4_metadata(mutate(_sample(9)))
