@@ -256,6 +256,42 @@ def main() -> None:
     }
     release_result_memos()
 
+    # CC-seed measurement (VERDICT r9 task 7): when a sampling-
+    # disengaged calibration session left the FULL k=1 pair relation
+    # checkpointed, _doc_components derives its group edges from it
+    # via two id-keyed joins instead of re-running the pairwise
+    # token-set compare (peek-never-pay: a cold session is unaffected).
+    # Timed plain-then-seeded OUTSIDE the headline totals; output is
+    # pytest-pinned hash-identical either way.
+    from multithreaded_mapreduce_spark.operators import dedup as _dedup
+
+    release_tracked()
+    release_result_memos()
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    queries["dedup_components"].builder(spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    cc_plain_s = round(time.perf_counter() - t0, 3)
+    release_result_memos()
+    release_tracked()
+    t0 = time.perf_counter()
+    _dedup._jaccard_pairs_memo(spark, sf_dir).count()  # the calibration build
+    cc_memo_build_s = round(time.perf_counter() - t0, 3)
+    release_tracked()
+    t0 = time.perf_counter()
+    queries["dedup_components"].builder(spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    cc_seeded_s = round(time.perf_counter() - t0, 3)
+    cc_seed_stamp = {
+        "plain_seconds": cc_plain_s,
+        "k1_memo_build_seconds": cc_memo_build_s,
+        "seeded_seconds": cc_seeded_s,
+        "decision": dict(_dedup.LAST_CC_SEED_DECISION),
+    }
+    release_result_memos()
+
     # Pair-relation memo measurement (VERDICT r7 task 3): the three
     # ground-truth-bound eval queries share ONE memoized build of the
     # exact pair relation when run back-to-back in a session (a real
@@ -416,6 +452,8 @@ def main() -> None:
         # shared-CC memo: first entry cold (miss), the next two are
         # memo hits — the pipeline-shaped cost of the components trio
         "cc_memo_decision": cc_memo_stamp,
+        # seeded CC: group edges derived from a warm k=1 pair memo
+        "cc_seed_decision": cc_seed_stamp,
         # shared pair-relation memo: sweep cold, leakage + recall warm
         "pairs_memo_decision": pairs_memo_stamp,
         # banding-relation share: dedup_minhash_verified cold, then

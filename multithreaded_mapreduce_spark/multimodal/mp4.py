@@ -184,6 +184,54 @@ def _full_header(data: bytes, pos: int) -> tuple[int, int]:
     return data[pos], pos + 4
 
 
+def parse_mp4_samples(payload: bytes) -> list[tuple[int, int]]:
+    """Per-sample ``(absolute_offset, size)`` from the sample tables —
+    the demux arithmetic a frame extractor runs before any decode:
+    stsz supplies sizes, stco the chunk base, stsc the chunk layout
+    (this parser supports the single-chunk layout the skeleton muxer
+    writes and rejects multi-chunk files explicitly)."""
+    data = bytes(payload)
+    end = len(data)
+    if end < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (missing ftyp)")
+    mb, me = _find(data, 0, end, b"moov")
+    tb, te = _find(data, mb, me, b"trak")
+    db, de = _find(data, tb, te, b"mdia")
+    nb, ne = _find(data, db, de, b"minf")
+    sb, se = _find(data, nb, ne, b"stbl")
+
+    cb, _ce = _find(data, sb, se, b"stsc")
+    _ver, body = _full_header(data, cb)
+    (n_stsc,) = struct.unpack(">I", data[body : body + 4])
+    if n_stsc != 1:
+        raise ValueError("multi-chunk sample layout not supported")
+
+    zb, _ze = _find(data, sb, se, b"stsz")
+    _ver, body = _full_header(data, zb)
+    sample_size, count = struct.unpack(">II", data[body : body + 8])
+    if sample_size:
+        sizes = [sample_size] * count
+    else:
+        sizes = [
+            struct.unpack(">I", data[body + 8 + 4 * k : body + 12 + 4 * k])[0]
+            for k in range(count)
+        ]
+
+    ob, _oe = _find(data, sb, se, b"stco")
+    _ver, body = _full_header(data, ob)
+    n_chunks, base = struct.unpack(">II", data[body : body + 8])
+    if n_chunks != 1:
+        raise ValueError("multi-chunk sample layout not supported")
+
+    out, off = [], base
+    for sz in sizes:
+        if off + sz > end:
+            raise ValueError("sample range past end of file")
+        out.append((off, sz))
+        off += sz
+    return out
+
+
 def parse_mp4_metadata(payload: bytes) -> dict:
     """Walk the box tree and return the container metadata a media
     pipeline catalogs before any decode: brand, movie duration (ms),

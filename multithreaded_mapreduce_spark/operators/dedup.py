@@ -140,6 +140,46 @@ ORDER BY doc_a, doc_b
 JACCARD_ORACLE = _jaccard_pairs_oracle()
 
 
+def _group_relation(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """The collapsed distinct-token-set relation (gid = min member
+    doc_id, member list, hashed token array, set size) — the CHEAP half
+    of the jaccard graph (scan + one groupBy), shared by the pairwise
+    compare and the memo-seeded CC path."""
+    # the no-token filter runs against the RAW text (any non-whitespace
+    # char ⟺ non-empty token set): a predicate over the computed token
+    # array would be pushed into the FileScan and re-run the whole
+    # split/distinct/sort chain inside the single-task scan, while
+    # rlike('\\S') is a cheap early prune there
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = spread(
+        docs.select("doc_id", "text").filter(F.col("text").rlike(r"\S"))
+    )
+    tokset = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
+        ).alias("toks"),
+    )
+    # the pairwise verify compares HASHED token arrays (8-byte longs):
+    # intersecting string arrays re-hashes every variable-length token
+    # per candidate pair, while the long arrays hash once here (same
+    # counts absent 64-bit collisions — odds ~|vocab|²/2⁶⁴, nil)
+    return (
+        tokset.groupBy("toks")
+        .agg(F.min("doc_id").alias("gid"), F.collect_list("doc_id").alias("members"))
+        .select(
+            "gid",
+            "members",
+            F.transform("toks", lambda t: F.xxhash64(t)).alias("toks_h"),
+            F.size("toks").alias("n"),
+        )
+        .transform(tracked_persist)
+    )
+
+
 def _jaccard_group_cross(
     spark: SparkSession,
     sf_dir: str,
@@ -162,37 +202,7 @@ def _jaccard_group_cross(
     # under a size-ratio prune (jaccard >= t needs min(na,nb)/max >= t),
     # then expand members. All counts are integers, so the jaccard
     # doubles are bit-identical to the oracle's c/(na+nb-c).
-    # the no-token filter runs against the RAW text (any non-whitespace
-    # char ⟺ non-empty token set): a predicate over the computed token
-    # array would be pushed into the FileScan and re-run the whole
-    # split/distinct/sort chain inside the single-task scan, while
-    # rlike('\\S') is a cheap early prune there
-    if docs is None:
-        docs = load_table(spark, sf_dir, "documents")
-    docs = spread(
-        docs.select("doc_id", "text").filter(F.col("text").rlike(r"\S"))
-    )
-    tokset = docs.select(
-        "doc_id",
-        F.array_sort(
-            F.array_distinct(F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0))
-        ).alias("toks"),
-    )
-    # the pairwise verify compares HASHED token arrays (8-byte longs):
-    # intersecting string arrays re-hashes every variable-length token
-    # per candidate pair, while the long arrays hash once here (same
-    # counts absent 64-bit collisions — odds ~|vocab|²/2⁶⁴, nil)
-    groups = (
-        tokset.groupBy("toks")
-        .agg(F.min("doc_id").alias("gid"), F.collect_list("doc_id").alias("members"))
-        .select(
-            "gid",
-            "members",
-            F.transform("toks", lambda t: F.xxhash64(t)).alias("toks_h"),
-            F.size("toks").alias("n"),
-        )
-        .transform(tracked_persist)
-    )
+    groups = _group_relation(spark, sf_dir, docs)
     # size-ratio prune: |A∩B| <= min(na,nb), so jaccard can only
     # reach t when the smaller set is >= t × the larger
     ratio_prune = (F.col("na") <= F.floor(F.col("nb") / JACCARD_THRESHOLD)) & (
@@ -338,6 +348,10 @@ EVAL_SAMPLE_HEX_DIGITS = 8
 
 _EVAL_SAMPLE_CACHE: dict[tuple, dict] = {}
 LAST_EVAL_SAMPLE_DECISION: dict = {}
+
+#: whether the last _doc_components build was seeded from a warm
+#: jaccard_pairs memo (bench stamps this next to cc_memo_decision)
+LAST_CC_SEED_DECISION: dict = {"seeded": False, "source": "plain"}
 
 
 def _eval_sample_decision(spark: SparkSession, sf_dir: str, target: int | None = None) -> dict:
@@ -1909,8 +1923,49 @@ def _doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level oracle merges components through that id."""
 
     def build() -> DataFrame:
-        groups, cross = _jaccard_group_cross(spark, sf_dir)
-        mem = groups.select("gid", F.explode("members").alias("m"))
+        global LAST_CC_SEED_DECISION
+        pairs_key = (
+            f"{_docs_stamp(sf_dir)}|k=1"
+            f"|path={os.environ.get('MMR_JACCARD_PATH', '')}"
+            f"|budget={_BROADCAST_BUDGET_BYTES}"
+        )
+        pairs_hit = (
+            None
+            if os.environ.get("MMR_CC_SEED", "auto") == "off"
+            else peek_result_memo("jaccard_pairs", pairs_key)
+        )
+        if pairs_hit is not None:
+            # SEEDED (VERDICT r9 task 7): a calibration session already
+            # checkpointed the full doc-level pair relation — derive the
+            # group edge set from it (two id-keyed joins over 2-long
+            # rows) and skip the pairwise token-set compare entirely.
+            # Peek-never-pay: a cold session takes the else branch and
+            # never materializes the memo itself. Exactness: cross-group
+            # member pairs map back to exactly the jaccard>=t group
+            # pairs; within-group (jaccard-1.0) pairs collapse to
+            # self-loops and are filtered; a duplicate doc_id mapping to
+            # two groups adds edges the bridge below implies anyway.
+            groups = _group_relation(spark, sf_dir)
+            mem = groups.select("gid", F.explode("members").alias("m"))
+            ga_map = mem.select(F.col("m").alias("doc_a"), F.col("gid").alias("ga"))
+            gb_map = mem.select(F.col("m").alias("doc_b"), F.col("gid").alias("gb"))
+            cross_e = (
+                pairs_hit.select("doc_a", "doc_b")
+                .join(ga_map, "doc_a")
+                .join(gb_map, "doc_b")
+                .filter(F.col("ga") != F.col("gb"))
+                .select(
+                    F.least("ga", "gb").alias("ga"),
+                    F.greatest("ga", "gb").alias("gb"),
+                )
+                .distinct()
+            )
+            LAST_CC_SEED_DECISION = {"seeded": True, "source": "jaccard_pairs"}
+        else:
+            groups, cross = _jaccard_group_cross(spark, sf_dir)
+            mem = groups.select("gid", F.explode("members").alias("m"))
+            cross_e = cross.select("ga", "gb")
+            LAST_CC_SEED_DECISION = {"seeded": False, "source": "plain"}
         bridge = (
             mem.alias("x")
             .join(mem.alias("y"), "m")
@@ -1921,7 +1976,7 @@ def _doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # members are within-group jaccard-1.0 pairs at doc level, so
         # they belong to the output even with no cross-group neighbor)
         labels = _contracted_components(
-            cross.select("ga", "gb").union(bridge),
+            cross_e.union(bridge),
             extra_nodes=groups.filter(F.size("members") >= 2).select(
                 F.col("gid").alias("node")
             ),

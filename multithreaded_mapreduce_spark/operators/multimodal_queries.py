@@ -991,6 +991,108 @@ def media_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_mp4_frame_sample",
+    oracle="""
+WITH p AS (
+  SELECT DISTINCT doc_id, 8 + doc_id % 25 AS n
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+), sizes AS (
+  SELECT doc_id, k, 50 + (doc_id + k) % 17 AS sz
+  FROM p, unnest(range(0, CAST(n AS BIGINT))) AS u(k)
+), offs AS (
+  SELECT doc_id, k, sz,
+         coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM sizes
+), tot AS (
+  SELECT doc_id, sum(sz) AS tot FROM sizes GROUP BY doc_id
+), blocks AS (
+  SELECT t.doc_id, j,
+         md5('mp4:' || CAST(t.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS hx
+  FROM tot t, unnest(range(0, CAST(ceil(t.tot/16.0) AS BIGINT))) AS u(j)
+), stream AS (
+  SELECT doc_id, string_agg(hx, '' ORDER BY j) AS s
+  FROM blocks GROUP BY doc_id
+)
+SELECT o.doc_id,
+       CAST(o.k AS INT) AS frame_idx,
+       CAST(o.sz AS BIGINT) AS frame_bytes,
+       md5(substr(s.s, CAST(o.off*2 + 1 AS BIGINT), CAST(o.sz*2 AS BIGINT)))
+         AS frame_md5
+FROM offs o JOIN stream s USING (doc_id)
+ORDER BY o.doc_id, frame_idx
+""",
+    description="Demux-driven frame extraction, ORACLE-CHECKED: the "
+    "executor muxes each doc_id's skeleton MP4, demuxes the per-sample "
+    "(offset, size) table from the REAL stsz/stsc/stco boxes "
+    "(multimodal/mp4.py parse_mp4_samples), slices every sample's "
+    "byte range out of the file, and digests it — while DuckDB "
+    "rebuilds the expected digests from the md5-counter filler stream "
+    "plus a windowed prefix-sum of the declared sample sizes, never "
+    "touching a box. A hash match certifies the demux offset "
+    "arithmetic byte-for-byte: stco's ABSOLUTE chunk base (computed "
+    "by the muxer across every preceding box), stsz size decoding, "
+    "and cumulative sample placement — the exact arithmetic a video "
+    "keyframe extractor trusts before handing bytes to a decoder. "
+    "Fan-out shape (one row per sample) like media_text_frames; "
+    "payloads never shuffle — only (id, idx, size, digest) rows leave "
+    "the mapInPandas task.",
+    tags=("multimodal", "video", "pandas-udf", "real-codec", "oracle-checked"),
+)
+def media_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _distinct_ids(spark, sf_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_bytes", T.LongType(), False),
+            T.StructField("frame_md5", T.StringType(), False),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..multimodal.mp4 import encode_mp4_skeleton, parse_mp4_samples
+
+        for pdf in batches:
+            ids, idxs, szs, digs = [], [], [], []
+            for mid in pdf["doc_id"]:
+                i = int(mid)
+                n = 8 + i % 25
+                buf = encode_mp4_skeleton(
+                    width=16 * (2 + i % 9),
+                    height=16 * (2 + i % 7),
+                    timescale=600,
+                    n_samples=n,
+                    sample_delta=100 + (i % 5) * 10,
+                    sample_sizes=[50 + (i + k) % 17 for k in range(n)],
+                    seed=f"mp4:{i}",
+                )
+                for k, (off, sz) in enumerate(parse_mp4_samples(buf)):
+                    ids.append(i)
+                    idxs.append(k)
+                    szs.append(sz)
+                    digs.append(
+                        hashlib.md5(buf[off : off + sz].hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_bytes": pd.array(szs, dtype="int64"),
+                    "frame_md5": digs,
+                }
+            )
+
+    return docs.mapInPandas(sample, out_schema).orderBy("doc_id", "frame_idx")
+
+
+@register(
     "media_frame_dedup",
     oracle="""
 WITH params AS (

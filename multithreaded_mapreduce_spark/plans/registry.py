@@ -226,6 +226,26 @@ def _load() -> None:
 #: bpe_merge_candidates vs the r5-vintage BPE family (younger greens).
 #: (sql_q5, grouping_sets_lineitem and cohort_weekly_retention ceded
 #: their slots to the three late-round media-certification operators.)
+#: ROTATION (r10): CORRECTNESS_r09 went 50/50 green; cumulative
+#: coverage is every oracle-bearing query, no green entry predating r4.
+#: This window: (a) the 5 standing canaries; (b) the 3 operators new
+#: this round — ann_recall_report_sampled (the ENGAGED k>1 eval-sample
+#: branch, VERDICT r9 task 6), media_mp4_metadata and
+#: media_mp4_frame_sample (the ISO-BMFF container demux
+#: certifications, task 8); (c) the 14 builders changed this round and
+#: re-greening — the five raster-from-id media certifications (the
+#: duplicate-doc_id contract fix, tasks 1-2: png/jpeg/wav roundtrips +
+#: both phash queries), the CC trio + dedup_jaccard_pairs (seeded-CC
+#: path + _group_relation refactor + mtime-stamped memo keys, task 7),
+#: the pair-memo eval trio (dedup_threshold_sweep, kfold_leakage_report,
+#: lsh_recall_report — mtime-stamped keys), dedup_minhash_verified
+#: (peek key) and ann_recall_report (mtime-keyed decision cache);
+#: (d) ALL 22 remaining r4-vintage entries (task 3 — after this round
+#: no green entry predates r5); (e) 6 of the 44 r5-vintage entries,
+#: chosen for plan-class diversity (simhash verify, ORC source,
+#: streaming twin, top-PC fold, stratified sample, BM25 ranking) —
+#: the 38 left for r11 each have a cousin in this window or a younger
+#: green. 5+3+14+22+6 = exactly the 50 checked slots.
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
     "wordcount",
@@ -233,58 +253,56 @@ FRONT_WINDOW: tuple[str, ...] = (
     "join_chain_revenue",
     "dedup_exact",
     "knn_cosine_bruteforce",
-    # the single never-driver-checked oracle-bearing query (r8 late)
-    "streaming_holt_daily",
     # operators new this round (never driver-checked)
-    "media_jpeg_roundtrip",
-    "media_phash_dedup",
-    "media_wav_roundtrip",
-    "media_phash_near_pairs",
-    # builders changed this round (PNG filter seed / ANN query sample /
-    # shared banding memo)
+    "ann_recall_report_sampled",
+    "media_mp4_metadata",
+    "media_mp4_frame_sample",
+    # builders changed this round (distinct-id media contract /
+    # seeded CC + memo-key stamps / eval-decision cache keys)
     "media_png_roundtrip",
-    "ann_recall_report",
-    "knn_sketch_ann",
-    "dedup_minhash_verified",
+    "media_jpeg_roundtrip",
+    "media_wav_roundtrip",
+    "media_phash_dedup",
+    "media_phash_near_pairs",
+    "dedup_components",
+    "cluster_aware_split",
+    "dedup_cluster_keep_best",
+    "dedup_jaccard_pairs",
+    "dedup_threshold_sweep",
+    "kfold_leakage_report",
     "lsh_recall_report",
-    # r3 vintage re-greens (the final 13 — closes the r3 tail)
-    "boolean_bitwise_aggs",
-    "count_distinct_parts",
-    "dedup_embedding_pairs",
-    "dedup_ngram_jaccard",
-    "distinct_nation_segments",
-    "events_multires_rollup",
-    "events_sliding_windows",
-    "except_all_order_priorities",
-    "json_typed_extraction",
-    "knn_quantized_ann",
-    "string_functions",
-    "wordcount_grouped_trace",
-    "wordcount_per_doc",
-    # r4 vintage re-greens (25 of 44; the 19 left for r10 have
-    # plan-class cousins here — see the rotation note above)
-    "argminmax_median_mode",
-    "asof_purchase_attribution",
-    "bucketed_join_order_revenue",
-    "funnel_view_click_purchase",
-    "kmeans_lloyd",
-    "knn_ivf_exact_ann",
-    "lineitem_moment_stats",
-    "merge_upsert_customer_state",
-    "part_price_deciles_exact",
-    "pivot_orders_status",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q21_sole_return_supplier",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q9_profit_by_nation",
-    "range_join_error_context",
-    "scd2_customer_history",
-    "skew_salted_event_user_totals",
-    "sql_lateral_top_orders",
-    "sql_recursive_order_chains",
-    "token_pagerank",
+    "dedup_minhash_verified",
+    "ann_recall_report",
+    # r4 vintage re-greens (all 22 — closes the r4 tail)
+    "bpe_merge_candidates",
+    "cohort_weekly_retention",
+    "corpus_dedup_report",
+    "customer_abc_classification",
+    "customer_rfm_segments",
+    "dedup_incremental_batch",
+    "grouping_sets_lineitem",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_concentrated_shippers",
+    "q22_idle_rich_customers",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "sql_q5_local_supplier_volume",
+    "string_agg_status_list",
+    # r5 vintage re-greens (6 of 44 — starts the r5 tail retirement)
+    "dedup_simhash_verified",
+    "orc_source_lineitem_q6",
+    "streaming_tumbling_hourly",
+    "embedding_top_pc",
+    "stratified_sample",
+    "bm25_doc_ranking",
 )
 
 

@@ -134,3 +134,41 @@ def test_unknown_top_level_boxes_are_skipped():
 def test_damage_raises_valueerror(mutate):
     with pytest.raises(ValueError):
         parse_mp4_metadata(mutate(_sample(9)))
+
+
+def test_parse_samples_offsets_and_sizes():
+    from multithreaded_mapreduce_spark.multimodal.mp4 import parse_mp4_samples
+
+    i = 5
+    n = 8 + i % 25
+    sizes = [50 + (i + k) % 17 for k in range(n)]
+    buf = _sample(i)
+    got = parse_mp4_samples(buf)
+    assert [sz for _o, sz in got] == sizes
+    # offsets are contiguous from the stco base and land inside mdat
+    base = got[0][0]
+    assert buf[base - 8 + 4 : base - 8 + 8] == b"mdat"
+    for (o1, s1), (o2, _s2) in zip(got, got[1:]):
+        assert o2 == o1 + s1
+    # the slices are exactly the md5-counter filler stream
+    import hashlib
+
+    filler = bytearray()
+    j = 0
+    while len(filler) < sum(sizes):
+        filler += hashlib.md5(f"mp4:{i}:{j}".encode()).digest()
+        j += 1
+    assert buf[base : base + sum(sizes)] == bytes(filler[: sum(sizes)])
+
+
+def test_parse_samples_rejects_multichunk_and_truncation():
+    from multithreaded_mapreduce_spark.multimodal.mp4 import parse_mp4_samples
+
+    buf = _sample(3)
+    i = buf.index(b"stsc")
+    # bump stsc entry count to 2 (declares a second chunk run)
+    patched = buf[: i + 8] + struct.pack(">I", 2) + buf[i + 12 :]
+    with pytest.raises(ValueError, match="multi-chunk"):
+        parse_mp4_samples(patched)
+    with pytest.raises(ValueError):
+        parse_mp4_samples(buf[: len(buf) - 20])  # samples past EOF
