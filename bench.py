@@ -141,6 +141,11 @@ HEADLINE = (
     "media_phash_dedup",             # perceptual-hash image dedup (real codec)
     "media_wav_roundtrip",           # oracle-checked WAV PCM16 codec roundtrip
     "media_phash_near_pairs",        # Hamming-banded perceptual near-dup pairs
+    # r10: operators above the 0.4 s bar, appended after every subtotal
+    # marker so all rX_comparable prefixes stay intact
+    "media_mp4_metadata",            # ISO-BMFF box-walk mux/demux certification
+    "media_mp4_frame_sample",        # stco/stsz demux offset certification
+    "ann_recall_report_sampled",     # ENGAGED (k>1) query-sampled recall eval
 )
 
 

@@ -53,15 +53,19 @@ def _distinct_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     damaged corpus carrying a duplicated doc_id must not double-emit
     rows or inflate dup-group sizes (the oracles' id projections are
     DISTINCT for the same reason; the contract is pinned family-wide
-    by tests/test_media_id_contract.py). dropDuplicates also plays
-    spread()'s role here: its exchange hash-distributes the ids
-    across the session's cores before the CPU-heavy codec work.
+    by tests/test_media_id_contract.py). spread() AFTER the dedup is
+    load-bearing: AQE coalesces the dropDuplicates exchange's few-KB
+    id shuffle into ONE partition, which would serialize all the
+    downstream codec work onto a single core (measured: the r10 probe
+    read media_png_roundtrip at 4.4 s/exp 0.84 without it vs
+    ~1 s/exp 0.37 with — an explicit-count repartition is exempt from
+    AQE coalescing).
     """
     from pyspark.sql import functions as F
 
-    from ..sources.tables import load_table
+    from ..sources.tables import load_table, spread
 
-    return (
+    return spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") >= 0))
         .select("doc_id")
