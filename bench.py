@@ -146,6 +146,7 @@ HEADLINE = (
     "media_mp4_metadata",            # ISO-BMFF box-walk mux/demux certification
     "media_mp4_frame_sample",        # stco/stsz demux offset certification
     "ann_recall_report_sampled",     # ENGAGED (k>1) query-sampled recall eval
+    "media_audio_fp_dedup",          # gain-invariant perceptual audio dedup
 )
 
 

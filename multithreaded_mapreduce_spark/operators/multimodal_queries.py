@@ -889,6 +889,129 @@ def media_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_audio_fp_dedup",
+    oracle="""
+WITH p AS (
+  SELECT DISTINCT doc_id, doc_id // 3 AS g,
+         256 + ((doc_id // 3) % 5) * 64 AS n
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+), blocks AS (
+  SELECT doc_id, g, n, j,
+         md5('afp:' || CAST(g AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS hx
+  FROM p, unnest(range(0, CAST(ceil(n/16.0) AS BIGINT))) AS u(j)
+), stream AS (
+  SELECT doc_id, n, string_agg(hx, '' ORDER BY j) AS s
+  FROM blocks GROUP BY doc_id, n
+), cells AS (
+  SELECT doc_id, k, k // (n // 32) AS w,
+         abs((((strpos('0123456789abcdef', substr(s, k*2+1, 1))-1)*16
+             + (strpos('0123456789abcdef', substr(s, k*2+2, 1))-1)) % 64) - 32) AS a
+  FROM stream, unnest(range(0, CAST(n AS BIGINT))) AS u(k)
+), energies AS (
+  SELECT doc_id, w, sum(a) AS e FROM cells GROUP BY doc_id, w
+), fps AS (
+  SELECT a.doc_id,
+         CAST(sum(CASE WHEN a.e < b.e THEN 1::BIGINT << a.w ELSE 0 END) AS BIGINT)
+           AS afp
+  FROM energies a JOIN energies b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+  GROUP BY a.doc_id
+)
+SELECT doc_id, afp,
+       CAST(count(*) OVER (PARTITION BY afp) AS BIGINT) AS dup_group_size
+FROM fps
+ORDER BY doc_id
+""",
+    description="Perceptual AUDIO dedup, ORACLE-CHECKED through the "
+    "real WAV codec — the audio twin of media_phash_dedup: every "
+    "doc_id derives a PCM16 stream whose CONTENT repeats every 3 ids "
+    "but whose BYTES differ (a per-id integer GAIN — the re-mastered/"
+    "re-encoded upload exact-digest dedup cannot catch); the executor "
+    "encodes it to a real RIFF/WAVE file, decodes it back through the "
+    "chunk-walking parser, and fingerprints the DECODED samples with "
+    "a 31-bit energy-profile signature (32 windows, per-window sum of "
+    "|sample|, bit w = e_w < e_w+1). Gain scales every window energy "
+    "by the same factor, so the strict comparisons — and the "
+    "fingerprint — are gain-invariant: variants collapse to one "
+    "fingerprint, which DuckDB reproduces from pure md5/strpos "
+    "arithmetic without touching a WAV, certifying codec roundtrip, "
+    "windowing, energy sums and group sizes in one hash match. Scale "
+    "shape: samples never shuffle (fingerprinting lives in one "
+    "mapInPandas task); only (id, 8-byte fingerprint) rows reach the "
+    "dup-group exchange — the dedup_exact digest-groupBy plan. At "
+    "100 TB swap the energy profile for a chromaprint-style "
+    "spectrogram hash inside the same task shape.",
+    tags=("multimodal", "audio", "dedup", "pandas-udf", "real-codec", "oracle-checked"),
+)
+def media_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..plans.caching import tracked_persist
+
+    docs = _distinct_ids(spark, sf_dir)
+    fp_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("afp", T.LongType(), False),
+        ]
+    )
+
+    def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..multimodal.codecs import decode_wav_pcm16, encode_wav_pcm16
+
+        for pdf in batches:
+            ids, fps = [], []
+            for mid in pdf["doc_id"]:
+                i = int(mid)
+                g, gain = i // 3, 1 + i % 3
+                n = 256 + (g % 5) * 64
+                buf = bytearray()
+                j = 0
+                while len(buf) < n:
+                    buf += hashlib.md5(f"afp:{g}:{j}".encode()).digest()
+                    j += 1
+                base = (
+                    np.frombuffer(bytes(buf[:n]), dtype=np.uint8).astype(np.int64)
+                    % 64
+                ) - 32
+                samples = (base * gain).astype("<i2")
+                # real-codec roundtrip: fingerprint what a decoder
+                # actually hands back, not the synthesized array
+                back, _rate = decode_wav_pcm16(
+                    encode_wav_pcm16(samples, 8000 + (g % 4) * 4000)
+                )
+                x = np.abs(back.astype(np.int64)).reshape(32, n // 32)
+                e = x.sum(axis=1)
+                bits = 0
+                for w in range(31):
+                    if e[w] < e[w + 1]:
+                        bits |= 1 << w
+                ids.append(i)
+                fps.append(bits)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "afp": pd.array(fps, dtype="int64"),
+                }
+            )
+
+    fps = docs.mapInPandas(fp_batch, fp_schema).transform(tracked_persist)
+    groups = fps.groupBy("afp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_group_size")
+    )
+    return (
+        fps.join(groups, "afp")
+        .select("doc_id", "afp", "dup_group_size")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "media_mp4_metadata",
     oracle="""
 WITH p AS (

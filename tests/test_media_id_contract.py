@@ -91,6 +91,7 @@ def test_family_is_nonempty():
         "media_phash_dedup",
         "media_phash_near_pairs",
         "media_mp4_metadata",
+        "media_audio_fp_dedup",
         "media_text_frames",
         "media_frame_dedup",
     ):
@@ -112,6 +113,7 @@ def test_raster_family_emits_one_row_per_distinct_id(spark, damaged_ids_dir):
         "media_wav_roundtrip",
         "media_phash_dedup",
         "media_mp4_metadata",
+        "media_audio_fp_dedup",
     ):
         got = _Q[name].builder(spark, damaged_ids_dir).collect()
         ids = [r.doc_id for r in got]
