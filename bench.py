@@ -147,6 +147,8 @@ HEADLINE = (
     "media_mp4_frame_sample",        # stco/stsz demux offset certification
     "ann_recall_report_sampled",     # ENGAGED (k>1) query-sampled recall eval
     "media_audio_fp_dedup",          # gain-invariant perceptual audio dedup
+    "media_gif_roundtrip",           # oracle-checked GIF/LZW codec roundtrip
+    "media_video_scene_cuts",        # demux-driven per-frame dHash cut detector
 )
 
 

@@ -78,6 +78,7 @@ def _decode_payload(payload: bytes, fake_codec: bool) -> tuple[int, int, int]:
     fake is requested (``fake_codec=True`` — plumbing stand-in used by
     the stub-path unit tests, never by a registered query)."""
     from .codecs import PNG_SIGNATURE, decode_netpbm, decode_png
+    from .gif import GIF_SIGNATURES, decode_gif
     from .jpeg import decode_jpeg
 
     head = bytes(payload[:8])
@@ -93,9 +94,13 @@ def _decode_payload(payload: bytes, fake_codec: bool) -> tuple[int, int, int]:
         px = decode_jpeg(payload)
         h, w = px.shape[:2]
         return w, h, (px.shape[2] if px.ndim == 3 else 1)
+    if head[:6] in GIF_SIGNATURES:
+        px = decode_gif(payload)
+        h, w = px.shape[:2]
+        return w, h, (px.shape[2] if px.ndim == 3 else 1)
     if not fake_codec:
         raise NotImplementedError(
-            "PNG, baseline JPEG and binary Netpbm decode natively (pure "
+            "PNG, baseline JPEG, GIF and binary Netpbm decode natively (pure "
             "stdlib/numpy); WebP/AVIF need a codec library (PIL/libvips) not "
             "present in this environment; pass fake_codec=True for the "
             "deterministic stub"

@@ -1312,3 +1312,284 @@ def media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .sortWithinPartitions("media_id")
     )
+
+
+@register(
+    "media_gif_roundtrip",
+    oracle="""
+WITH p AS (
+  SELECT DISTINCT doc_id,
+         6 + doc_id % 12 AS w,
+         5 + doc_id % 9 AS h
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+), blocks AS (
+  SELECT doc_id, w, h, j,
+         md5('gif:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS hx
+  FROM p, unnest(range(0, CAST(ceil(w*h/16.0) AS BIGINT))) AS u(j)
+), stream AS (
+  SELECT doc_id, w, h, string_agg(hx, '' ORDER BY j) AS hexstream
+  FROM blocks GROUP BY doc_id, w, h
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w*h AS BIGINT) AS n_px,
+       md5(substr(hexstream, 1, CAST(w*h*2 AS BIGINT))) AS px_md5
+FROM stream
+ORDER BY doc_id
+""",
+    description="GIF codec certification, ORACLE-CHECKED: every doc_id "
+    "derives a deterministic grayscale raster (md5-counter bytes, dims "
+    "from the id), the executor encodes it as a REAL GIF87a file — "
+    "256-entry color table and a genuine LZW code stream "
+    "(multimodal/gif.py: variable 9-12-bit codes, LSB-first packing, "
+    "in-band CLEAR/EOI, the decoder-side early width bump, sub-block "
+    "framing) — and decodes it back, emitting the md5 of the decoded "
+    "raster's hex; DuckDB reproduces the digest from pure md5 string "
+    "arithmetic, never touching a GIF. A hash match certifies the "
+    "LZW compress -> pack -> unpack -> decompress round trip is "
+    "byte-lossless for every raster in the corpus. GIF is the family's "
+    "only non-zlib entropy coder — with PNG (inflate), JPEG (Huffman/"
+    "DCT) and GIF (LZW) the three classic raster compression schemes "
+    "all decode natively. Same pixels-never-shuffle shape as the other "
+    "certifications: encode+decode live inside one mapInPandas task, "
+    "only (id, dims, 32-byte digest) rows leave the executor.",
+    tags=("multimodal", "image", "pandas-udf", "real-codec", "oracle-checked"),
+)
+def media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _distinct_ids(spark, sf_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_px", T.LongType(), False),
+            T.StructField("px_md5", T.StringType(), False),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..multimodal.gif import decode_gif, encode_gif
+
+        for pdf in batches:
+            ids, ws, hs, npx, digs = [], [], [], [], []
+            for mid in pdf["doc_id"]:
+                i = int(mid)
+                w, h = 6 + i % 12, 5 + i % 9
+                need = w * h
+                buf = bytearray()
+                j = 0
+                while len(buf) < need:
+                    buf += hashlib.md5(f"gif:{i}:{j}".encode()).digest()
+                    j += 1
+                px = np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(h, w)
+                back = decode_gif(encode_gif(px))
+                ids.append(i)
+                ws.append(back.shape[1])
+                hs.append(back.shape[0])
+                npx.append(back.size)
+                digs.append(hashlib.md5(back.tobytes().hex().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "n_px": pd.array(npx, dtype="int64"),
+                    "px_md5": digs,
+                }
+            )
+
+    return docs.mapInPandas(roundtrip, out_schema).orderBy("doc_id")
+
+
+@register(
+    "media_video_scene_cuts",
+    oracle="""
+WITH p AS (
+  SELECT DISTINCT doc_id,
+         8 + doc_id % 25 AS n,
+         3 + doc_id % 4 AS len,
+         12 + doc_id % 9 AS w,
+         8 + doc_id % 7 AS h
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+), frames AS (
+  SELECT doc_id, len, w, h, k, k // len AS s
+  FROM p, unnest(range(0, CAST(n AS BIGINT))) AS u(k)
+), scenes AS (
+  SELECT DISTINCT doc_id, w, h, s FROM frames
+), blocks AS (
+  SELECT doc_id, s, w, h, j,
+         md5('vid:' || CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)
+             || ':' || CAST(j AS VARCHAR)) AS hx
+  FROM scenes, unnest(range(0, CAST(ceil(w*h/16.0) AS BIGINT))) AS u(j)
+), stream AS (
+  SELECT doc_id, s, w, h, string_agg(hx, '' ORDER BY j) AS st
+  FROM blocks GROUP BY ALL
+), cells AS (
+  SELECT doc_id, s, b,
+         ((b // 8) * h) // 8 AS yi,
+         ((b % 8) * w) // 9 AS xi,
+         (((b % 8) + 1) * w) // 9 AS xj,
+         w, st
+  FROM stream, unnest(range(0, 64)) AS u(b)
+), vals AS (
+  SELECT doc_id, s, b,
+    ((strpos('0123456789abcdef', substr(substr(st,(yi*w+xi)*2+1,2),1,1))-1)*16
+     + (strpos('0123456789abcdef', substr(substr(st,(yi*w+xi)*2+1,2),2,1))-1))*250//255 AS va,
+    ((strpos('0123456789abcdef', substr(substr(st,(yi*w+xj)*2+1,2),1,1))-1)*16
+     + (strpos('0123456789abcdef', substr(substr(st,(yi*w+xj)*2+1,2),2,1))-1))*250//255 AS vb
+  FROM cells
+), hashes AS (
+  SELECT doc_id, s,
+    CAST(sum(CASE WHEN va < vb AND b < 32 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo,
+    CAST(sum(CASE WHEN va < vb AND b >= 32 THEN 1::BIGINT << (b-32) ELSE 0 END) AS BIGINT) AS hi
+  FROM vals GROUP BY doc_id, s
+), seq AS (
+  SELECT f.doc_id, f.k, hh.lo, hh.hi,
+         lag(hh.lo) OVER (PARTITION BY f.doc_id ORDER BY f.k) AS plo,
+         lag(hh.hi) OVER (PARTITION BY f.doc_id ORDER BY f.k) AS phi
+  FROM frames f JOIN hashes hh ON f.doc_id = hh.doc_id AND f.s = hh.s
+)
+SELECT doc_id, CAST(k AS INT) AS frame_idx,
+       CAST(bit_count(CAST(xor(lo, plo) AS BIGINT))
+          + bit_count(CAST(xor(hi, phi) AS BIGINT)) AS BIGINT) AS hamming
+FROM seq
+WHERE plo IS NOT NULL
+  AND bit_count(CAST(xor(lo, plo) AS BIGINT))
+    + bit_count(CAST(xor(hi, phi) AS BIGINT)) >= 16
+ORDER BY doc_id, frame_idx
+""",
+    description="Video scene-cut detection, ORACLE-CHECKED through the "
+    "real container demux: every doc_id muxes the same ISO-BMFF "
+    "skeleton media_mp4_metadata certifies, and the frame index stream "
+    "comes from DEMUXING its stsz/stco sample table (parse_mp4_samples "
+    "— the frame count the detector walks is read back out of real "
+    "boxes, not assumed). Each frame's raster derives from the video's "
+    "SCENE id (scene length 3-6 frames from the doc_id) plus a "
+    "per-frame brightness jitter; the executor computes a 64-bit dHash "
+    "per frame and a Spark lag-window takes the Hamming distance "
+    "between CONSECUTIVE frames per video — within a scene the jitter "
+    "cancels in the gradient bits (distance exactly 0, certifying gain "
+    "invariance), across a scene boundary the content changes and the "
+    "distance jumps; rows with distance >= 16 are the detected cuts. "
+    "DuckDB reproduces every fingerprint from md5/strpos arithmetic at "
+    "SCENE granularity and replays the same lag window, so a hash "
+    "match certifies the per-frame fingerprints, the gain-invariance "
+    "claim, AND the ordered-sequence geometry in one shot. Scale "
+    "shape: a NEW plan class for the media family — ordered per-media "
+    "sequence analysis: pixels and sample bytes never leave the "
+    "mapInPandas task, the lag window shuffles (id, idx, 16-byte "
+    "fingerprint) rows hash-partitioned by video, and window state is "
+    "bounded by frames-per-video (an hours-long video chunks by "
+    "(video, minute) with one context row carried forward — the "
+    "events_zscore_anomalies pattern).",
+    tags=("multimodal", "video", "dedup", "pandas-udf", "real-codec", "oracle-checked"),
+)
+def media_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    docs = _distinct_ids(spark, sf_dir)
+    fp_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("lo", T.LongType(), False),
+            T.StructField("hi", T.LongType(), False),
+        ]
+    )
+
+    def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..multimodal.mp4 import encode_mp4_skeleton, parse_mp4_samples
+
+        for pdf in batches:
+            ids, idxs, los, his = [], [], [], []
+            for mid in pdf["doc_id"]:
+                i = int(mid)
+                n = 8 + i % 25
+                # the frame index stream comes from the REAL demux of
+                # the muxed skeleton, not from the formula directly
+                buf = encode_mp4_skeleton(
+                    width=16 * (2 + i % 9),
+                    height=16 * (2 + i % 7),
+                    timescale=600,
+                    n_samples=n,
+                    sample_delta=100 + (i % 5) * 10,
+                    sample_sizes=[50 + (i + k) % 17 for k in range(n)],
+                    seed=f"mp4:{i}",
+                )
+                samples = parse_mp4_samples(buf)
+                length, w, h = 3 + i % 4, 12 + i % 9, 8 + i % 7
+                need = w * h
+                # dHash cell index pairs (flat positions), fixed per video
+                ks = np.arange(64)
+                yi = ((ks // 8) * h) // 8
+                pa = yi * w + ((ks % 8) * w) // 9
+                pb = yi * w + (((ks % 8) + 1) * w) // 9
+                weights = np.array([1 << int(k) for k in range(64)], dtype=object)
+                base: dict[int, np.ndarray] = {}
+                for k in range(len(samples)):
+                    s = k // length
+                    if s not in base:
+                        raw = bytearray()
+                        j = 0
+                        while len(raw) < need:
+                            raw += hashlib.md5(f"vid:{i}:{s}:{j}".encode()).digest()
+                            j += 1
+                        base[s] = (
+                            np.frombuffer(bytes(raw[:need]), dtype=np.uint8).astype(
+                                np.int64
+                            )
+                            * 250
+                        ) // 255
+                    # per-frame brightness jitter: computed honestly on
+                    # the jittered raster (the oracle hashes at scene
+                    # granularity — a match certifies the invariance)
+                    px = base[s] + (k % 3)
+                    bits = int(np.sum(weights[px[pa] < px[pb]]))
+                    ids.append(i)
+                    idxs.append(k)
+                    los.append(bits & 0xFFFFFFFF)
+                    his.append(bits >> 32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "lo": pd.array(los, dtype="int64"),
+                    "hi": pd.array(his, dtype="int64"),
+                }
+            )
+
+    fps = docs.mapInPandas(fp_batch, fp_schema)
+    win = Window.partitionBy("doc_id").orderBy("frame_idx")
+    seq = fps.select(
+        "doc_id",
+        "frame_idx",
+        "lo",
+        "hi",
+        F.lag("lo").over(win).alias("plo"),
+        F.lag("hi").over(win).alias("phi"),
+    )
+    hamming = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("plo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("phi")))
+    ).cast("bigint")
+    return (
+        seq.filter(F.col("plo").isNotNull())
+        .select("doc_id", "frame_idx", hamming.alias("hamming"))
+        .filter(F.col("hamming") >= 16)
+        .orderBy("doc_id", "frame_idx")
+    )
