@@ -33,10 +33,25 @@ baseline JPEG decodes/encodes natively in the sibling module jpeg.py.
 
 from __future__ import annotations
 
+import hashlib
 import struct
 import zlib
 
 import numpy as np
+
+
+def md5_counter_fill(tag: str, n: int) -> bytes:
+    """Deterministic filler stream: concatenated ``md5(f"{tag}:{j}")``
+    digests for j = 0, 1, …, truncated to ``n`` bytes. The ONE
+    convention every raster/sample/mdat synthesis site and every
+    DuckDB oracle's ``md5(tag || ':' || j)`` CTE share — keep them in
+    lockstep by calling this, not by re-rolling the loop."""
+    buf = bytearray()
+    j = 0
+    while len(buf) < n:
+        buf += hashlib.md5(f"{tag}:{j}".encode()).digest()
+        j += 1
+    return bytes(buf[:n])
 
 
 # ---------------------------------------------------------------------------

@@ -606,6 +606,17 @@ def _decode_scan(
     fh, fw, comps = frame
     if len(scan_sel) != len(comps) and len(scan_sel) != 1:
         raise ValueError("partial (multi-scan) JPEG not supported")
+    if len(scan_sel) == 1 and len(comps) > 1:
+        # decode_jpeg returns after the FIRST scan, so decoding the
+        # Y-only scan of a sequential non-interleaved color JPEG would
+        # silently drop the chroma scans and misreport a color image
+        # as grayscale — reject explicitly instead (the module's
+        # ValueError contract; single-component FRAMES take the
+        # non-interleaved path below)
+        raise ValueError(
+            f"multi-scan (non-interleaved) color JPEG not supported: frame "
+            f"declares {len(comps)} components but the scan covers 1"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:

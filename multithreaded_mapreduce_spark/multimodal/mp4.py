@@ -24,7 +24,6 @@ text only; binary containers are engine-new extension surface
 
 from __future__ import annotations
 
-import hashlib
 import struct
 
 
@@ -37,12 +36,9 @@ def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
 
 
 def _filler(tag: str, n: int) -> bytes:
-    buf = bytearray()
-    j = 0
-    while len(buf) < n:
-        buf += hashlib.md5(f"{tag}:{j}".encode()).digest()
-        j += 1
-    return bytes(buf[:n])
+    from .codecs import md5_counter_fill
+
+    return md5_counter_fill(tag, n)
 
 
 def encode_mp4_skeleton(

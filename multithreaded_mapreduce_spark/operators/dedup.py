@@ -364,25 +364,29 @@ def _eval_sample_decision(spark: SparkSession, sf_dir: str, target: int | None =
     from ..sources.tables import _dataset_mtime_ns, table_path
 
     t = EVAL_SAMPLE_TARGET_DOCS if target is None else target
-    # mtime in the key (ADVICE r9): the oracle CTE recomputes k from
-    # the CURRENT table on every run, so a fixture rewritten in-process
+    # mtime check (ADVICE r9): the oracle CTE recomputes k from the
+    # CURRENT table on every run, so a fixture rewritten in-process
     # under the same path must re-probe or the two engines would draw
-    # different samples near the k boundary
-    key = (
-        os.path.realpath(sf_dir),
-        t,
-        _dataset_mtime_ns(table_path(sf_dir, "documents")),
-    )
-    if key not in _EVAL_SAMPLE_CACHE:
+    # different samples near the k boundary. The mtime lives in the
+    # VALUE, not the key (the _SCHEMA_CACHE convention): a rewrite
+    # supersedes the stale entry instead of accumulating beside it,
+    # keeping the cache bounded at one entry per (dir, target).
+    key = (os.path.realpath(sf_dir), t)
+    mtime = _dataset_mtime_ns(table_path(sf_dir, "documents"))
+    hit = _EVAL_SAMPLE_CACHE.get(key)
+    if hit is None or hit[0] != mtime:
         n = load_table(spark, sf_dir, "documents").count()
         k = max(1, (n + t - 1) // t)
-        _EVAL_SAMPLE_CACHE[key] = {
-            "n_docs": int(n),
-            "target_docs": t,
-            "modulus": int(k),
-            "engaged": k > 1,
-        }
-    LAST_EVAL_SAMPLE_DECISION = _EVAL_SAMPLE_CACHE[key]
+        _EVAL_SAMPLE_CACHE[key] = (
+            mtime,
+            {
+                "n_docs": int(n),
+                "target_docs": t,
+                "modulus": int(k),
+                "engaged": k > 1,
+            },
+        )
+    LAST_EVAL_SAMPLE_DECISION = _EVAL_SAMPLE_CACHE[key][1]
     return LAST_EVAL_SAMPLE_DECISION
 
 

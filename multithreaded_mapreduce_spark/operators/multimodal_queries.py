@@ -339,7 +339,7 @@ def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..multimodal.codecs import decode_png, encode_png
+        from ..multimodal.codecs import decode_png, encode_png, md5_counter_fill
 
         for pdf in batches:
             ids, ws, hs, cs, npx, digs = [], [], [], [], [], []
@@ -348,12 +348,7 @@ def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 4 + i % 9, 3 + i % 7
                 c = (1, 3, 4)[i % 3]
                 need = w * h * c
-                buf = bytearray()
-                j = 0
-                while len(buf) < need:
-                    buf += hashlib.md5(f"png:{i}:{j}".encode()).digest()
-                    j += 1
-                px = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
+                px = np.frombuffer(md5_counter_fill(f"png:{i}", need), dtype=np.uint8)
                 px = px.reshape((h, w)) if c == 1 else px.reshape((h, w, c))
                 # doc_id-seeded scanline filters: scanline y is
                 # forward-filtered with type (i + y) % 5, so across the
@@ -549,7 +544,7 @@ def media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..multimodal.codecs import decode_wav_pcm16, encode_wav_pcm16
+        from ..multimodal.codecs import decode_wav_pcm16, encode_wav_pcm16, md5_counter_fill
 
         for pdf in batches:
             ids, ns, rates, digs = [], [], [], []
@@ -558,12 +553,7 @@ def media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = 64 + i % 97
                 rate = 8000 + (i % 4) * 4000
                 need = n * 2
-                buf = bytearray()
-                j = 0
-                while len(buf) < need:
-                    buf += hashlib.md5(f"wav:{i}:{j}".encode()).digest()
-                    j += 1
-                samples = np.frombuffer(bytes(buf[:need]), dtype="<i2")
+                samples = np.frombuffer(md5_counter_fill(f"wav:{i}", need), dtype="<i2")
                 back, back_rate = decode_wav_pcm16(encode_wav_pcm16(samples, rate))
                 ids.append(i)
                 ns.append(int(back.size))
@@ -647,7 +637,6 @@ ORDER BY doc_id
     tags=("multimodal", "image", "dedup", "pandas-udf", "real-codec", "oracle-checked"),
 )
 def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     from collections.abc import Iterator
 
     import numpy as np
@@ -665,7 +654,7 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..multimodal.codecs import decode_png, encode_png
+        from ..multimodal.codecs import decode_png, encode_png, md5_counter_fill
 
         for pdf in batches:
             ids, hs = [], []
@@ -674,12 +663,7 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 g = i // 3
                 w, h = 16 + g % 13, 12 + g % 9
                 need = w * h
-                buf = bytearray()
-                j = 0
-                while len(buf) < need:
-                    buf += hashlib.md5(f"img:{g}:{j}".encode()).digest()
-                    j += 1
-                b = np.frombuffer(bytes(buf[:need]), dtype=np.uint8).astype(np.int64)
+                b = np.frombuffer(md5_counter_fill(f"img:{g}", need), dtype=np.uint8).astype(np.int64)
                 px = ((b * 250) // 255 + i % 3).astype(np.uint8).reshape(h, w)
                 # real-codec roundtrip: hash what a decoder actually sees
                 px = decode_png(encode_png(px, filter_seed=i))
@@ -783,7 +767,6 @@ ORDER BY doc_a, doc_b
     tags=("multimodal", "image", "dedup", "lsh", "pandas-udf", "real-codec", "oracle-checked"),
 )
 def media_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     from collections.abc import Iterator
 
     import numpy as np
@@ -802,7 +785,7 @@ def media_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..multimodal.codecs import decode_png, encode_png
+        from ..multimodal.codecs import decode_png, encode_png, md5_counter_fill
 
         for pdf in batches:
             ids, los, his = [], [], []
@@ -811,13 +794,8 @@ def media_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b, v = i // 2, i % 2
                 w, h = 18 + b % 11, 14 + b % 7
                 need = w * h
-                buf = bytearray()
-                j = 0
-                while len(buf) < need:
-                    buf += hashlib.md5(f"nearimg:{b}:{j}".encode()).digest()
-                    j += 1
                 vals = (
-                    np.frombuffer(bytes(buf[:need]), dtype=np.uint8).astype(np.int64)
+                    np.frombuffer(md5_counter_fill(f"nearimg:{b}", need), dtype=np.uint8).astype(np.int64)
                     * 250
                 ) // 255
                 if v == 1:
@@ -943,7 +921,6 @@ ORDER BY doc_id
     tags=("multimodal", "audio", "dedup", "pandas-udf", "real-codec", "oracle-checked"),
 )
 def media_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     from collections.abc import Iterator
 
     import numpy as np
@@ -962,7 +939,7 @@ def media_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..multimodal.codecs import decode_wav_pcm16, encode_wav_pcm16
+        from ..multimodal.codecs import decode_wav_pcm16, encode_wav_pcm16, md5_counter_fill
 
         for pdf in batches:
             ids, fps = [], []
@@ -970,13 +947,8 @@ def media_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(mid)
                 g, gain = i // 3, 1 + i % 3
                 n = 256 + (g % 5) * 64
-                buf = bytearray()
-                j = 0
-                while len(buf) < n:
-                    buf += hashlib.md5(f"afp:{g}:{j}".encode()).digest()
-                    j += 1
                 base = (
-                    np.frombuffer(bytes(buf[:n]), dtype=np.uint8).astype(np.int64)
+                    np.frombuffer(md5_counter_fill(f"afp:{g}", n), dtype=np.uint8).astype(np.int64)
                     % 64
                 ) - 32
                 samples = (base * gain).astype("<i2")
@@ -1377,6 +1349,7 @@ def media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..multimodal.gif import decode_gif, encode_gif
+        from ..multimodal.codecs import md5_counter_fill
 
         for pdf in batches:
             ids, ws, hs, npx, digs = [], [], [], [], []
@@ -1384,12 +1357,7 @@ def media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(mid)
                 w, h = 6 + i % 12, 5 + i % 9
                 need = w * h
-                buf = bytearray()
-                j = 0
-                while len(buf) < need:
-                    buf += hashlib.md5(f"gif:{i}:{j}".encode()).digest()
-                    j += 1
-                px = np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(h, w)
+                px = np.frombuffer(md5_counter_fill(f"gif:{i}", need), dtype=np.uint8).reshape(h, w)
                 back = decode_gif(encode_gif(px))
                 ids.append(i)
                 ws.append(back.shape[1])
@@ -1493,7 +1461,6 @@ ORDER BY doc_id, frame_idx
     tags=("multimodal", "video", "dedup", "pandas-udf", "real-codec", "oracle-checked"),
 )
 def media_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     from collections.abc import Iterator
 
     import numpy as np
@@ -1514,6 +1481,7 @@ def media_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..multimodal.mp4 import encode_mp4_skeleton, parse_mp4_samples
+        from ..multimodal.codecs import md5_counter_fill
 
         for pdf in batches:
             ids, idxs, los, his = [], [], [], []
@@ -1544,15 +1512,10 @@ def media_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for k in range(len(samples)):
                     s = k // length
                     if s not in base:
-                        raw = bytearray()
-                        j = 0
-                        while len(raw) < need:
-                            raw += hashlib.md5(f"vid:{i}:{s}:{j}".encode()).digest()
-                            j += 1
                         base[s] = (
-                            np.frombuffer(bytes(raw[:need]), dtype=np.uint8).astype(
-                                np.int64
-                            )
+                            np.frombuffer(
+                                md5_counter_fill(f"vid:{i}:{s}", need), dtype=np.uint8
+                            ).astype(np.int64)
                             * 250
                         ) // 255
                     # per-frame brightness jitter: computed honestly on

@@ -80,29 +80,32 @@ def _ann_eval_decision(spark: SparkSession, sf_dir: str, target: int | None = No
     from ..sources.tables import _dataset_mtime_ns, table_path
 
     t = ANN_EVAL_TARGET_QUERIES if target is None else target
-    # mtime in the key (ADVICE r9): the oracle CTE recomputes k from
-    # the CURRENT table on every run, so a fixture rewritten in-process
+    # mtime check (ADVICE r9): the oracle CTE recomputes k from the
+    # CURRENT table on every run, so a fixture rewritten in-process
     # under the same path must re-probe or the two engines would draw
-    # different query sets near the k boundary
-    key = (
-        os.path.realpath(sf_dir),
-        t,
-        _dataset_mtime_ns(table_path(sf_dir, "embeddings")),
-    )
-    if key not in _ANN_EVAL_CACHE:
+    # different query sets near the k boundary. Mtime in the VALUE,
+    # not the key (the _SCHEMA_CACHE convention): a rewrite supersedes
+    # the stale entry instead of accumulating beside it.
+    key = (os.path.realpath(sf_dir), t)
+    mtime = _dataset_mtime_ns(table_path(sf_dir, "embeddings"))
+    hit = _ANN_EVAL_CACHE.get(key)
+    if hit is None or hit[0] != mtime:
         n = (
             load_table(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") < N_QUERIES)
             .count()
         )
         k = max(1, (n + t - 1) // t)
-        _ANN_EVAL_CACHE[key] = {
-            "n_queries": int(n),
-            "target_queries": t,
-            "modulus": int(k),
-            "engaged": k > 1,
-        }
-    LAST_ANN_EVAL_DECISION = _ANN_EVAL_CACHE[key]
+        _ANN_EVAL_CACHE[key] = (
+            mtime,
+            {
+                "n_queries": int(n),
+                "target_queries": t,
+                "modulus": int(k),
+                "engaged": k > 1,
+            },
+        )
+    LAST_ANN_EVAL_DECISION = _ANN_EVAL_CACHE[key][1]
     return LAST_ANN_EVAL_DECISION
 
 

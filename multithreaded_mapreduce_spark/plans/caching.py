@@ -244,26 +244,33 @@ _RESULT_MEMO: dict[str, tuple[str, DataFrame, list[tuple[object, int]]]] = {}
 _MEMO_STATS: dict[str, dict] = {}
 
 
-def _memo_session_live(df: DataFrame) -> bool:
-    """A memo hit is only usable from the session that checkpointed it:
-    localCheckpoint blocks die with their session, so a handle bound to
-    a stopped session (an earlier test-module session in the same
-    process) crashes with an opaque missing-block error on first
-    action. Same hazard the _SCHEMA_CACHE in sources/tables.py guards
-    with ``hit[0] is spark`` — here the caller's session isn't a
-    parameter, so compare against the process's active session and
-    treat any doubt as a miss (rebuild is always correct, just
-    slower)."""
+def _memo_session_state(df: DataFrame) -> str:
+    """Classify a memo hit's owning session: ``"ok"`` (the process's
+    active session — safe to serve), ``"stale"`` (alive but not the
+    active session, e.g. a second concurrent session or a thread where
+    the thread-scoped ``getActiveSession()`` returns None — do NOT
+    serve, but also do NOT unpersist: an earlier caller in the owning
+    session may still hold the handle, and unpersisting a live
+    session's localCheckpoint blocks crashes it with a missing-block
+    error), or ``"dead"`` (stopped — blocks are gone, evict freely).
+    Same hazard family the _SCHEMA_CACHE in sources/tables.py guards
+    with ``hit[0] is spark``; here the caller's session isn't a
+    parameter, so compare against the active session and treat doubt
+    as a miss (rebuild is always correct, just slower)."""
     from pyspark.sql import SparkSession
 
     try:
         sess = df.sparkSession
         if sess.sparkContext._jsc is None:  # session stopped
-            return False
+            return "dead"
         active = SparkSession.getActiveSession()
-        return active is not None and active is sess
+        return "ok" if active is sess else "stale"
     except Exception:
-        return False
+        return "dead"
+
+
+def _memo_session_live(df: DataFrame) -> bool:
+    return _memo_session_state(df) == "ok"
 
 
 def memoized_result_checkpoint(name: str, key: str, build) -> DataFrame:
@@ -278,7 +285,13 @@ def memoized_result_checkpoint(name: str, key: str, build) -> DataFrame:
         stats["hits"] += 1
         return hit[1]
     if hit is not None:
-        _unpersist_memo_blocks(hit[2])
+        # only a DEAD owner's blocks may be unpersisted — a live
+        # non-active session's consumers may still hold the handle
+        # (its blocks stay resident until that session stops; the
+        # overwrite below drops our bookkeeping for them, an accepted
+        # bounded leak in the rare concurrent-sessions case)
+        if _memo_session_state(hit[1]) == "dead":
+            _unpersist_memo_blocks(hit[2])
         del _RESULT_MEMO[name]
     stats["key"] = key
     stats["misses"] += 1
@@ -304,9 +317,15 @@ def peek_result_memo(name: str, key: str) -> DataFrame | None:
     lazy plan is always a correct fallback)."""
     hit = _RESULT_MEMO.get(name)
     if hit is not None and hit[0] == key:
-        if not _memo_session_live(hit[1]):
+        state = _memo_session_state(hit[1])
+        if state == "dead":
             _unpersist_memo_blocks(hit[2])
             del _RESULT_MEMO[name]
+            return None
+        if state == "stale":
+            # alive-but-not-active owner: miss WITHOUT evicting — the
+            # owning session's consumers may still use the handle, and
+            # it becomes servable again when that session is active
             return None
         stats = _MEMO_STATS.setdefault(name, {"key": key, "hits": 0, "misses": 0})
         stats["hits"] += 1

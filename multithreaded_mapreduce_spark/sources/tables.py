@@ -56,8 +56,11 @@ def _dataset_mtime_ns(path: str) -> int:
     dataset the DIR mtime only moves when entries are added/removed/
     renamed — overwriting part files in place leaves it unchanged, and
     a stale cached schema would then be silently forced onto new data.
-    Take the max mtime across the directory's files instead (footer,
-    _SUCCESS, and part files all count)."""
+    Take the max mtime across the dataset's files instead (footer,
+    _SUCCESS, and part files all count) — RECURSIVELY, because a
+    partitioned dataset keeps its part files one level down
+    (key=value/part-*.parquet) where a flat scandir would miss an
+    in-place overwrite just the same."""
     try:
         st = os.stat(path)
     except OSError:
@@ -65,11 +68,16 @@ def _dataset_mtime_ns(path: str) -> int:
     newest = st.st_mtime_ns
     if os.path.isdir(path):
         try:
-            for entry in os.scandir(path):
+            for root, _dirs, files in os.walk(path):
                 try:
-                    newest = max(newest, entry.stat().st_mtime_ns)
+                    newest = max(newest, os.stat(root).st_mtime_ns)
                 except OSError:
-                    continue
+                    pass
+                for f in files:
+                    try:
+                        newest = max(newest, os.stat(os.path.join(root, f)).st_mtime_ns)
+                    except OSError:
+                        continue
         except OSError:
             pass
     return newest
