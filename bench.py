@@ -149,6 +149,7 @@ HEADLINE = (
     "media_audio_fp_dedup",          # gain-invariant perceptual audio dedup
     "media_gif_roundtrip",           # oracle-checked GIF/LZW codec roundtrip
     "media_video_scene_cuts",        # demux-driven per-frame dHash cut detector
+    "media_gif_animation_frames",    # multi-image-block GIF89a demux fan-out
 )
 
 

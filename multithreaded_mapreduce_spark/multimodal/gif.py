@@ -156,27 +156,74 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def encode_gif(pixels: np.ndarray) -> bytes:
-    """Encode an (h, w) uint8 grayscale raster as a GIF87a file with a
-    256-entry grayscale global color table and real LZW image data."""
-    if pixels.ndim != 2 or pixels.dtype != np.uint8:
-        raise ValueError("encode_gif expects an (h, w) uint8 raster")
+def _image_block(pixels: np.ndarray) -> bytes:
+    """Image descriptor + LZW minimum code size + sub-block-packed LZW
+    stream + block terminator for one full-frame grayscale raster."""
     h, w = pixels.shape
-    if not (0 < w < 65536 and 0 < h < 65536):
-        raise ValueError("GIF dimensions must fit unsigned 16-bit")
-    out = bytearray(b"GIF87a")
-    # logical screen descriptor: global table, 8 bits/channel, size 256
-    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
-    for i in range(256):  # grayscale global color table
-        out += bytes((i, i, i))
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out = bytearray(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
     out.append(8)  # LZW minimum code size
     payload = _lzw_encode(pixels.tobytes(), 8)
     for i in range(0, len(payload), 255):  # sub-block packing
         block = payload[i : i + 255]
         out.append(len(block))
         out += block
-    out += b"\x00\x3b"  # block terminator + trailer
+    out.append(0)  # block terminator
+    return bytes(out)
+
+
+def _check_frame(pixels: np.ndarray) -> tuple[int, int]:
+    if pixels.ndim != 2 or pixels.dtype != np.uint8:
+        raise ValueError("GIF encoder expects (h, w) uint8 rasters")
+    h, w = pixels.shape
+    if not (0 < w < 65536 and 0 < h < 65536):
+        raise ValueError("GIF dimensions must fit unsigned 16-bit")
+    return h, w
+
+
+def _gif_head(sig: bytes, w: int, h: int) -> bytearray:
+    out = bytearray(sig)
+    # logical screen descriptor: global table, 8 bits/channel, size 256
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):  # grayscale global color table
+        out += bytes((i, i, i))
+    return out
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 grayscale raster as a GIF87a file with a
+    256-entry grayscale global color table and real LZW image data."""
+    h, w = _check_frame(pixels)
+    out = _gif_head(b"GIF87a", w, h)
+    out += _image_block(pixels)
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def encode_gif_frames(
+    frames: list[np.ndarray], delays_cs: list[int] | None = None
+) -> bytes:
+    """Encode an ANIMATED GIF89a: every frame is a full-frame (h, w)
+    uint8 grayscale raster (same dims), each preceded by a graphic
+    control extension carrying its delay in centiseconds — the
+    multi-image-block grammar real animation decoders walk."""
+    if not frames:
+        raise ValueError("encode_gif_frames needs at least one frame")
+    h, w = _check_frame(frames[0])
+    delays = [0] * len(frames) if delays_cs is None else list(delays_cs)
+    if len(delays) != len(frames):
+        raise ValueError("delays_cs length must equal frame count")
+    out = _gif_head(b"GIF89a", w, h)
+    for px, delay in zip(frames, delays):
+        if _check_frame(px) != (h, w):
+            raise ValueError("animation frames must share dimensions")
+        if not 0 <= int(delay) < 65536:
+            raise ValueError("frame delay must fit unsigned 16-bit")
+        # graphic control extension: introducer, label 0xF9, block size
+        # 4, packed flags 0 (no disposal/transparency), delay, no
+        # transparent index, terminator (GIF89a spec §23)
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", int(delay)) + b"\x00\x00"
+        out += _image_block(px)
+    out += b"\x3b"  # trailer
     return bytes(out)
 
 
@@ -190,39 +237,11 @@ def _color_table(buf: bytes, off: int, packed: int, flag_bit: int) -> tuple[np.n
     return np.frombuffer(buf[off:end], dtype=np.uint8).reshape(n, 3), end
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced GIF87a/89a image (first image block).
-
-    Returns (h, w) uint8 for a grayscale palette, else (h, w, 3) RGB.
-    """
-    buf = bytes(payload)
-    if buf[:6] not in GIF_SIGNATURES:
-        raise ValueError("not a GIF file")
-    if len(buf) < 13:
-        raise ValueError("truncated GIF header")
-    _, _, packed, _, _ = struct.unpack("<HHBBB", buf[6:13])
-    gct, off = _color_table(buf, 13, packed, 7)
-    while True:
-        if off >= len(buf):
-            raise ValueError("GIF ended before an image block")
-        block = buf[off]
-        off += 1
-        if block == 0x3B:  # trailer
-            raise ValueError("GIF contains no image block")
-        if block == 0x21:  # extension: label + sub-blocks (89a grammar)
-            off += 1
-            while True:
-                if off >= len(buf):
-                    raise ValueError("truncated GIF extension")
-                n = buf[off]
-                off += 1
-                if n == 0:
-                    break
-                off += n
-            continue
-        if block == 0x2C:  # image descriptor
-            break
-        raise ValueError(f"unknown GIF block 0x{block:02x}")
+def _parse_image_block(
+    buf: bytes, off: int, gct: np.ndarray | None
+) -> tuple[np.ndarray, int]:
+    """Parse one image block starting at the byte AFTER the 0x2C
+    introducer; returns (raster, next offset)."""
     if off + 9 > len(buf):
         raise ValueError("truncated GIF image descriptor")
     _, _, w, h, ipacked = struct.unpack("<HHHHB", buf[off : off + 9])
@@ -258,5 +277,97 @@ def decode_gif(payload: bytes) -> np.ndarray:
         raise ValueError("GIF index outside color table")
     rgb = table[idx.astype(np.int64)].reshape(h, w, 3)
     if bool(np.all(rgb[:, :, 0] == rgb[:, :, 1]) and np.all(rgb[:, :, 1] == rgb[:, :, 2])):
-        return rgb[:, :, 0].copy()
-    return rgb
+        return rgb[:, :, 0].copy(), off
+    return rgb, off
+
+
+def decode_gif_frames(payload: bytes) -> list[tuple[np.ndarray, int]]:
+    """Decode EVERY image block of a non-interlaced GIF87a/89a file.
+
+    Returns a list of (raster, delay_cs) pairs in stream order: the
+    delay comes from the graphic control extension preceding each
+    frame (0 when absent, e.g. a plain 87a still). Each raster is
+    (h, w) uint8 for a grayscale palette, else (h, w, 3) RGB."""
+    buf = bytes(payload)
+    if buf[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF file")
+    if len(buf) < 13:
+        raise ValueError("truncated GIF header")
+    _, _, packed, _, _ = struct.unpack("<HHBBB", buf[6:13])
+    gct, off = _color_table(buf, 13, packed, 7)
+    frames: list[tuple[np.ndarray, int]] = []
+    pending_delay = 0
+    while True:
+        if off >= len(buf):
+            raise ValueError(
+                "GIF ended before an image block"
+                if not frames
+                else "GIF stream missing trailer"
+            )
+        block = buf[off]
+        off += 1
+        if block == 0x3B:  # trailer
+            if not frames:
+                raise ValueError("GIF contains no image block")
+            return frames
+        if block == 0x21:  # extension: label + sub-blocks (89a grammar)
+            if off >= len(buf):
+                raise ValueError("truncated GIF extension")
+            label = buf[off]
+            off += 1
+            first = True
+            while True:
+                if off >= len(buf):
+                    raise ValueError("truncated GIF extension")
+                n = buf[off]
+                off += 1
+                if n == 0:
+                    break
+                if label == 0xF9 and first and n == 4 and off + n <= len(buf):
+                    # graphic control: packed byte, u16le delay, index
+                    pending_delay = struct.unpack("<H", buf[off + 1 : off + 3])[0]
+                first = False
+                off += n
+            continue
+        if block == 0x2C:  # image descriptor
+            px, off = _parse_image_block(buf, off, gct)
+            frames.append((px, pending_delay))
+            pending_delay = 0
+            continue
+        raise ValueError(f"unknown GIF block 0x{block:02x}")
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced GIF87a/89a image (first image block).
+
+    Returns (h, w) uint8 for a grayscale palette, else (h, w, 3) RGB.
+    """
+    buf = bytes(payload)
+    if buf[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF file")
+    if len(buf) < 13:
+        raise ValueError("truncated GIF header")
+    _, _, packed, _, _ = struct.unpack("<HHBBB", buf[6:13])
+    gct, off = _color_table(buf, 13, packed, 7)
+    while True:
+        if off >= len(buf):
+            raise ValueError("GIF ended before an image block")
+        block = buf[off]
+        off += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF contains no image block")
+        if block == 0x21:  # extension: label + sub-blocks (89a grammar)
+            off += 1
+            while True:
+                if off >= len(buf):
+                    raise ValueError("truncated GIF extension")
+                n = buf[off]
+                off += 1
+                if n == 0:
+                    break
+                off += n
+            continue
+        if block == 0x2C:  # image descriptor
+            px, _off = _parse_image_block(buf, off, gct)
+            return px
+        raise ValueError(f"unknown GIF block 0x{block:02x}")

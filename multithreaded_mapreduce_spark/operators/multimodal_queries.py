@@ -1378,6 +1378,112 @@ def media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_gif_animation_frames",
+    oracle="""
+WITH p AS (
+  SELECT DISTINCT doc_id,
+         2 + doc_id % 5 AS nf,
+         6 + doc_id % 10 AS w,
+         5 + doc_id % 7 AS h
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0
+), frames AS (
+  SELECT doc_id, w, h, f
+  FROM p, unnest(range(0, CAST(nf AS BIGINT))) AS u(f)
+), blocks AS (
+  SELECT doc_id, f, w, h, j,
+         md5('gifanim:' || CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)
+             || ':' || CAST(j AS VARCHAR)) AS hx
+  FROM frames, unnest(range(0, CAST(ceil(w*h/16.0) AS BIGINT))) AS u(j)
+), stream AS (
+  SELECT doc_id, f, w, h, string_agg(hx, '' ORDER BY j) AS hexstream
+  FROM blocks GROUP BY ALL
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST((doc_id + f) % 10 AS BIGINT) AS delay_cs,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       md5(substr(hexstream, 1, CAST(w*h*2 AS BIGINT))) AS frame_md5
+FROM stream
+ORDER BY doc_id, frame_idx
+""",
+    description="Animated-GIF demux certification, ORACLE-CHECKED: "
+    "every doc_id derives a 2-6-frame animation (per-frame "
+    "deterministic rasters, per-frame delays from the id), the "
+    "executor muxes ONE multi-image-block GIF89a file — each frame "
+    "preceded by a real graphic control extension carrying its delay, "
+    "each frame its own LZW code stream — and demuxes it back with "
+    "decode_gif_frames, emitting one row per frame with the parsed "
+    "delay and the decoded raster's digest; DuckDB reproduces every "
+    "value from md5/modular arithmetic, never touching a GIF. A hash "
+    "match certifies the 89a multi-block grammar walk, the GCE "
+    "delay-field parse, and per-frame LZW round trips in one shot — "
+    "the fan-out shape (one row per contained frame) that an "
+    "animation/sprite ingestion pipeline runs. Pixels never shuffle: "
+    "mux+demux live inside one mapInPandas task; only (id, idx, "
+    "delay, dims, 32-byte digest) rows leave the executor.",
+    tags=("multimodal", "image", "pandas-udf", "real-codec", "oracle-checked"),
+)
+def media_gif_animation_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _distinct_ids(spark, sf_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("delay_cs", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("frame_md5", T.StringType(), False),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..multimodal.codecs import md5_counter_fill
+        from ..multimodal.gif import decode_gif_frames, encode_gif_frames
+
+        for pdf in batches:
+            ids, idxs, dls, ws, hs, digs = [], [], [], [], [], []
+            for mid in pdf["doc_id"]:
+                i = int(mid)
+                nf, w, h = 2 + i % 5, 6 + i % 10, 5 + i % 7
+                frames = [
+                    np.frombuffer(
+                        md5_counter_fill(f"gifanim:{i}:{f}", w * h), dtype=np.uint8
+                    ).reshape(h, w)
+                    for f in range(nf)
+                ]
+                buf = encode_gif_frames(frames, [(i + f) % 10 for f in range(nf)])
+                for f, (px, delay) in enumerate(decode_gif_frames(buf)):
+                    ids.append(i)
+                    idxs.append(f)
+                    dls.append(delay)
+                    ws.append(px.shape[1])
+                    hs.append(px.shape[0])
+                    digs.append(
+                        hashlib.md5(px.tobytes().hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "delay_cs": pd.array(dls, dtype="int64"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "frame_md5": digs,
+                }
+            )
+
+    return docs.mapInPandas(roundtrip, out_schema).orderBy("doc_id", "frame_idx")
+
+
+@register(
     "media_video_scene_cuts",
     oracle="""
 WITH p AS (

@@ -228,7 +228,7 @@ def _load() -> None:
 #: their slots to the three late-round media-certification operators.)
 #: ROTATION (r10): CORRECTNESS_r09 went 50/50 green; cumulative
 #: coverage is every oracle-bearing query, no green entry predating r4.
-#: This window: (a) the 5 standing canaries; (b) the 6 operators new
+#: This window: (a) the 5 standing canaries; (b) the 7 operators new
 #: this round — ann_recall_report_sampled (the ENGAGED k>1 eval-sample
 #: branch, VERDICT r9 task 6), media_mp4_metadata and
 #: media_mp4_frame_sample (the ISO-BMFF container demux
@@ -236,7 +236,10 @@ def _load() -> None:
 #: perceptual audio dedup through the real WAV codec — the audio twin
 #: of media_phash_dedup), media_gif_roundtrip (the real-LZW GIF codec
 #: certification — with PNG/inflate and JPEG/Huffman that closes all
-#: three classic raster entropy coders) and media_video_scene_cuts
+#: three classic raster entropy coders),
+#: media_gif_animation_frames (the multi-image-block GIF89a demux —
+#: per-frame GCE delays and LZW streams, fan-out certified) and
+#: media_video_scene_cuts
 #: (demux-driven per-frame dHash + a lag-window Hamming cut detector —
 #: ordered per-media sequence analysis, a new plan class for the
 #: media family); (c) the 14 builders changed this round and
@@ -248,11 +251,11 @@ def _load() -> None:
 #: lsh_recall_report — mtime-stamped keys), dedup_minhash_verified
 #: (peek key) and ann_recall_report (mtime-keyed decision cache);
 #: (d) ALL 22 remaining r4-vintage entries (task 3 — after this round
-#: no green entry predates r5); (e) 3 of the 44 r5-vintage entries,
-#: chosen for plan-class diversity (simhash verify, ORC source,
-#: streaming twin) — the 41 left for r11 each have a cousin in this
-#: window or a younger green.
-#: 5+6+14+22+3 = exactly the 50 checked slots.
+#: no green entry predates r5); (e) 2 of the 44 r5-vintage entries,
+#: chosen for plan-class diversity (ORC source, streaming twin) —
+#: the 42 left for r11 each have a cousin in this window or a
+#: younger green.
+#: 5+7+14+22+2 = exactly the 50 checked slots.
 FRONT_WINDOW: tuple[str, ...] = (
     # canaries — driver-green in every prior round
     "wordcount",
@@ -266,6 +269,7 @@ FRONT_WINDOW: tuple[str, ...] = (
     "media_mp4_frame_sample",
     "media_audio_fp_dedup",
     "media_gif_roundtrip",
+    "media_gif_animation_frames",
     "media_video_scene_cuts",
     # builders changed this round (distinct-id media contract /
     # seeded CC + memo-key stamps / eval-decision cache keys)
@@ -306,10 +310,11 @@ FRONT_WINDOW: tuple[str, ...] = (
     "q8_market_share",
     "sql_q5_local_supplier_volume",
     "string_agg_status_list",
-    # r5 vintage re-greens (3 of 44 — starts the r5 tail retirement;
-    # bm25_doc_ranking, embedding_top_pc and stratified_sample ceded
-    # their slots to the three late-round media operators)
-    "dedup_simhash_verified",
+    # r5 vintage re-greens (2 of 44 — starts the r5 tail retirement;
+    # bm25_doc_ranking, embedding_top_pc, stratified_sample and
+    # dedup_simhash_verified ceded their slots to the four late-round
+    # media operators — the dedup family keeps four younger-green
+    # cousins in this very window)
     "orc_source_lineitem_q6",
     "streaming_tumbling_hourly",
 )

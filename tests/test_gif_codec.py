@@ -15,7 +15,9 @@ from multithreaded_mapreduce_spark.multimodal.gif import (
     _lzw_decode,
     _lzw_encode,
     decode_gif,
+    decode_gif_frames,
     encode_gif,
+    encode_gif_frames,
 )
 
 
@@ -122,6 +124,43 @@ def test_interlaced_flag_rejected():
     buf[i + 9] |= 0x40  # set interlace flag in the image descriptor
     with pytest.raises(ValueError, match="interlaced"):
         decode_gif(bytes(buf))
+
+
+def test_animated_roundtrip_frames_and_delays():
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (9, 14)).astype(np.uint8) for _ in range(5)]
+    delays = [3, 7, 0, 65535, 12]
+    out = decode_gif_frames(encode_gif_frames(frames, delays))
+    assert len(out) == 5
+    for (px, d), f, ed in zip(out, frames, delays):
+        assert (px == f).all()
+        assert d == ed
+
+
+def test_animated_first_frame_matches_decode_gif():
+    frames = [_raster(6, 8, seed=s) for s in (1, 2, 3)]
+    buf = encode_gif_frames(frames, [1, 2, 3])
+    assert (decode_gif(buf) == frames[0]).all()
+
+
+def test_still_87a_decodes_as_single_frame_with_zero_delay():
+    px = _raster(7, 9, seed=4)
+    out = decode_gif_frames(encode_gif(px))
+    assert len(out) == 1
+    assert (out[0][0] == px).all()
+    assert out[0][1] == 0
+
+
+def test_animated_error_paths():
+    frames = [_raster(5, 5, seed=6)]
+    with pytest.raises(ValueError):
+        encode_gif_frames([])
+    with pytest.raises(ValueError):
+        encode_gif_frames(frames + [_raster(4, 4, seed=7)])  # dim mismatch
+    with pytest.raises(ValueError):
+        encode_gif_frames(frames, [70000])  # delay overflow
+    with pytest.raises(ValueError):
+        decode_gif_frames(encode_gif_frames(frames, [1])[:-1])  # no trailer
 
 
 def test_binary_dispatch_decodes_gif_payloads():
