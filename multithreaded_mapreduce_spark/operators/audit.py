@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import DEC
 from ..plans.registry import register
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread
 
 
 def _check(name: str, violations) -> DataFrame:
@@ -483,7 +483,19 @@ def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _profile_frame(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # spread BEFORE the aggregate (r10 optimization, guide §2.5/§2.6):
+    # the driver ships orders as one single-row-group parquet file, so
+    # the scan — and the partial phase of the multi-distinct expand
+    # aggregate fused into it — ran as ONE task (profiled 2.2 s on one
+    # core at sf0.1, the whole query's dominant stage). An explicit
+    # repartition of the 6 profiled columns costs a ~MB exchange and
+    # makes the ×7 expand + partial hash run at full parallelism
+    # (3.3 → ~1.3 s at sf0.1). On a cluster with split inputs the
+    # exchange is redundant but cheap — same rationale as every other
+    # spread-before-CPU-heavy-work site (sources/tables.py).
+    orders = spread(
+        load_table(spark, sf_dir, "orders").select(*[c for c, _ in _PROFILE_COLS])
+    )
     ndv_agg = F.approx_count_distinct if approx else F.countDistinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:

@@ -526,6 +526,15 @@ def pretraining_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         f3.alias("f3"),
         f4.alias("f4"),
     ).transform(tracked_persist)
+    # materialize the shared gate scan ONCE before the stage aggregates
+    # fan out (r10 optimization, guide §5): the per-stage count
+    # aggregates become concurrent broadcast-exchange jobs that raced
+    # this cache cold and re-ran the tokenize + 37-count + md5 + bigram
+    # scan ~3× per run (profiled ~26 of 48 exec-s redundant). Wall-
+    # neutral at sf0.1 (redundant jobs back-fill idle cores), CPU-saving
+    # at saturation — same gate as doc_quality_composite's.
+    if os.environ.get("MMR_EAGER_SHARED_SCAN", "on") != "off":
+        staged.count()
     agg1 = staged.agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.sum(F.col("f2").cast("int")).alias("n_nonempty"),
@@ -715,9 +724,14 @@ def _bpe_apply_merge(syms: F.Column, lhs: str, rhs: str) -> F.Column:
     tags=("text", "tokenizer", "bpe", "pipeline", "iterative"),
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rows import literal_rows_df
+
     merges, _ = _bpe_train(spark, sf_dir)
-    return spark.createDataFrame(
-        merges, "round int, lhs string, rhs string, pair_cnt bigint"
+    # literal-values plan instead of createDataFrame: the Python-RDD
+    # parallelize cost ~6 exec-s × 2 stages at 32 cores for 5 rows
+    # (r10 optimization, guide §4 — no Python workers for JVM work)
+    return literal_rows_df(
+        spark, merges, "round int, lhs string, rhs string, pair_cnt bigint"
     ).orderBy("round")
 
 

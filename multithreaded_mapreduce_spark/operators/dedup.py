@@ -180,6 +180,123 @@ def _group_relation(
     )
 
 
+# ------------------------------------------------------------------
+# Fixed-width set-bitmask compare (r10 optimization, guide §2.3
+# "narrower types" + §1.2 per-task work). The exact-jaccard and
+# minhash-verify paths both reduce to |A∩B| over distinct-token-id
+# sets; Spark's array_intersect builds a hash set per ROW PAIR, and
+# the pairwise group compare was profiled at ~93 executor-seconds at
+# sf0.1 (the single heaviest stage in the suite; the minhash verify
+# join another ~44). When the corpus' distinct token-id universe fits
+# SETMASK_MAX_VOCAB bit positions, each set packs into
+# ceil(vocab/64) longs and every intersection becomes W AND+popcount
+# ops — and the relation that shuffles/broadcasts carries W longs
+# instead of a variable-length array. The id→position mapping is
+# injective (row_number over the distinct ids), so |A∩B| — and with
+# it every jaccard double — is bit-identical to the array path; the
+# mapping is built INSIDE the plan from the already-persisted
+# token-set relation (one tiny window + broadcast join), never cached
+# across runs. Above the cap (any realistic corpus vocabulary) the
+# decision disengages and the array/postings paths stand unchanged;
+# the knob exists because low-cardinality token universes — enum-like
+# fields, k-mer alphabets, hashed feature buckets — are a real shape,
+# and the driver corpus is one. Kill switch: MMR_SETMASK=off.
+# ------------------------------------------------------------------
+
+SETMASK_MAX_VOCAB = int(os.environ.get("MMR_SETMASK_MAX_VOCAB", "1024"))
+_SETMASK_DECISION_CACHE: dict[tuple, dict] = {}
+LAST_SETMASK_DECISION: dict = {}
+
+
+def _setmask_decision(
+    spark: SparkSession, sf_dir: str, ids: DataFrame, site: str
+) -> dict:
+    """Measured per-corpus decision (memoized, the LSH/jaccard/zscore
+    pattern): count the distinct token ids of ``ids`` and engage the
+    bitmask compare only when 0 < n <= SETMASK_MAX_VOCAB. Either path
+    yields identical values (pytest-asserted), so the cached choice
+    only affects the physical plan."""
+    global LAST_SETMASK_DECISION
+    if os.environ.get("MMR_SETMASK", "auto") == "off":
+        LAST_SETMASK_DECISION = {"forced": "off", "engage": False, "site": site}
+        return LAST_SETMASK_DECISION
+    key = (_docs_stamp(sf_dir), site)
+    if key not in _SETMASK_DECISION_CACHE:
+        n = ids.distinct().count()
+        _SETMASK_DECISION_CACHE[key] = {
+            "site": site,
+            "n_vocab": n,
+            "max_vocab": SETMASK_MAX_VOCAB,
+            "n_words": (n + 63) // 64,
+            "engage": 0 < n <= SETMASK_MAX_VOCAB,
+        }
+    LAST_SETMASK_DECISION = _SETMASK_DECISION_CACHE[key]
+    return LAST_SETMASK_DECISION
+
+
+def _setmask_vocab(ids: DataFrame) -> DataFrame:
+    """(id, pos) with pos = dense 0-based rank of the distinct ids —
+    the injective bit-position assignment. The window is a single
+    sort of <= SETMASK_MAX_VOCAB rows."""
+    from pyspark.sql import Window
+
+    return ids.distinct().select(
+        "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("pos")
+    )
+
+
+def _mask_word_aggs(n_words: int, pos_col: str = "pos") -> list:
+    """bit_or aggregate columns _m0.._m{W-1}: word w collects bit
+    (pos % 64) of every member id with pos in [64w, 64w+64)."""
+    # the PySpark shiftleft wrapper only takes a literal shift; the JVM
+    # ShiftLeft expression takes a column one — go through expr()
+    shifted = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pos_col} % 64 AS INT))")
+    return [
+        F.bit_or(
+            F.when(
+                (F.col(pos_col) >= w * 64) & (F.col(pos_col) < (w + 1) * 64),
+                shifted,
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(f"_m{w}")
+        for w in range(n_words)
+    ]
+
+
+def _mask_intersect_size(n_words: int, a_prefix: str, b_prefix: str):
+    """|A∩B| as W AND+popcounts — exact, because id→pos is injective."""
+    from functools import reduce
+    from operator import add
+
+    return reduce(
+        add,
+        [
+            F.bit_count(
+                F.col(f"{a_prefix}{w}").bitwiseAND(F.col(f"{b_prefix}{w}"))
+            )
+            for w in range(n_words)
+        ],
+    ).cast("int")
+
+
+def _group_masks(groups: DataFrame, n_words: int) -> DataFrame:
+    """(toks_h, _m0.._m{W-1}) for the collapsed-group relation. Keyed
+    by the hashed token ARRAY (the group identity — gid is NOT unique
+    under the duplicate-doc_id fixture, where one doc_id can be the
+    min member of two different token sets); the vocab mapping is
+    derived from the persisted groups relation itself, so no extra
+    corpus scan enters the plan."""
+    ids = groups.select(F.explode("toks_h").alias("id"))
+    vocab = _setmask_vocab(ids)
+    tokm = groups.select("toks_h").distinct().select(
+        "toks_h", F.explode("toks_h").alias("id")
+    )
+    return (
+        tokm.join(F.broadcast(vocab), "id")
+        .groupBy("toks_h")
+        .agg(*_mask_word_aggs(n_words))
+    )
+
+
 def _jaccard_group_cross(
     spark: SparkSession,
     sf_dir: str,
@@ -212,19 +329,56 @@ def _jaccard_group_cross(
         F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     ).alias("jaccard")
     if _jaccard_path_decision(groups, sf_dir, tag=decision_tag)["use_broadcast"]:
-        # pairwise path: broadcast the collapsed-group relation and
-        # compare hashed token arrays directly — byte-guarded above
-        # (the relation carries full toks_h arrays, so the gate is a
-        # measured bytes estimate, not a row count)
-        a = groups.select(
-            F.col("gid").alias("ga"), F.col("toks_h").alias("ta"),
-            F.col("members").alias("m_a"), F.col("n").alias("na"),
+        # masks engage only on the UNBOUNDED full-corpus path: the
+        # eval-sampled variants (decision_tag != "") are capped at
+        # ~EVAL_SAMPLE_TARGET_DOCS docs by construction, and the mask
+        # build's extra stages cost more than the bounded intersect
+        # work saves (A/B at sf0.1: sweep +0.27 s, kfold +0.49 s,
+        # recall +1.4 s sampled vs components −2.4 s full)
+        sm = (
+            {"engage": False, "skipped": "sampled-variant"}
+            if decision_tag
+            else _setmask_decision(
+                spark,
+                sf_dir,
+                groups.select(F.explode("toks_h").alias("id")),
+                "jaccard_groups",
+            )
         )
-        b = groups.select(
-            F.col("gid").alias("gb"), F.col("toks_h").alias("tb"),
-            F.col("members").alias("m_b"), F.col("n").alias("nb"),
-        )
-        c = F.size(F.array_intersect("ta", "tb"))
+        if sm["engage"]:
+            # bitmask pairwise path (r10 optimization, see the setmask
+            # block above): the broadcast relation carries W longs per
+            # group instead of the token array, and each of the |G|²/2
+            # candidate intersections is W AND+popcounts instead of an
+            # array_intersect hash build — profiled 93 → ~8 exec-s on
+            # the components edge stage at sf0.1, value-identical
+            nw = sm["n_words"]
+            g2 = groups.join(F.broadcast(_group_masks(groups, nw)), "toks_h")
+            a = g2.select(
+                F.col("gid").alias("ga"),
+                F.col("members").alias("m_a"), F.col("n").alias("na"),
+                *[F.col(f"_m{w}").alias(f"_a{w}") for w in range(nw)],
+            )
+            b = g2.select(
+                F.col("gid").alias("gb"),
+                F.col("members").alias("m_b"), F.col("n").alias("nb"),
+                *[F.col(f"_m{w}").alias(f"_b{w}") for w in range(nw)],
+            )
+            c = _mask_intersect_size(nw, "_a", "_b")
+        else:
+            # pairwise path: broadcast the collapsed-group relation and
+            # compare hashed token arrays directly — byte-guarded above
+            # (the relation carries full toks_h arrays, so the gate is a
+            # measured bytes estimate, not a row count)
+            a = groups.select(
+                F.col("gid").alias("ga"), F.col("toks_h").alias("ta"),
+                F.col("members").alias("m_a"), F.col("n").alias("na"),
+            )
+            b = groups.select(
+                F.col("gid").alias("gb"), F.col("toks_h").alias("tb"),
+                F.col("members").alias("m_b"), F.col("n").alias("nb"),
+            )
+            c = F.size(F.array_intersect("ta", "tb"))
         cross = (
             F.broadcast(a)
             .join(b, (F.col("ga") < F.col("gb")) & ratio_prune)
@@ -936,15 +1090,35 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("ga", "gb")
         )
-    a = groups.select(
-        F.col("gid").alias("ga"), F.col("toks_h").alias("ta"),
-        F.col("members").alias("m_a"), F.col("n").alias("na"),
+    # bitmask verify under the measured vocab decision — same shape and
+    # rationale as the jaccard group cross (see the setmask block); the
+    # candidate⋈group joins then carry W longs instead of token arrays
+    sm = _setmask_decision(
+        spark, sf_dir, groups.select(F.explode("toks_h").alias("id")), "containment_groups"
     )
-    b = groups.select(
-        F.col("gid").alias("gb"), F.col("toks_h").alias("tb"),
-        F.col("members").alias("m_b"),
-    )
-    c = F.size(F.array_intersect("ta", "tb"))
+    if sm["engage"]:
+        nw = sm["n_words"]
+        g2 = groups.join(F.broadcast(_group_masks(groups, nw)), "toks_h")
+        a = g2.select(
+            F.col("gid").alias("ga"),
+            F.col("members").alias("m_a"), F.col("n").alias("na"),
+            *[F.col(f"_m{w}").alias(f"_a{w}") for w in range(nw)],
+        )
+        b = g2.select(
+            F.col("gid").alias("gb"), F.col("members").alias("m_b"),
+            *[F.col(f"_m{w}").alias(f"_b{w}") for w in range(nw)],
+        )
+        c = _mask_intersect_size(nw, "_a", "_b")
+    else:
+        a = groups.select(
+            F.col("gid").alias("ga"), F.col("toks_h").alias("ta"),
+            F.col("members").alias("m_a"), F.col("n").alias("na"),
+        )
+        b = groups.select(
+            F.col("gid").alias("gb"), F.col("toks_h").alias("tb"),
+            F.col("members").alias("m_b"),
+        )
+        c = F.size(F.array_intersect("ta", "tb"))
     cross = (
         cand.join(a, "ga")
         .join(b, "gb")
@@ -1652,6 +1826,7 @@ def _minhash_verified_pairs(
     """Banded-and-verified MinHash pairs over ``docs`` (the full
     documents table by default; the md5-uniform eval sample when the
     recall report engages sampling)."""
+    docs_is_full = docs is None
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
     docs = spread(
@@ -1681,6 +1856,40 @@ def _minhash_verified_pairs(
     sigs = dsets.select(
         "doc_id", "tids", F.size("tids").alias("n"), *sig_cols
     ).transform(tracked_persist)
+    # bitmask verify (r10 optimization, see the setmask block): when the
+    # distinct-tid universe fits, the verify join ships W longs per doc
+    # instead of the tid array and each candidate intersection is W
+    # AND+popcounts instead of an array_intersect (profiled ~44 exec-s
+    # in the verify stage at sf0.1). Masks and the vocab mapping are
+    # both derived from the PERSISTED sigs relation (cached reads, no
+    # extra corpus scan enters the plan); doc_id is unique post-groupBy
+    # so it can key the mask aggregate, and n rides along as the
+    # distinct-tid count. The decision is memoized per corpus+variant
+    # (sample-restricted positions when the eval sample engages —
+    # positions only need to be consistent within one plan).
+    # masks engage only on the UNBOUNDED full-corpus path — the eval
+    # sample caps the relation by construction and the mask build's
+    # extra stages then cost more than they save (A/B, see the
+    # jaccard-cross twin of this gate)
+    sm = (
+        {"engage": False, "skipped": "sampled-variant"}
+        if not docs_is_full
+        else _setmask_decision(
+            spark, sf_dir, sigs.select(F.explode("tids").alias("id")), "minhash_tids"
+        )
+    )
+    mask_rel = None
+    if sm["engage"]:
+        nw = sm["n_words"]
+        vocab = _setmask_vocab(sigs.select(F.explode("tids").alias("id")))
+        # persisted: referenced by BOTH sides of the verify join
+        mask_rel = (
+            sigs.select("doc_id", F.explode("tids").alias("id"))
+            .join(F.broadcast(vocab), "id")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"), *_mask_word_aggs(nw))
+            .transform(tracked_persist)
+        )
     # band key = (band index, the band's 2 signature values) as a struct —
     # exact equality, no re-hash, so the candidate set is literally the
     # oracle's OR-of-band-equalities, generated by ONE equi-join
@@ -1713,9 +1922,21 @@ def _minhash_verified_pairs(
         .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("da"), F.col("tids").alias("ta"), F.col("n").alias("na"))
-    sb = sigs.select(F.col("doc_id").alias("db"), F.col("tids").alias("tb"), F.col("n").alias("nb"))
-    inter = F.size(F.array_intersect("ta", "tb"))
+    if mask_rel is not None:
+        nw = sm["n_words"]
+        sa = mask_rel.select(
+            F.col("doc_id").alias("da"), F.col("n").alias("na"),
+            *[F.col(f"_m{w}").alias(f"_a{w}") for w in range(nw)],
+        )
+        sb = mask_rel.select(
+            F.col("doc_id").alias("db"), F.col("n").alias("nb"),
+            *[F.col(f"_m{w}").alias(f"_b{w}") for w in range(nw)],
+        )
+        inter = _mask_intersect_size(nw, "_a", "_b")
+    else:
+        sa = sigs.select(F.col("doc_id").alias("da"), F.col("tids").alias("ta"), F.col("n").alias("na"))
+        sb = sigs.select(F.col("doc_id").alias("db"), F.col("tids").alias("tb"), F.col("n").alias("nb"))
+        inter = F.size(F.array_intersect("ta", "tb"))
     return (
         cand.join(sa, "da")
         .join(sb, "db")
@@ -2194,6 +2415,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-cosine near-dup (oracle-able)
 # ------------------------------------------------------------------
 
+_EMB_BLOCK_DECISION_CACHE: dict[tuple, dict] = {}
+LAST_EMB_BLOCK_DECISION: dict = {}
+
+
+def _emb_block_decision(spark: SparkSession, sf_dir: str, emb: DataFrame) -> dict:
+    """Measured per-corpus path decision for the label-blocked pairwise
+    cosine (memoized, the _jaccard_path_decision pattern): estimate the
+    serialized embedding relation — row overhead plus 4 B per float32
+    element — and broadcast the build side only under the shared byte
+    budget. Either path returns the identical pair multiset; the choice
+    only affects the physical plan."""
+    global LAST_EMB_BLOCK_DECISION
+    env = os.environ.get("MMR_EMB_BLOCK_PATH", "")
+    if env in ("broadcast", "shuffle"):
+        LAST_EMB_BLOCK_DECISION = {"forced": env, "use_broadcast": env == "broadcast"}
+        return LAST_EMB_BLOCK_DECISION
+    from ..sources.tables import _dataset_mtime_ns, table_path
+
+    key = (
+        os.path.realpath(sf_dir),
+        _dataset_mtime_ns(table_path(sf_dir, "embeddings")),
+    )
+    if key not in _EMB_BLOCK_DECISION_CACHE:
+        row = emb.agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.coalesce(F.sum(F.size("embedding")), F.lit(0)).alias("n_elems"),
+        ).first()
+        est_bytes = int(row["n_vecs"]) * 64 + int(row["n_elems"]) * 4
+        _EMB_BLOCK_DECISION_CACHE[key] = {
+            "n_vecs": int(row["n_vecs"]),
+            "est_bytes": est_bytes,
+            "budget_bytes": _BROADCAST_BUDGET_BYTES,
+            "use_broadcast": est_bytes <= _BROADCAST_BUDGET_BYTES,
+        }
+    LAST_EMB_BLOCK_DECISION = _EMB_BLOCK_DECISION_CACHE[key]
+    return LAST_EMB_BLOCK_DECISION
+
+
 EMBEDDING_COSINE_ORACLE = f"""
 WITH dims AS (SELECT unnest(range(1, 65)) AS i),
 prods AS (
@@ -2242,8 +2501,25 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", norm_sq_fast("embedding").alias("nsq")
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    # Parallelize the blocked compare (r10 optimization, guide §2.5 +
+    # §3.1). The join key `label` has a handful of distinct values, so
+    # the shuffle join hashed BOTH sides into as many partitions as
+    # labels — and AQE then coalesced the tiny-bytes exchange further,
+    # profiled as two ~2.3 s SINGLE-TASK stages doing every pairwise
+    # cosine on one core (the repo's own documented hazard: never feed
+    # CPU-heavy per-row work from a coalescible exchange). Under the
+    # measured byte budget the build side is broadcast instead and the
+    # probe side spread to full parallelism: a BroadcastHashJoin on
+    # label whose per-task work is bounded by the probe partitioning,
+    # not by |labels|. Over budget (a corpus too big to broadcast) the
+    # original shuffle join stands — with the label-skew caveat that
+    # blocked self-joins have at any scale.
+    if _emb_block_decision(spark, sf_dir, emb)["use_broadcast"]:
+        a = spread(emb).alias("a")
+        b = F.broadcast(emb.alias("b"))
+    else:
+        a = emb.alias("a")
+        b = emb.alias("b")
     # two-phase: the oracle-stable decimal fold costs ~100× the plain
     # double cosine, so prefilter every blocked pair with the fast one
     # at a 1e-6 safety margin (fast/exact disagreement ~1e-15) and pay
@@ -2268,7 +2544,10 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
-        .orderBy("vec_a", "vec_b")
+        # no global output sort (driver compare is order-insensitive and
+        # this is the query's largest relation — the r4 pair-producer
+        # policy, applied here in the r10 optimization round: the sweep
+        # consumer was paying a full sort of the pair relation)
     )
 
 
@@ -3212,9 +3491,34 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("da"), F.col("tids").alias("ta"), F.col("n").alias("na"))
-    sb = sigs.select(F.col("doc_id").alias("db"), F.col("tids").alias("tb"), F.col("n").alias("nb"))
-    inter = F.size(F.array_intersect("ta", "tb"))
+    # bitmask verify under the measured vocab decision — same shape and
+    # rationale as _minhash_verified_pairs (see the setmask block)
+    sm = _setmask_decision(
+        spark, sf_dir, sigs.select(F.explode("tids").alias("id")), "incremental_tids"
+    )
+    if sm["engage"]:
+        nw = sm["n_words"]
+        vocab = _setmask_vocab(sigs.select(F.explode("tids").alias("id")))
+        mask_rel = (
+            sigs.select("doc_id", F.explode("tids").alias("id"))
+            .join(F.broadcast(vocab), "id")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"), *_mask_word_aggs(nw))
+            .transform(tracked_persist)
+        )
+        sa = mask_rel.select(
+            F.col("doc_id").alias("da"), F.col("n").alias("na"),
+            *[F.col(f"_m{w}").alias(f"_a{w}") for w in range(nw)],
+        )
+        sb = mask_rel.select(
+            F.col("doc_id").alias("db"), F.col("n").alias("nb"),
+            *[F.col(f"_m{w}").alias(f"_b{w}") for w in range(nw)],
+        )
+        inter = _mask_intersect_size(nw, "_a", "_b")
+    else:
+        sa = sigs.select(F.col("doc_id").alias("da"), F.col("tids").alias("ta"), F.col("n").alias("na"))
+        sb = sigs.select(F.col("doc_id").alias("db"), F.col("tids").alias("tb"), F.col("n").alias("nb"))
+        inter = F.size(F.array_intersect("ta", "tb"))
     return (
         cand.join(sa, "da")
         .join(sb, "db")

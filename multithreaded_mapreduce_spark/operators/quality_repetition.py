@@ -23,6 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 from operator import add
 
@@ -806,6 +807,17 @@ def doc_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         g_rep.alias("g_rep"),
         g_ent.alias("g_ent"),
     ).transform(tracked_persist)
+    # materialize the shared scan ONCE before the consumers fan out
+    # (r10 optimization, guide §5): the v/vt/lmmed broadcast exchanges
+    # are built as CONCURRENT jobs, and when they race the final job to
+    # a cold cache each one re-runs the full tokenize + 37-count + gate
+    # scan (profiled: the ~8 exec-s projection executed ~3× per run).
+    # One count() barrier fills the cache; every branch then reads it.
+    # Wall-neutral at sf0.1 (the redundant jobs back-fill idle cores)
+    # but saves ~2/3 of the scan CPU — the win appears when cores are
+    # saturated (measured at 10×, see OPTIMIZATION_r10.md).
+    if os.environ.get("MMR_EAGER_SHARED_SCAN", "on") != "off":
+        base.count()
     tok = base.select("doc_id", F.explode("ts").alias("token"))
     v = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).transform(
         tracked_persist

@@ -1017,10 +1017,6 @@ ORDER BY query_id, rnk
 )
 def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import norm_sq_fast
-    from ..plans.caching import (
-        guard_checkpoint_result,
-        tracked_local_checkpoint,
-    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id"), F.col("embedding")
@@ -1064,96 +1060,111 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MMR_POOL)
         .drop("rn")
-        # localCheckpoint, not persist: the rounds below reference this
-        # relation 2x each — with the 64-dim exact-decimal cosine
-        # expressions still in the logical plan, Catalyst re-analyzes
-        # them per round and driver time dominates (measured 19.5 s at
-        # sf0.1 persisted vs ~2.5 s checkpointed; the pagerank lesson,
-        # graph.py). The relation is queries x POOL rows.
-        .transform(tracked_local_checkpoint)
     )
-    cc = (
-        cand.select("query_id", F.col("neighbor_id").alias("na"), F.col("n_emb").alias("ea"))
-        .join(
-            cand.select(
-                F.col("query_id").alias("qid2"),
-                F.col("neighbor_id").alias("nb"),
-                F.col("n_emb").alias("eb"),
+    # ---- greedy selection as ONE plan over per-query pool arrays
+    # (r10 optimization, guide §1.2/§2.4). The former implementation
+    # ran every selection round as relational joins with an eager
+    # localCheckpoint per round — correct, but 53 jobs at sf0.1 whose
+    # scheduling barriers dominated the wall clock (profiled: ~4.7
+    # exec-s of real work in a 3.4-3.6 s query). The pool is ≤ MMR_POOL
+    # rows per query BY CONSTRUCTION, so the whole greedy loop fits in
+    # row-local array expressions: collect each query's pool once,
+    # stage the POOL×POOL sim matrix as one column (same 6-dp rounded
+    # exact-decimal cosine), then unroll the K selection rounds as
+    # staged projections — argmax via array_min over (-score, nid)
+    # structs, EXACTLY the min(struct) tie-break the join form used.
+    # One job + broadcasts instead of 53; identical output (oracle
+    # unchanged, hand-fixture + rank-1-parity tests unchanged).
+    pool0 = (
+        cand.groupBy("query_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("neighbor_id").alias("nid"),
+                        F.col("cosine").alias("cos"),
+                        F.col("n_emb").alias("emb"),
+                    )
+                )
+            ).alias("pool0")
+        )
+    )
+    sims = F.transform(
+        F.col("pool0"),
+        lambda a: F.transform(
+            F.col("pool0"),
+            lambda b: F.when(
+                a["nid"] == b["nid"], F.lit(None).cast("double")
+            ).otherwise(_nz(_rounded_cosine(a["emb"], b["emb"]))),
+        ),
+    )
+    st = (
+        pool0.withColumn("sims", sims)
+        .withColumn(
+            "pool",
+            F.transform(
+                "pool0",
+                lambda p: F.struct(p["nid"].alias("nid"), p["cos"].alias("cos")),
             ),
-            (F.col("query_id") == F.col("qid2")) & (F.col("na") != F.col("nb")),
         )
-        .select(
-            "query_id",
-            "na",
-            "nb",
-            _nz(_rounded_cosine(F.col("ea"), F.col("eb"))).alias("sim"),
-        )
-        .transform(tracked_local_checkpoint)
+        .drop("pool0")
     )
     lam, om = MMR_LAMBDA, 1.0 - MMR_LAMBDA
-    # round 1: pure relevance (empty selected set), min(struct) argmax —
-    # the cosine rides as payload so no -(-x) renegation touches it
-    b1 = cand.groupBy("query_id").agg(
-        F.min(
-            F.struct(
-                (-F.col("cosine")).alias("ns"),
-                F.col("neighbor_id").alias("nid"),
-                F.col("cosine").alias("sc"),
-            )
-        ).alias("b")
-    )
-    # each round's selected relation is REFERENCED TWICE by the next
-    # round (max-sim join + anti-join) — unpersisted, the recursive
-    # lineage re-executes earlier rounds ~3^k times (measured 25 s at
-    # sf0.1; 2.5 s persisted). The relations are (queries × k) rows.
-    selu = b1.select(
-        "query_id",
-        F.col("b.nid").alias("neighbor_id"),
-        F.lit(1).alias("rnk"),
-        F.col("b.sc").alias("mmr_score"),
-    ).transform(tracked_local_checkpoint)
+
+    def _cand_struct(score, p, i):
+        # the score rides as payload so no -(-x) renegation touches it
+        return F.struct(
+            (-score).alias("ns"), p["nid"].alias("nid"), score.alias("sc"), i.alias("i")
+        )
+
+    # round 1: pure relevance (empty selected set)
+    st = st.withColumn(
+        "b1",
+        F.array_min(F.transform("pool", lambda p, i: _cand_struct(p["cos"], p, i))),
+    ).withColumn("seli", F.array(F.col("b1")["i"]))
     for k in range(2, MMR_K + 1):
-        maxsim = (
-            cc.join(
-                selu.select(
-                    F.col("query_id").alias("qs"),
-                    F.col("neighbor_id").alias("nb_sel"),
+
+        def _per_cand(p, i):
+            maxsim = F.array_max(
+                F.transform(
+                    F.col("seli"),
+                    lambda j: F.element_at(
+                        F.element_at("sims", (i + F.lit(1)).cast("int")),
+                        (j + F.lit(1)).cast("int"),
+                    ),
+                )
+            )
+            score = F.lit(lam) * p["cos"] - F.lit(om) * maxsim
+            return F.when(F.array_contains(F.col("seli"), i), F.lit(None)).otherwise(
+                _cand_struct(score, p, i)
+            )
+
+        st = st.withColumn(f"b{k}", F.array_min(F.transform("pool", _per_cand)))
+        st = st.withColumn("seli", F.concat("seli", F.array(F.col(f"b{k}")["i"])))
+    rows = F.array(
+        *[
+            F.when(
+                F.col(f"b{k}").isNotNull(),
+                F.struct(
+                    F.col(f"b{k}")["nid"].alias("neighbor_id"),
+                    F.lit(k).alias("rnk"),
+                    F.col(f"b{k}")["sc"].alias("mmr_score"),
                 ),
-                (F.col("query_id") == F.col("qs")) & (F.col("nb") == F.col("nb_sel")),
             )
-            .groupBy("query_id", F.col("na").alias("neighbor_id"))
-            .agg(F.max("sim").alias("maxsim"))
+            for k in range(1, MMR_K + 1)
+        ]
+    )
+    return (
+        st.select("query_id", F.explode(rows).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select(
+            "query_id",
+            F.col("r.neighbor_id").alias("neighbor_id"),
+            F.col("r.rnk").alias("rnk"),
+            F.col("r.mmr_score").alias("mmr_score"),
         )
-        rem = cand.join(
-            selu.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        score = F.lit(lam) * F.col("cosine") - F.lit(om) * F.col("maxsim")
-        bk = (
-            rem.join(maxsim, ["query_id", "neighbor_id"])
-            .select("query_id", "neighbor_id", score.alias("score"))
-            .groupBy("query_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("score")).alias("ns"),
-                        F.col("neighbor_id").alias("nid"),
-                        F.col("score").alias("sc"),
-                    )
-                ).alias("b")
-            )
-            .select(
-                "query_id",
-                F.col("b.nid").alias("neighbor_id"),
-                F.lit(k).alias("rnk"),
-                F.col("b.sc").alias("mmr_score"),
-            )
-        )
-        selu = selu.unionByName(bk).transform(tracked_local_checkpoint)
-    # fail-fast guard: the plan reads tracked checkpoint blocks, which
-    # the NEXT top-level build releases (see plans/caching.py)
-    return guard_checkpoint_result(selu.orderBy("query_id", "rnk"))
+        .orderBy("query_id", "rnk")
+    )
 
 
 # ------------------------------------------------------------------

@@ -591,8 +591,13 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = [0.125] * len(mean)
     for _ in range(PC_ITERS):
         v = _pc_matvec(emb, mean, v)
-    out = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(v)], "dim INT, loading DOUBLE"
+    from ..functions.rows import literal_rows_df
+
+    # literal-values plan instead of createDataFrame: the Python-RDD
+    # parallelize spun up a Python worker per core to ship 64 rows
+    # (r10 optimization, guide §4 — no Python workers for JVM work)
+    out = literal_rows_df(
+        spark, [(i, c) for i, c in enumerate(v)], "dim INT, loading DOUBLE"
     )
     return out.select(
         "dim",
