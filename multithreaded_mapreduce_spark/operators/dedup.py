@@ -204,8 +204,42 @@ def _group_relation(
 # ------------------------------------------------------------------
 
 SETMASK_MAX_VOCAB = int(os.environ.get("MMR_SETMASK_MAX_VOCAB", "1024"))
+#: at or under this vocab the bit positions are collected to the driver
+#: (bounded: ≤ 64 longs) and masks become pure projections — no
+#: window/join/aggregate stages enter any consumer plan
+SETMASK_LITERAL_MAX_VOCAB = 64
 _SETMASK_DECISION_CACHE: dict[tuple, dict] = {}
 LAST_SETMASK_DECISION: dict = {}
+
+
+def _signed64(x: int) -> int:
+    """Two's-complement fold for bit-63 literals (1 << 63 overflows a
+    signed long; Spark longs are signed)."""
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _literal_mask_cols(arr_col: str, vocab_ids: list) -> list:
+    """Mask word columns _m0.._m{W-1} as a PURE PROJECTION over the
+    token-id array column: one array_contains per vocab bit, the shift
+    precomputed in Python. O(|vocab| × |set|) per row — bounded by the
+    literal cap — and zero extra plan stages."""
+    from functools import reduce
+
+    nw = (len(vocab_ids) + 63) // 64
+    cols = []
+    for w in range(nw):
+        terms = [
+            F.when(
+                F.array_contains(F.col(arr_col), F.lit(int(v)).cast("long")),
+                F.lit(_signed64(1 << (p % 64))).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for p, v in enumerate(vocab_ids)
+            if p // 64 == w
+        ]
+        cols.append(
+            reduce(lambda a, b: a.bitwiseOR(b), terms).alias(f"_m{w}")
+        )
+    return cols
 
 
 def _setmask_decision(
@@ -223,13 +257,26 @@ def _setmask_decision(
     key = (_docs_stamp(sf_dir), site)
     if key not in _SETMASK_DECISION_CACHE:
         n = ids.distinct().count()
-        _SETMASK_DECISION_CACHE[key] = {
+        d = {
             "site": site,
             "n_vocab": n,
             "max_vocab": SETMASK_MAX_VOCAB,
             "n_words": (n + 63) // 64,
             "engage": 0 < n <= SETMASK_MAX_VOCAB,
         }
+        if d["engage"] and n <= SETMASK_LITERAL_MAX_VOCAB:
+            # LITERAL positions (the same bounded-driver-state pattern
+            # as the Lloyd/PQ/BPE knobs): ≤ 64 ids collect once per
+            # corpus into the memoized decision, and every mask becomes
+            # a pure projection (array_contains per vocab bit) with NO
+            # extra window/join/aggregate stages in any consumer plan —
+            # this is what makes the bounded eval-sampled variants a
+            # win too (the join-based mask build's added stages cost
+            # more than bounded relations save, A/B-measured).
+            d["vocab_ids"] = sorted(
+                r["id"] for r in ids.distinct().collect()
+            )
+        _SETMASK_DECISION_CACHE[key] = d
     LAST_SETMASK_DECISION = _SETMASK_DECISION_CACHE[key]
     return LAST_SETMASK_DECISION
 
@@ -329,23 +376,22 @@ def _jaccard_group_cross(
         F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     ).alias("jaccard")
     if _jaccard_path_decision(groups, sf_dir, tag=decision_tag)["use_broadcast"]:
-        # masks engage only on the UNBOUNDED full-corpus path: the
-        # eval-sampled variants (decision_tag != "") are capped at
-        # ~EVAL_SAMPLE_TARGET_DOCS docs by construction, and the mask
-        # build's extra stages cost more than the bounded intersect
-        # work saves (A/B at sf0.1: sweep +0.27 s, kfold +0.49 s,
-        # recall +1.4 s sampled vs components −2.4 s full)
-        sm = (
-            {"engage": False, "skipped": "sampled-variant"}
-            if decision_tag
-            else _setmask_decision(
-                spark,
-                sf_dir,
-                groups.select(F.explode("toks_h").alias("id")),
-                "jaccard_groups",
-            )
+        sm = _setmask_decision(
+            spark,
+            sf_dir,
+            groups.select(F.explode("toks_h").alias("id")),
+            f"jaccard_groups{decision_tag}",
         )
-        if sm["engage"]:
+        # the JOIN-based mask build only engages on the UNBOUNDED
+        # full-corpus path: the eval-sampled variants (decision_tag !=
+        # "") are capped at ~EVAL_SAMPLE_TARGET_DOCS docs by
+        # construction, and that build's extra stages cost more than
+        # the bounded intersect work saves (A/B at sf0.1: sweep
+        # +0.27 s, kfold +0.49 s, recall +1.4 s sampled vs components
+        # −2.4 s full). The LITERAL mask path adds no stages at all, so
+        # it engages everywhere.
+        use_masks = sm["engage"] and ("vocab_ids" in sm or not decision_tag)
+        if use_masks:
             # bitmask pairwise path (r10 optimization, see the setmask
             # block above): the broadcast relation carries W longs per
             # group instead of the token array, and each of the |G|²/2
@@ -353,7 +399,13 @@ def _jaccard_group_cross(
             # array_intersect hash build — profiled 93 → ~8 exec-s on
             # the components edge stage at sf0.1, value-identical
             nw = sm["n_words"]
-            g2 = groups.join(F.broadcast(_group_masks(groups, nw)), "toks_h")
+            if "vocab_ids" in sm:
+                g2 = groups.select(
+                    "gid", "members", "n",
+                    *_literal_mask_cols("toks_h", sm["vocab_ids"]),
+                )
+            else:
+                g2 = groups.join(F.broadcast(_group_masks(groups, nw)), "toks_h")
             a = g2.select(
                 F.col("gid").alias("ga"),
                 F.col("members").alias("m_a"), F.col("n").alias("na"),
@@ -1098,7 +1150,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if sm["engage"]:
         nw = sm["n_words"]
-        g2 = groups.join(F.broadcast(_group_masks(groups, nw)), "toks_h")
+        if "vocab_ids" in sm:
+            # literal masks: pure projection, zero extra stages
+            g2 = groups.select(
+                "gid", "members", "n",
+                *_literal_mask_cols("toks_h", sm["vocab_ids"]),
+            )
+        else:
+            g2 = groups.join(F.broadcast(_group_masks(groups, nw)), "toks_h")
         a = g2.select(
             F.col("gid").alias("ga"),
             F.col("members").alias("m_a"), F.col("n").alias("na"),
@@ -1867,19 +1926,22 @@ def _minhash_verified_pairs(
     # distinct-tid count. The decision is memoized per corpus+variant
     # (sample-restricted positions when the eval sample engages —
     # positions only need to be consistent within one plan).
-    # masks engage only on the UNBOUNDED full-corpus path — the eval
-    # sample caps the relation by construction and the mask build's
-    # extra stages then cost more than they save (A/B, see the
-    # jaccard-cross twin of this gate)
-    sm = (
-        {"engage": False, "skipped": "sampled-variant"}
-        if not docs_is_full
-        else _setmask_decision(
-            spark, sf_dir, sigs.select(F.explode("tids").alias("id")), "minhash_tids"
-        )
+    sm = _setmask_decision(
+        spark,
+        sf_dir,
+        sigs.select(F.explode("tids").alias("id")),
+        "minhash_tids" if docs_is_full else "minhash_tids_sampled",
     )
     mask_rel = None
-    if sm["engage"]:
+    lit_masks = None
+    if sm["engage"] and "vocab_ids" in sm:
+        # literal masks: pure projection over the persisted sigs rows,
+        # zero extra stages — engages on the sampled variants too
+        lit_masks = sm["vocab_ids"]
+    elif sm["engage"] and docs_is_full:
+        # the JOIN-based mask build only on the unbounded full path
+        # (A/B: its extra stages cost more than bounded eval-sampled
+        # relations save — see the jaccard-cross twin of this gate)
         nw = sm["n_words"]
         vocab = _setmask_vocab(sigs.select(F.explode("tids").alias("id")))
         # persisted: referenced by BOTH sides of the verify join
@@ -1922,7 +1984,19 @@ def _minhash_verified_pairs(
         .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
         .distinct()
     )
-    if mask_rel is not None:
+    if lit_masks is not None:
+        nw = sm["n_words"]
+        lit_cols = _literal_mask_cols("tids", lit_masks)
+        sa = sigs.select(
+            F.col("doc_id").alias("da"), F.col("n").alias("na"),
+            *[c.alias(f"_a{w}") for w, c in enumerate(lit_cols)],
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("db"), F.col("n").alias("nb"),
+            *[c.alias(f"_b{w}") for w, c in enumerate(lit_cols)],
+        )
+        inter = _mask_intersect_size(nw, "_a", "_b")
+    elif mask_rel is not None:
         nw = sm["n_words"]
         sa = mask_rel.select(
             F.col("doc_id").alias("da"), F.col("n").alias("na"),
@@ -3496,7 +3570,20 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = _setmask_decision(
         spark, sf_dir, sigs.select(F.explode("tids").alias("id")), "incremental_tids"
     )
-    if sm["engage"]:
+    if sm["engage"] and "vocab_ids" in sm:
+        # literal masks: pure projection, zero extra stages
+        nw = sm["n_words"]
+        lit_cols = _literal_mask_cols("tids", sm["vocab_ids"])
+        sa = sigs.select(
+            F.col("doc_id").alias("da"), F.col("n").alias("na"),
+            *[c.alias(f"_a{w}") for w, c in enumerate(lit_cols)],
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("db"), F.col("n").alias("nb"),
+            *[c.alias(f"_b{w}") for w, c in enumerate(lit_cols)],
+        )
+        inter = _mask_intersect_size(nw, "_a", "_b")
+    elif sm["engage"]:
         nw = sm["n_words"]
         vocab = _setmask_vocab(sigs.select(F.explode("tids").alias("id")))
         mask_rel = (

@@ -103,22 +103,48 @@ def test_multiword_mask_oracle_parity(spark, wide_vocab_dir):
     assert dd.LAST_SETMASK_DECISION["engage"]
 
 
-def test_sampled_variants_skip_masks(spark, monkeypatch):
+def test_sampled_variants_literal_only_and_identical(spark, monkeypatch):
     """The eval-sampled pair relations are bounded by construction and
-    measured SLOWER with masks — they must take the array path even
-    when the corpus vocabulary fits."""
+    measured SLOWER with the JOIN-based mask build — they may engage
+    only the zero-extra-stage LITERAL path (vocab ≤ 64), and the
+    engaged output must equal the array path's."""
     monkeypatch.setattr(dd, "EVAL_SAMPLE_TARGET_DOCS", 100)  # force k > 1
     dd._EVAL_SAMPLE_CACHE.clear()
+
+    def eval_pairs_rows():
+        release_tracked()
+        release_result_memos()
+        spark.catalog.clearCache()
+        return sorted(tuple(r) for r in dd._eval_pairs(spark, SF_DIR).collect())
+
+    monkeypatch.setenv("MMR_SETMASK", "off")
     dd._SETMASK_DECISION_CACHE.clear()
-    release_tracked()
-    release_result_memos()
-    df = dd._eval_pairs(spark, SF_DIR)
-    df.write.mode("overwrite").format("noop").save()
-    # no jaccard_groups<sample-tag> decision may have been recorded
-    assert not any(
-        site.startswith("jaccard_groupssample")
-        for (_stamp, site) in dd._SETMASK_DECISION_CACHE
-    ), dd._SETMASK_DECISION_CACHE.keys()
+    off = eval_pairs_rows()
+    monkeypatch.setenv("MMR_SETMASK", "auto")
+    dd._SETMASK_DECISION_CACHE.clear()
+    on = eval_pairs_rows()
+    assert off == on and len(on) > 0
+    # the sampled site engaged via literal positions (vocab fits 64
+    # here); had the vocab exceeded the literal cap, the sampled path
+    # must fall back to arrays, never the join build — pinned below
+    sampled = [
+        d
+        for (_s, site), d in dd._SETMASK_DECISION_CACHE.items()
+        if site.startswith("jaccard_groupssample")
+    ]
+    assert sampled and all("vocab_ids" in d for d in sampled), sampled
+    # simulate a wide-vocab corpus: literal cap 0 → sampled variants
+    # must NOT take the join-mask branch (use_masks False)
+    monkeypatch.setattr(dd, "SETMASK_LITERAL_MAX_VOCAB", 0)
+    dd._SETMASK_DECISION_CACHE.clear()
+    wide = eval_pairs_rows()
+    assert wide == off
+    sampled = [
+        d
+        for (_s, site), d in dd._SETMASK_DECISION_CACHE.items()
+        if site.startswith("jaccard_groupssample")
+    ]
+    assert sampled and all("vocab_ids" not in d for d in sampled), sampled
 
 
 def test_cap_and_kill_switch_disengage(spark, monkeypatch):
