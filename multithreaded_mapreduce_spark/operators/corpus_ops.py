@@ -608,6 +608,9 @@ def pretraining_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------
 
 BPE_MERGE_ROUNDS = 5
+#: last _bpe_train path decision (driver loop vs distributed rounds),
+#: stamped like the other measured per-corpus knobs
+LAST_BPE_TRAIN_DECISION: dict = {}
 #: training-state rows per partition for the per-round jobs — the
 #: measured vocab count divided by this picks the state width (≥1,
 #: ≤32); env-overridable like the other memoized per-corpus knobs.
@@ -769,7 +772,63 @@ def _bpe_train(
         # rest of the build (ADVICE r6)
         words.count()
         wide.unpersist()
+    # Driver-side merge loop under a measured vocab ceiling (r10
+    # optimization, guide §1.2). The distributed loop is one shuffle +
+    # one 1-row argmax collect + one persist PER ROUND — 5 sequential
+    # job barriers that dominate every BPE query's wall clock when the
+    # training state is vocab-sized-tiny (profiled: the rounds are
+    # ~0.15-0.2 s of scheduling each over a 31-row cached state). Under
+    # the ceiling the whole distinct-word distribution is collected
+    # ONCE (bounded driver state — the kmeans/PQ/top-pc pattern, here
+    # vocab-bounded) and the rounds run in plain Python: identical
+    # argmax tie-break (max count, then lexicographic l, r — Python str
+    # comparison and Spark's UTF8 binary order agree on valid UTF-8)
+    # and the same greedy left-to-right fold. The FINAL word relation
+    # stays distributed: the learned merges are re-applied to the
+    # persisted words as one chained fold projection, so downstream
+    # aggregates (encode/pack/fertility) read cluster-side data. Above
+    # the ceiling (a real corpus vocabulary) the distributed loop runs
+    # unchanged. Kill switch MMR_BPE_DRIVER=off; parity pytest-pinned.
+    global LAST_BPE_TRAIN_DECISION
+    driver_max = int(os.environ.get("MMR_BPE_DRIVER_VOCAB_MAX", "65536"))
+    use_driver = (
+        os.environ.get("MMR_BPE_DRIVER", "auto") != "off" and n_vocab <= driver_max
+    )
+    LAST_BPE_TRAIN_DECISION = {
+        "n_vocab": n_vocab,
+        "driver_vocab_max": driver_max,
+        "driver_loop": use_driver,
+    }
     merges: list[tuple[int, str, str, int]] = []
+    if use_driver:
+        state = [
+            (list(r["syms"]), int(r["cnt"])) for r in words.select("syms", "cnt").collect()
+        ]
+        for k in range(1, BPE_MERGE_ROUNDS + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for syms, cnt in state:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + cnt
+            if not counts:
+                break  # corpus exhausted (no adjacent pairs remain)
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((k, l, r, int(c)))
+            merged = l + r
+            for syms, _cnt in state:
+                out = []
+                for s in syms:
+                    if out and out[-1] == l and s == r:
+                        out[-1] = merged
+                    else:
+                        out.append(s)
+                syms[:] = out
+        final = words
+        for _k, l, r, _c in merges:
+            final = final.withColumn("syms", _bpe_apply_merge(F.col("syms"), l, r))
+        return merges, final
     for k in range(1, BPE_MERGE_ROUNDS + 1):
         pair_arr = F.when(
             F.size("syms") >= 2,

@@ -1704,24 +1704,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen — no shuffle of exploded tokens, no string comparisons. The
     # group table joins by gid; AQE broadcasts it when small, shuffles by
     # key at 100 TB.
-    ga = groups.select(
-        F.col("gid").alias("ga"),
-        F.col("toks_h").alias("toks_a"),
-        F.col("members").alias("m_a"),
-        F.col("n").alias("na"),
+    # bitmask verify under the measured vocab decision (r10, see the
+    # setmask block) — same shape as dedup_containment's verify
+    sm = _setmask_decision(
+        spark, sf_dir, groups.select(F.explode("toks_h").alias("id")), "minhash_lsh_groups"
     )
-    gb = groups.select(
-        F.col("gid").alias("gb"),
-        F.col("toks_h").alias("toks_b"),
-        F.col("members").alias("m_b"),
-        F.col("n").alias("nb"),
-    )
-    # |A∪B| = na + nb - |A∩B| (sets are distinct by construction):
-    # one array_intersect per candidate instead of intersect + union —
-    # the verify step is the hot loop when the corpus is near-dup dense.
-    # The intersect lands in its own projection so it is evaluated once
-    # even though the jaccard expression references it twice.
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    if sm["engage"]:
+        nw = sm["n_words"]
+        if "vocab_ids" in sm:
+            g2 = groups.select(
+                "gid", "members", "n",
+                *_literal_mask_cols("toks_h", sm["vocab_ids"]),
+            )
+        else:
+            g2 = groups.join(F.broadcast(_group_masks(groups, nw)), "toks_h")
+        ga = g2.select(
+            F.col("gid").alias("ga"), F.col("members").alias("m_a"),
+            F.col("n").alias("na"),
+            *[F.col(f"_m{w}").alias(f"_a{w}") for w in range(nw)],
+        )
+        gb = g2.select(
+            F.col("gid").alias("gb"), F.col("members").alias("m_b"),
+            F.col("n").alias("nb"),
+            *[F.col(f"_m{w}").alias(f"_b{w}") for w in range(nw)],
+        )
+        inter = _mask_intersect_size(nw, "_a", "_b")
+    else:
+        ga = groups.select(
+            F.col("gid").alias("ga"),
+            F.col("toks_h").alias("toks_a"),
+            F.col("members").alias("m_a"),
+            F.col("n").alias("na"),
+        )
+        gb = groups.select(
+            F.col("gid").alias("gb"),
+            F.col("toks_h").alias("toks_b"),
+            F.col("members").alias("m_b"),
+            F.col("n").alias("nb"),
+        )
+        # |A∪B| = na + nb - |A∩B| (sets are distinct by construction):
+        # one array_intersect per candidate instead of intersect + union —
+        # the verify step is the hot loop when the corpus is near-dup
+        # dense. The intersect lands in its own projection so it is
+        # evaluated once even though jaccard references it twice.
+        inter = F.size(F.array_intersect("toks_a", "toks_b"))
     verified = (
         cand.join(ga, "ga")
         .join(gb, "gb")
