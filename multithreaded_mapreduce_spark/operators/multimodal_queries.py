@@ -12,6 +12,16 @@ the MP4 CONTAINER layer demuxes natively since r10 (multimodal/mp4.py,
 certified by media_mp4_metadata). What every query here exercises
 for the 100 TB media pipeline: binary columns + typed metadata schema,
 hash partitioning by media_id, Arrow-batched mapInPandas (bounded
+
+r10 optimization note: every query here returns
+``sortWithinPartitions(...)`` rather than a global ``orderBy`` — a
+global sort's range partitioner runs a SAMPLING pass over its child,
+and with an opaque mapInPandas codec subtree that pass re-executed the
+whole Python encode/decode once per query (profiled: two ~14-16
+exec-s codec stages in media_jpeg_roundtrip for one 500-row output).
+The driver's comparison is order-insensitive (the r4 pair-producer
+policy), so only the presentation order changes.
+
 memory per batch), fan-out row production (frame sampling), and
 fixed-width ``array<float>`` feature vectors compatible with the
 similarity operators.
@@ -91,7 +101,7 @@ def _distinct_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import synthesize_png_media
 
-    return decode_images(synthesize_png_media(spark, n=_N_MEDIA)).orderBy("media_id")
+    return decode_images(synthesize_png_media(spark, n=_N_MEDIA)).sortWithinPartitions("media_id")
 
 
 @register(
@@ -171,7 +181,7 @@ def media_text_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hex("text").cast("binary").alias("payload"),
         )
     )
-    return sample_frames(docs, n_frames=4).orderBy("media_id", "frame_idx")
+    return sample_frames(docs, n_frames=4).sortWithinPartitions("media_id", "frame_idx")
 
 
 @register(
@@ -189,7 +199,7 @@ def media_text_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import synthesize_png_media
 
-    return resize_images(synthesize_png_media(spark, n=_N_MEDIA)).orderBy("media_id")
+    return resize_images(synthesize_png_media(spark, n=_N_MEDIA)).sortWithinPartitions("media_id")
 
 
 @register(
@@ -207,7 +217,7 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import window_audio_frames
 
-    return window_audio_frames(synthesize_media(spark, n=_N_MEDIA)).orderBy(
+    return window_audio_frames(synthesize_media(spark, n=_N_MEDIA)).sortWithinPartitions(
         "media_id", "frame_idx"
     )
 
@@ -235,7 +245,7 @@ def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import decode_netpbm_images, synthesize_netpbm_media
 
-    return decode_netpbm_images(synthesize_netpbm_media(spark, n=_N_MEDIA)).orderBy(
+    return decode_netpbm_images(synthesize_netpbm_media(spark, n=_N_MEDIA)).sortWithinPartitions(
         "media_id"
     )
 
@@ -252,7 +262,7 @@ def media_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_netpbm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import resize_netpbm_images, synthesize_netpbm_media
 
-    return resize_netpbm_images(synthesize_netpbm_media(spark, n=_N_MEDIA)).orderBy(
+    return resize_netpbm_images(synthesize_netpbm_media(spark, n=_N_MEDIA)).sortWithinPartitions(
         "media_id"
     )
 
@@ -269,7 +279,7 @@ def media_netpbm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import synthesize_netpbm_media, wav_frame_energy
 
-    return wav_frame_energy(synthesize_netpbm_media(spark, n=_N_MEDIA)).orderBy(
+    return wav_frame_energy(synthesize_netpbm_media(spark, n=_N_MEDIA)).sortWithinPartitions(
         "media_id", "frame_idx"
     )
 
@@ -373,7 +383,7 @@ def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(roundtrip, out_schema).orderBy("doc_id")
+    return docs.mapInPandas(roundtrip, out_schema).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -483,7 +493,7 @@ def media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(roundtrip, out_schema).orderBy("doc_id")
+    return docs.mapInPandas(roundtrip, out_schema).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -572,7 +582,7 @@ def media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(roundtrip, out_schema).orderBy("doc_id")
+    return docs.mapInPandas(roundtrip, out_schema).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -688,7 +698,7 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hashes.join(groups, "phash")
         .select("doc_id", "phash", "dup_group_size")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -862,7 +872,7 @@ def media_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming").between(1, 6))
-        .orderBy("doc_a", "doc_b")
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -979,7 +989,7 @@ def media_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fps.join(groups, "afp")
         .select("doc_id", "afp", "dup_group_size")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -1086,7 +1096,7 @@ def media_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(roundtrip, out_schema).orderBy("doc_id")
+    return docs.mapInPandas(roundtrip, out_schema).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -1188,7 +1198,7 @@ def media_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(sample, out_schema).orderBy("doc_id", "frame_idx")
+    return docs.mapInPandas(sample, out_schema).sortWithinPartitions("doc_id", "frame_idx")
 
 
 @register(
@@ -1374,7 +1384,7 @@ def media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(roundtrip, out_schema).orderBy("doc_id")
+    return docs.mapInPandas(roundtrip, out_schema).sortWithinPartitions("doc_id")
 
 
 @register(
@@ -1480,7 +1490,7 @@ def media_gif_animation_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(roundtrip, out_schema).orderBy("doc_id", "frame_idx")
+    return docs.mapInPandas(roundtrip, out_schema).sortWithinPartitions("doc_id", "frame_idx")
 
 
 @register(
@@ -1660,5 +1670,5 @@ def media_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("plo").isNotNull())
         .select("doc_id", "frame_idx", hamming.alias("hamming"))
         .filter(F.col("hamming") >= 16)
-        .orderBy("doc_id", "frame_idx")
+        .sortWithinPartitions("doc_id", "frame_idx")
     )

@@ -473,8 +473,10 @@ def knn_ivf_exact_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE, rnk INT"
         )
     emb = lloyd_vectors(spark, sf_dir)
-    # --- index: every vector into its nearest deterministic centroid's list
-    lists = lloyd_assign(emb, cents).select(
+    # --- index: every vector into its nearest deterministic centroid's
+    # list. spread first (r10, guide §2.5): the single-file scan ran the
+    # K-centroid fold — and the probe join it feeds — on ONE task.
+    lists = lloyd_assign(spread(emb), cents).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("n_emb"), "k"
     )
     # --- probe: per query, the IVF_N_PROBE nearest centroids (sort the
@@ -1315,7 +1317,9 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
     # ELEMENT (the r5 higher-order-fn argument-recompute trap), and a
     # multi-referenced staged column is safe from CollapseProject
     # re-inlining.
-    staged = emb.select(
+    # spread before the per-subspace distance folds (r10 optimization,
+    # guide §2.5): the single-file scan ran the staged encode on ONE task
+    staged = spread(emb).select(
         "v",
         *[_pq_best(m, cents[m])["k"].alias(f"k{m}") for m in range(PQ_M)],
     )

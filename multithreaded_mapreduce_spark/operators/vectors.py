@@ -345,11 +345,17 @@ def lloyd_centroids(
     bounded: the seed collect is ≤ k rows (TakeOrderedAndProject), each
     update collect is ≤ k×dim rows — MLlib's own KMeans driver-state
     pattern."""
+    from ..sources.tables import spread
+
     emb = lloyd_vectors(spark, sf_dir)
     seeds = emb.orderBy("vec_id").limit(k).collect()
     cents: dict[int, list[float]] = {i: list(r.v) for i, r in enumerate(seeds)}
     if not cents:
         return cents
+    # spread before the K-centroid distance fold (r10 optimization,
+    # guide §2.5): the single-file scan ran every update pass's
+    # assignment fold on ONE task
+    emb = spread(emb)
     for _ in range(iters - 1):
         updates = (
             lloyd_assign(emb, cents)
@@ -413,8 +419,12 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "cluster BIGINT, n_members BIGINT, avg_sq_dist DOUBLE"
         )
+    from ..sources.tables import spread
+
     return (
-        lloyd_assign(lloyd_vectors(spark, sf_dir), cents)
+        # spread before the K-centroid fold (r10, guide §2.5): the
+        # single-file scan ran the final assignment pass on ONE task
+        lloyd_assign(spread(lloyd_vectors(spark, sf_dir)), cents)
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n_members"),

@@ -117,5 +117,9 @@ def test_raster_family_emits_one_row_per_distinct_id(spark, damaged_ids_dir):
     ):
         got = _Q[name].builder(spark, damaged_ids_dir).collect()
         ids = [r.doc_id for r in got]
-        assert ids == sorted(set(ids)), f"{name} emitted duplicate ids"
+        # order-insensitive since r10: the builders return
+        # sortWithinPartitions (a global orderBy's range-sampling pass
+        # re-executed the codec mapInPandas once per query); the
+        # contract under test is one row per DISTINCT id, not order
+        assert sorted(ids) == sorted(set(ids)), f"{name} emitted duplicate ids"
         assert len(ids) == 8, f"{name}: {len(ids)} rows, expected 8"
