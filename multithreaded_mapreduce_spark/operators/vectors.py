@@ -592,9 +592,13 @@ ORDER BY dim
 def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.caching import tracked_persist
 
+    from ..sources.tables import spread
+
     # one scan total: the mean pass and every matvec round consume the
-    # same persisted projection (4 separate parquet scans otherwise)
-    emb = lloyd_vectors(spark, sf_dir).transform(tracked_persist)
+    # same persisted projection (4 separate parquet scans otherwise).
+    # spread BEFORE the persist (r10, guide §2.5): the single-file scan
+    # otherwise pins all four rounds' centered-dot folds to ONE task.
+    emb = spread(lloyd_vectors(spark, sf_dir)).transform(tracked_persist)
     mean = _pc_mean(emb)
     if not mean:
         return spark.createDataFrame([], "dim INT, loading DOUBLE")
