@@ -325,6 +325,147 @@ def _mask_intersect_size(n_words: int, a_prefix: str, b_prefix: str):
     ).cast("int")
 
 
+# ------------------------------------------------------------------
+# Hashed-bitmap union bound (r11 optimization, guide §2.3/§3.2 — the
+# Bloom-style runtime prune, applied per pair instead of per join).
+# This is the scale path the exact setmask CANNOT serve: past
+# SETMASK_MAX_VOCAB distinct ids (any real corpus vocabulary) the
+# injective bit assignment no longer fits, and before r11 every
+# disengaged verify fell back to a per-pair array_intersect — profiled
+# 5084 executor-seconds for dedup_components' pairwise stage at the 10×
+# corpus with MMR_SETMASK=off (plans/r11, the 100 TB shape). The fix:
+# each token-id set additionally carries a FIXED-width lossy bitmap
+# (W longs; bit = pmod(id, 64·W), collisions allowed). For any two sets
+# popcount(bm_a | bm_b) <= |A ∪ B| — every set bit needs at least one
+# distinct member, and each member sets exactly one bit — so
+#
+#     ub = na + nb − popcount(bm_a | bm_b)  >=  |A ∩ B|
+#
+# is an exact UPPER bound on the intersection no matter how many ids
+# collide. A candidate pair whose ub cannot reach the jaccard (or
+# containment) threshold is dropped BEFORE the exact verify; survivors
+# still pay the unchanged array_intersect + threshold filter, so the
+# output is bit-identical (the bound admits false positives, never
+# false negatives). Per-pair cost: W OR+popcounts instead of an
+# array_intersect hash build — the same arithmetic shape that made the
+# setmask a 10-30× win, minus the exactness (which the prune does not
+# need). The +1 slack in the keep conditions absorbs double-rounding at
+# the threshold boundary (the exact filter still decides). Kill switch:
+# MMR_BITMAP_PRUNE=off; width knob MMR_BITMAP_WORDS (longs per set,
+# default 16 = 1024 bits — comfortably past the ~40-token sets of the
+# test corpora; for real ~1k-token documents the bound saturates
+# gracefully and merely prunes less).
+# ------------------------------------------------------------------
+
+BITMAP_PRUNE_WORDS = int(os.environ.get("MMR_BITMAP_WORDS", "16"))
+
+
+def _bitmap_prune_on(site_default: bool = True) -> bool:
+    """Per-SITE engagement (A/B-measured at the 10× corpus with
+    MMR_SETMASK=off): the prune pays for itself where the candidate
+    pool is large and mostly sub-threshold — the |G|²/2 nested cross
+    (dedup_components 173→27.6 s) and the containment nested loop
+    (65.6→52.1 s) — but banding-survivor verifies see candidates that
+    are mostly TRUE near-dups, so the per-row bitmap build is overhead
+    with nothing to prune (dedup_minhash_verified 24.9→27.2 s,
+    dedup_incremental_neardup 7.3→8.4 s WORSE with it on). Those sites
+    pass site_default=False. MMR_BITMAP_PRUNE=on|off overrides every
+    site; auto (default) takes the per-site measurement."""
+    mode = os.environ.get("MMR_BITMAP_PRUNE", "auto")
+    if mode == "off" or BITMAP_PRUNE_WORDS <= 0:
+        return False
+    if mode == "on":
+        return True
+    return site_default
+
+
+def _bitmap_cols(arr_col: str, prefix: str) -> list:
+    """Lossy-bitmap word columns {prefix}0..{prefix}{W-1} over a
+    long-array column: bit pmod(id, 64·W), one aggregate fold per word
+    (O(W·|set|) per ROW, once — vs per candidate pair downstream)."""
+    nw = BITMAP_PRUNE_WORDS
+    nbits = 64 * nw
+
+    def _step_for(w: int):
+        # the fold lambda must take EXACTLY (acc, t): PySpark reads the
+        # callable's arity to build the higher-order function
+        def step(acc, t):
+            b = F.pmod(t, F.lit(nbits))
+            return acc.bitwiseOR(
+                F.when(
+                    (b >= F.lit(w * 64)) & (b < F.lit((w + 1) * 64)),
+                    # pmod(t, 64) == pmod(pmod(t, nbits), 64): 64 | nbits
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        F.pmod(t, F.lit(64)).cast("int"),
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+
+        return step
+
+    return [
+        F.aggregate(F.col(arr_col), F.lit(0).cast("long"), _step_for(w)).alias(
+            f"{prefix}{w}"
+        )
+        for w in range(nw)
+    ]
+
+
+def _bitmap_intersect_ub(a_prefix: str, b_prefix: str, na: str = "na", nb: str = "nb"):
+    """na + nb − popcount(bm_a | bm_b) — exact upper bound on |A∩B|."""
+    from functools import reduce
+    from operator import add
+
+    popc = reduce(
+        add,
+        [
+            F.bit_count(
+                F.col(f"{a_prefix}{w}").bitwiseOR(F.col(f"{b_prefix}{w}"))
+            )
+            for w in range(BITMAP_PRUNE_WORDS)
+        ],
+    )
+    return F.col(na) + F.col(nb) - popc
+
+
+def _bitmap_keep_jaccard(a_prefix: str, b_prefix: str, threshold: float):
+    """Keep condition for jaccard >= t: a true pair has
+    c >= t·(na+nb)/(1+t), and ub >= c, so (ub+1)·(1+t) >= t·(na+nb)
+    (the +1 is double-rounding slack; the exact filter still decides)."""
+    ub = _bitmap_intersect_ub(a_prefix, b_prefix)
+    return (ub + F.lit(1)).cast("double") * F.lit(1.0 + threshold) >= F.lit(
+        threshold
+    ) * (F.col("na") + F.col("nb"))
+
+
+def _bitmap_keep_containment(a_prefix: str, b_prefix: str, threshold: float):
+    """Keep condition for containment c/na >= t: (ub+1) >= t·na."""
+    ub = _bitmap_intersect_ub(a_prefix, b_prefix)
+    return (ub + F.lit(1)).cast("double") >= F.lit(threshold) * F.col("na")
+
+
+def _bitmap_guard(keep_cond, exact_intersect):
+    """CASE-guard the exact per-pair intersect by the lossy-bitmap keep
+    condition: ``CASE WHEN keep THEN size(array_intersect(..)) ELSE -1``.
+
+    Why a CASE instead of a separate ``.filter(keep)``: Catalyst pushes
+    the downstream ratio-threshold filter (which references the
+    intersect through the projection) all the way into the verify
+    JOIN's condition — and PushPredicateThroughJoin prepends it, so the
+    pushed exact filter evaluated BEFORE the prune conjunct and every
+    candidate pair still paid the array_intersect (measured at the 10×
+    corpus with MMR_SETMASK=off: dedup_components' pairwise stage only
+    5084 → 4304 exec-s). SQL CASE semantics guarantee the THEN branch
+    is only evaluated when the guard holds, no matter where the
+    optimizer moves the enclosing expression. The −1 sentinel yields a
+    negative jaccard/containment, which the unchanged exact threshold
+    filter (t > 0) drops — exactly the pairs the upper bound proves
+    sub-threshold — so the survivor set is bit-identical."""
+    return F.when(keep_cond, exact_intersect).otherwise(F.lit(-1))
+
+
 def _group_masks(groups: DataFrame, n_words: int) -> DataFrame:
     """(toks_h, _m0.._m{W-1}) for the collapsed-group relation. Keyed
     by the hashed token ARRAY (the group identity — gid is NOT unique
@@ -421,16 +562,34 @@ def _jaccard_group_cross(
             # pairwise path: broadcast the collapsed-group relation and
             # compare hashed token arrays directly — byte-guarded above
             # (the relation carries full toks_h arrays, so the gate is a
-            # measured bytes estimate, not a row count)
+            # measured bytes estimate, not a row count). r11: each side
+            # additionally carries the W-long lossy bitmap, and the
+            # exact intersect is CASE-guarded by the cheap conjuncts —
+            # gid order, size-ratio prune, hashed-bitmap union bound —
+            # so a sub-threshold pair is rejected by int compares + W
+            # OR+popcounts and never evaluates array_intersect, even
+            # after Catalyst pushes the threshold filter into the join
+            # condition (see _bitmap_guard; 5084 exec-s before at the
+            # 10× disengaged profile)
+            bm = _bitmap_prune_on()
             a = groups.select(
                 F.col("gid").alias("ga"), F.col("toks_h").alias("ta"),
                 F.col("members").alias("m_a"), F.col("n").alias("na"),
+                *(_bitmap_cols("toks_h", "_pa") if bm else []),
             )
             b = groups.select(
                 F.col("gid").alias("gb"), F.col("toks_h").alias("tb"),
                 F.col("members").alias("m_b"), F.col("n").alias("nb"),
+                *(_bitmap_cols("toks_h", "_pb") if bm else []),
             )
             c = F.size(F.array_intersect("ta", "tb"))
+            if bm:
+                c = _bitmap_guard(
+                    (F.col("ga") < F.col("gb"))
+                    & ratio_prune
+                    & _bitmap_keep_jaccard("_pa", "_pb", JACCARD_THRESHOLD),
+                    c,
+                )
         cross = (
             F.broadcast(a)
             .join(b, (F.col("ga") < F.col("gb")) & ratio_prune)
@@ -1169,15 +1328,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         c = _mask_intersect_size(nw, "_a", "_b")
     else:
+        # r11: disengaged verify carries the lossy bitmap, and the
+        # exact intersect is CASE-guarded by the union upper bound so
+        # pruned candidates never evaluate array_intersect regardless
+        # of filter pushdown (see _bitmap_guard)
+        bm = _bitmap_prune_on()
         a = groups.select(
             F.col("gid").alias("ga"), F.col("toks_h").alias("ta"),
             F.col("members").alias("m_a"), F.col("n").alias("na"),
+            *(_bitmap_cols("toks_h", "_pa") if bm else []),
         )
         b = groups.select(
             F.col("gid").alias("gb"), F.col("toks_h").alias("tb"),
             F.col("members").alias("m_b"),
+            *([F.col("n").alias("nb")] + _bitmap_cols("toks_h", "_pb") if bm else []),
         )
         c = F.size(F.array_intersect("ta", "tb"))
+        if bm:
+            c = _bitmap_guard(
+                _bitmap_keep_containment("_pa", "_pb", CONTAINMENT_THRESHOLD), c
+            )
     cross = (
         cand.join(a, "ga")
         .join(b, "gb")
@@ -1730,24 +1900,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         inter = _mask_intersect_size(nw, "_a", "_b")
     else:
+        bm = _bitmap_prune_on()
         ga = groups.select(
             F.col("gid").alias("ga"),
             F.col("toks_h").alias("toks_a"),
             F.col("members").alias("m_a"),
             F.col("n").alias("na"),
+            *(_bitmap_cols("toks_h", "_pa") if bm else []),
         )
         gb = groups.select(
             F.col("gid").alias("gb"),
             F.col("toks_h").alias("toks_b"),
             F.col("members").alias("m_b"),
             F.col("n").alias("nb"),
+            *(_bitmap_cols("toks_h", "_pb") if bm else []),
         )
         # |A∪B| = na + nb - |A∩B| (sets are distinct by construction):
         # one array_intersect per candidate instead of intersect + union —
         # the verify step is the hot loop when the corpus is near-dup
         # dense. The intersect lands in its own projection so it is
-        # evaluated once even though jaccard references it twice.
+        # evaluated once even though jaccard references it twice. r11:
+        # candidates failing the lossy-bitmap union bound never evaluate
+        # the intersect — CASE-guarded, pushdown-proof (_bitmap_guard).
         inter = F.size(F.array_intersect("toks_a", "toks_b"))
+        if bm:
+            inter = _bitmap_guard(
+                _bitmap_keep_jaccard("_pa", "_pb", JACCARD_THRESHOLD), inter
+            )
     verified = (
         cand.join(ga, "ga")
         .join(gb, "gb")
@@ -1906,11 +2085,15 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_verified_pairs(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None,
+    sample_k: int = 1,
 ) -> DataFrame:
     """Banded-and-verified MinHash pairs over ``docs`` (the full
     documents table by default; the md5-uniform eval sample when the
-    recall report engages sampling)."""
+    recall report engages sampling). ``sample_k`` is the sample modulus
+    that produced ``docs`` — it keys the setmask decision memo so two
+    builds with different moduli in one process can never reuse each
+    other's literal vocabulary (ADVICE r10)."""
     docs_is_full = docs is None
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
@@ -1956,7 +2139,12 @@ def _minhash_verified_pairs(
         spark,
         sf_dir,
         sigs.select(F.explode("tids").alias("id")),
-        "minhash_tids" if docs_is_full else "minhash_tids_sampled",
+        # the sampled site carries the modulus (ADVICE r10): a second
+        # build at a different k must not reuse the first sample's
+        # memoized literal vocab_ids — token ids outside them would be
+        # silently dropped from the bitmasks. Matches the jaccard
+        # twin's decision_tag=f"sample{k}" keying.
+        "minhash_tids" if docs_is_full else f"minhash_tids_sampled{sample_k}",
     )
     mask_rel = None
     lit_masks = None
@@ -2034,9 +2222,26 @@ def _minhash_verified_pairs(
         )
         inter = _mask_intersect_size(nw, "_a", "_b")
     else:
-        sa = sigs.select(F.col("doc_id").alias("da"), F.col("tids").alias("ta"), F.col("n").alias("na"))
-        sb = sigs.select(F.col("doc_id").alias("db"), F.col("tids").alias("tb"), F.col("n").alias("nb"))
+        # r11: banding survivors are mostly true near-dups, so the
+        # lossy-bitmap prune is site-default OFF here (A/B-measured
+        # net-negative — see _bitmap_prune_on); MMR_BITMAP_PRUNE=on
+        # still engages the CASE-guarded path for A/B runs
+        bm = _bitmap_prune_on(site_default=False)
+        sa = sigs.select(
+            F.col("doc_id").alias("da"), F.col("tids").alias("ta"),
+            F.col("n").alias("na"),
+            *(_bitmap_cols("tids", "_pa") if bm else []),
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("db"), F.col("tids").alias("tb"),
+            F.col("n").alias("nb"),
+            *(_bitmap_cols("tids", "_pb") if bm else []),
+        )
         inter = F.size(F.array_intersect("ta", "tb"))
+        if bm:
+            inter = _bitmap_guard(
+                _bitmap_keep_jaccard("_pa", "_pb", JACCARD_THRESHOLD), inter
+            )
     return (
         cand.join(sa, "da")
         .join(sb, "db")
@@ -3370,7 +3575,7 @@ def _verified_pairs_memo(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 
     def build() -> DataFrame:
         docs = _eval_sampled_docs(spark, sf_dir, k) if k > 1 else None
-        return _minhash_verified_pairs(spark, sf_dir, docs=docs)
+        return _minhash_verified_pairs(spark, sf_dir, docs=docs, sample_k=k)
 
     return memoized_result_checkpoint("minhash_verified_pairs", key, build)
 
@@ -3640,9 +3845,24 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         inter = _mask_intersect_size(nw, "_a", "_b")
     else:
-        sa = sigs.select(F.col("doc_id").alias("da"), F.col("tids").alias("ta"), F.col("n").alias("na"))
-        sb = sigs.select(F.col("doc_id").alias("db"), F.col("tids").alias("tb"), F.col("n").alias("nb"))
+        # r11: same banding-survivor shape as _minhash_verified_pairs —
+        # prune site-default OFF (A/B-measured net-negative there)
+        bm = _bitmap_prune_on(site_default=False)
+        sa = sigs.select(
+            F.col("doc_id").alias("da"), F.col("tids").alias("ta"),
+            F.col("n").alias("na"),
+            *(_bitmap_cols("tids", "_pa") if bm else []),
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("db"), F.col("tids").alias("tb"),
+            F.col("n").alias("nb"),
+            *(_bitmap_cols("tids", "_pb") if bm else []),
+        )
         inter = F.size(F.array_intersect("ta", "tb"))
+        if bm:
+            inter = _bitmap_guard(
+                _bitmap_keep_jaccard("_pa", "_pb", JACCARD_THRESHOLD), inter
+            )
     return (
         cand.join(sa, "da")
         .join(sb, "db")
