@@ -30,7 +30,11 @@ from operator import add
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.caching import tracked_persist
+from ..plans.caching import (
+    guard_checkpoint_result,
+    memoized_result_checkpoint,
+    tracked_persist,
+)
 from ..plans.registry import register
 from ..sources.tables import load_table, spread
 from .textstats import _sql_tokens, _tokens
@@ -762,6 +766,50 @@ ORDER BY doc_id
     tags=("text", "quality", "pipeline", "composite"),
 )
 def doc_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gates = _quality_gates_memo(spark, sf_dir)
+    return guard_checkpoint_result(
+        gates.select(
+            "*",
+            (25 * (F.col("g_len") + F.col("g_rep") + F.col("g_ent") + F.col("g_lm")))
+            .cast("int")
+            .alias("quality_score"),
+        )
+        .withColumn(
+            "quality_bucket",
+            F.when(F.col("quality_score") >= 75, "high")
+            .when(F.col("quality_score") >= 50, "mid")
+            .otherwise("low"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _quality_gates_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document composite gate flags (doc_id, g_len, g_rep, g_ent,
+    g_lm), checkpoint-memoized per corpus (r11, VERDICT r10 task 3 —
+    the CC-memo pattern, guide §5): doc_quality_composite,
+    quality_gate_agreement and quality_weighted_sample all consume
+    exactly this relation, and before r11 each of the three rebuilt the
+    full tokenize + 37-count + unigram-LM scan (~2.3-2.9 s apiece at
+    sf0.1). The memoized relation is five narrow columns per document —
+    never text or token arrays — so residency is label-sized, the same
+    budget as the CC label memo; pretraining_funnel_report deliberately
+    does NOT share it (its span-dedup stage needs the token arrays of
+    surviving docs, so it must rescan regardless — see
+    OPTIMIZATION_r11.md). Bench cold runs evict this memo before every
+    timed query (release_result_memos), so headline numbers stay cold;
+    the warm-trio pipeline cost is stamped separately."""
+    from .dedup import _docs_stamp
+
+    def build() -> DataFrame:
+        return _quality_gates_build(spark, sf_dir)
+
+    return memoized_result_checkpoint(
+        "quality_gates", _docs_stamp(sf_dir), build
+    )
+
+
+def _quality_gates_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -853,19 +901,6 @@ def doc_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_ent",
             g_lm.alias("g_lm"),
         )
-        .select(
-            "*",
-            (25 * (F.col("g_len") + F.col("g_rep") + F.col("g_ent") + F.col("g_lm")))
-            .cast("int")
-            .alias("quality_score"),
-        )
-        .withColumn(
-            "quality_bucket",
-            F.when(F.col("quality_score") >= 75, "high")
-            .when(F.col("quality_score") >= 50, "mid")
-            .otherwise("low"),
-        )
-        .orderBy("doc_id")
     )
 
 
@@ -967,7 +1002,8 @@ def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _snap6(kappa).alias("kappa"),
             )
         )
-    return (
+    # plan reads the memoized gates checkpoint — stale-handle fail-fast
+    return guard_checkpoint_result(
         one.select(F.explode(F.array(*rows)).alias("r"))
         .select("r.*")
         .orderBy("gate_a", "gate_b")

@@ -526,7 +526,11 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # has no hashable admission key. (In Spark the NULL comparison would
     # drop it anyway, but DuckDB's list_prepend(0, NULL) → [0] folds a
     # NULL md5 to u = 0 and would admit it — adversarial-fixture find.)
-    return (
+    from ..plans.caching import guard_checkpoint_result
+
+    # plan reads the memoized quality-gates checkpoint (r11) —
+    # stale-handle fail-fast, same contract as the CC consumers
+    return guard_checkpoint_result(
         scored.filter(F.col("doc_id").isNotNull())
         .withColumn("u", u)
         .filter(F.col("u") < F.col("quality_score").cast("double") / F.lit(100.0))
