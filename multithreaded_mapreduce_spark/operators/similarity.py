@@ -1381,25 +1381,23 @@ def _pq_best(m: int, cents_m: dict):
     (d, k, c) breaks distance ties on the smallest centroid id (c is
     never compared — (d, k) is unique)."""
     sub = F.slice(F.col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                F.array(*[F.lit(float(c)) for c in cents_m[k]]).alias("c"),
-            )
-            for k in sorted(cents_m)
-        ]
-    )
+    # ONE nested-array Literal per subspace instead of a K×dim
+    # scalar-literal struct tree; centroid id = transform index (keys
+    # are 0..K-1 by construction — enumerate-seeded, asserted). Same
+    # r11 plan-cost note as lloyd_dist_array.
+    ks = sorted(cents_m)
+    assert ks == list(range(len(ks))), "codebook keys must be 0..K-1"
+    cent_lit = F.lit([[float(c) for c in cents_m[k]] for k in ks])
     dists = F.transform(
         cent_lit,
-        lambda s: F.struct(
+        lambda c, i: F.struct(
             F.aggregate(
-                F.zip_with(sub, s["c"], lambda a, b: (a - b) * (a - b)),
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, y: acc + y,
             ).alias("d"),
-            s["k"].alias("k"),
-            s["c"].alias("c"),
+            i.cast("int").alias("k"),
+            c.alias("c"),
         ),
     )
     return F.array_min(dists)

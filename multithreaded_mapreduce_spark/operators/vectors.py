@@ -285,31 +285,33 @@ def lloyd_dist_array(cents: dict[int, list[float]]):
     makes min/sort break distance ties on the smallest cluster id.
 
     Shape note (r4): the distances come from ONE ``transform`` lambda
-    over a literal array<struct<k, c>> of centroids, not K unrolled
-    per-centroid expressions, and the fold runs in double rather than
-    per-element decimal. The unrolled-decimal form built a K×dim×(ops)
-    Catalyst tree that fell back to interpreted per-row evaluation —
-    measured 2.6 s for a 2 000-row assignment pass at K=16. Still
-    zero-shuffle: no join, the centroids ride in the plan as
-    literals."""
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                F.array(*[F.lit(float(c)) for c in cents[k]]).alias("c"),
-            )
-            for k in sorted(cents)
-        ]
-    )
+    over a literal array of centroids, not K unrolled per-centroid
+    expressions, and the fold runs in double rather than per-element
+    decimal. The unrolled-decimal form built a K×dim×(ops) Catalyst
+    tree that fell back to interpreted per-row evaluation — measured
+    2.6 s for a 2 000-row assignment pass at K=16. Still zero-shuffle:
+    no join, the centroids ride in the plan as literals.
+
+    Shape note (r11, guide §5 driver/plan cost): the centroid matrix is
+    ONE nested-array Literal (``F.lit(list-of-lists)``) instead of a
+    CreateArray/CreateStruct tree of K×dim scalar literals — the struct
+    tree made every analyzer/optimizer rule walk ~K×dim nodes per rule
+    per reference, which dominated the small-result kNN queries'
+    wall-clock (knn_ivf_exact_ann/knn_pq_ann ~2.3-2.6 s of plan time at
+    sf0.1). The cluster id comes from the transform INDEX: centroid
+    keys are 0..K-1 by construction (enumerate-seeded), asserted."""
+    ks = sorted(cents)
+    assert ks == list(range(len(ks))), "centroid keys must be 0..K-1"
+    cent_lit = F.lit([[float(c) for c in cents[k]] for k in ks])
     return F.transform(
         cent_lit,
-        lambda s: F.struct(
+        lambda c, i: F.struct(
             F.aggregate(
-                F.zip_with(F.col("v"), s["c"], lambda a, b: (a - b) * (a - b)),
+                F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, y: acc + y,
             ).alias("d"),
-            s["k"].alias("k"),
+            i.cast("int").alias("k"),
         ),
     )
 
@@ -481,8 +483,10 @@ def _pc_matvec(emb, mean: list[float], v: list[float]) -> list[float]:
     fixed-order IEEE fold per row, the per-dimension row sums are
     exact decimal, and the driver does only the 64-element norm fold
     (left-associated, mirroring the oracle's list_reduce order)."""
-    mlit = F.array(*[F.lit(float(c)) for c in mean])
-    vlit = F.array(*[F.lit(float(c)) for c in v])
+    # single array Literals, not dim-many scalar-literal CreateArray
+    # nodes (r11 — same plan-cost note as lloyd_dist_array)
+    mlit = F.lit([float(c) for c in mean])
+    vlit = F.lit([float(c) for c in v])
     dot = F.aggregate(
         F.transform("v", lambda a, i: (a - F.get(mlit, i)) * F.get(vlit, i)),
         F.lit(0.0),
