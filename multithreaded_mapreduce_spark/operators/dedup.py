@@ -446,6 +446,39 @@ def _bitmap_keep_containment(a_prefix: str, b_prefix: str, threshold: float):
     return (ub + F.lit(1)).cast("double") >= F.lit(threshold) * F.col("na")
 
 
+def _ratio_ge_int(c_col: str, denom, threshold: float):
+    """Integer-exact form of ``cast(c as double) / denom >= threshold``
+    that references ``c`` ONCE: with threshold = p/q (exact decimal),
+    ``q·c >= p·denom``.
+
+    Why (r11, guide §1.2 per-pair work): Catalyst pushes the
+    ratio-threshold filter into the verify join's condition, and a
+    filter that references the intersect twice (numerator and inside
+    the denominator) gets the whole intersect expression DUPLICATED
+    there — every candidate paid array_intersect (or the mask/bitmap
+    fold) twice (visible in plans/r11/*_before.txt join conditions).
+    The single-reference integer form halves that.
+
+    Equivalence with the double compare is exact, not approximate: c
+    and the denominator are integers, so the rational c/denom either
+    equals p/q — where IEEE division yields the correctly-rounded
+    double of p/q, which is bit-identical to the literal double
+    threshold, and both forms pass — or differs from p/q by at least
+    1/(q·denom), which dwarfs the 2⁻⁵³ relative division error for any
+    denom below ~2⁵⁰, so both forms agree on every realistic set size.
+    The oracle keeps the double form; the survivor multiset is
+    identical (re-verified against DuckDB at sf0.01/sf0.1)."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    return F.col(c_col) * F.lit(fr.denominator) >= denom * F.lit(fr.numerator)
+
+
+def _jaccard_ge_int(threshold: float, c: str = "c", na: str = "na", nb: str = "nb"):
+    """q·c >= p·(na + nb − c) ⟺ jaccard >= p/q (see _ratio_ge_int)."""
+    return _ratio_ge_int(c, F.col(na) + F.col(nb) - F.col(c), threshold)
+
+
 def _bitmap_guard(keep_cond, exact_intersect):
     """CASE-guard the exact per-pair intersect by the lossy-bitmap keep
     condition: ``CASE WHEN keep THEN size(array_intersect(..)) ELSE -1``.
@@ -593,11 +626,13 @@ def _jaccard_group_cross(
         cross = (
             F.broadcast(a)
             .join(b, (F.col("ga") < F.col("gb")) & ratio_prune)
-            # the intersect size gets its own projection so the jaccard
-            # expression (which references it twice) evaluates it once
             .select("ga", "gb", "m_a", "m_b", "na", "nb", c.alias("c"))
+            # threshold filter in the single-c integer form BEFORE the
+            # ratio projection: the pushed-down join-condition copy then
+            # evaluates the intersect once per pair, not twice
+            # (_ratio_ge_int; survivors re-evaluate c for the output)
+            .filter(_jaccard_ge_int(JACCARD_THRESHOLD))
             .select("ga", "gb", "m_a", "m_b", jac)
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         )
     else:
         # over-budget fallback: the oracle's own token-postings
@@ -619,7 +654,8 @@ def _jaccard_group_cross(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         cross = (
-            shared.join(
+            shared.filter(_jaccard_ge_int(JACCARD_THRESHOLD))
+            .join(
                 groups.select(F.col("gid").alias("ga"), F.col("members").alias("m_a")),
                 "ga",
             )
@@ -628,7 +664,6 @@ def _jaccard_group_cross(
                 "gb",
             )
             .select("ga", "gb", "m_a", "m_b", jac)
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         )
     return groups, cross
 
@@ -1352,12 +1387,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(a, "ga")
         .join(b, "gb")
         .select("m_a", "m_b", "na", c.alias("c"))
+        # single-c integer form before the ratio projection — the
+        # pushed join-condition copy evaluates the intersect once per
+        # candidate, not twice (_ratio_ge_int)
+        .filter(_ratio_ge_int("c", F.col("na"), CONTAINMENT_THRESHOLD))
         .select(
             "m_a",
             "m_b",
             (F.col("c").cast("double") / F.col("na")).alias("containment"),
         )
-        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
     pairs = (
         cross.select(F.explode("m_a").alias("contained_id"), "m_b", "containment")
@@ -1931,6 +1969,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ga, "ga")
         .join(gb, "gb")
         .select("m_a", "m_b", "na", "nb", inter.alias("c"))
+        # single-c integer form before the ratio projection — the
+        # pushed join-condition copy evaluates the intersect once per
+        # candidate, not twice (_ratio_ge_int)
+        .filter(_jaccard_ge_int(JACCARD_THRESHOLD))
         .select(
             "m_a",
             "m_b",
@@ -1938,7 +1980,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     # expand group pairs back to doc pairs (output-bound work only)
     cross = (
@@ -2246,6 +2287,10 @@ def _minhash_verified_pairs(
         cand.join(sa, "da")
         .join(sb, "db")
         .select("da", "db", "na", "nb", inter.alias("cnt"))
+        # single-c integer form before the ratio projection — the
+        # pushed join-condition copy evaluates the intersect once per
+        # candidate, not twice (_ratio_ge_int)
+        .filter(_jaccard_ge_int(JACCARD_THRESHOLD, c="cnt"))
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
@@ -2253,7 +2298,6 @@ def _minhash_verified_pairs(
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         # no global output sort: the pair set is the query's largest
         # relation and the driver's comparison is order-insensitive —
         # same reasoning as dedup_minhash_lsh's unsorted output (the
@@ -3867,6 +3911,8 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "da")
         .join(sb, "db")
         .select("da", "db", "na", "nb", inter.alias("cnt"))
+        # single-c integer form — see _ratio_ge_int
+        .filter(_jaccard_ge_int(JACCARD_THRESHOLD, c="cnt"))
         .select(
             F.col("da").alias("batch_doc_id"),
             F.col("db").alias("corpus_doc_id"),
@@ -3874,5 +3920,4 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

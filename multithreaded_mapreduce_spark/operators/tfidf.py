@@ -332,13 +332,18 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gid").alias("gb"), F.col("toks_h").alias("tb"),
         F.col("members").alias("m_b"), F.col("n").alias("nb"),
     )
-    # intersect size in its own projection → evaluated once for the
-    # jaccard that references it twice
     c = F.size(F.array_intersect("ta", "tb"))
+    # threshold filter in the single-c integer form BEFORE the ratio
+    # projection (r11): the copy Catalyst pushes into the verify join's
+    # condition then evaluates the intersect once per candidate, not
+    # twice — see dedup._ratio_ge_int for the exactness argument
+    from .dedup import _jaccard_ge_int
+
     verified = (
         cand.join(F.broadcast(a), "ga")
         .join(F.broadcast(b), "gb")
         .select("m_a", "m_b", "na", "nb", c.alias("c"))
+        .filter(_jaccard_ge_int(JACCARD_THRESHOLD))
         .select(
             "m_a",
             "m_b",
@@ -346,7 +351,6 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     pairs = (
         verified.select(F.explode("m_a").alias("da"), "m_b", "jaccard")
