@@ -153,6 +153,83 @@ HEADLINE = (
 )
 
 
+#: the 10×-corpus sweep set: the r11 at-scale dedup target plus a
+#: linear reference query (kept to three so the stamp stays minutes,
+#: not the headline's scale)
+SCALE_SWEEP_QUERIES = ("dedup_components", "dedup_minhash_lsh", "wordcount")
+SCALE_SWEEP_RUNS = 2
+
+
+def _scale_sweep(spark, sf_dir: str, queries) -> dict:
+    """Min-of-N timings for SCALE_SWEEP_QUERIES at the deterministic
+    10× replica of ``sf_dir``, with MMR_SETMASK=off (the branch any
+    real-vocabulary corpus executes). The replica is derived input
+    data (scripts/gen_scale_data.py), generated once on disk and
+    reused; cold-run hygiene matches the headline loop."""
+    import subprocess
+
+    import multithreaded_mapreduce_spark.operators.dedup as _dd
+
+    # keyed by the benched corpus' basename so a replica generated from
+    # one SF can never be mistaken for another's (default sf0.1 →
+    # .scaledata/scale10x_sf0.1; the historical sf1 dir keeps serving
+    # manual probes)
+    scale_dir = os.environ.get(
+        "MMR_SCALE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".scaledata",
+            f"scale10x_{os.path.basename(os.path.normpath(sf_dir))}",
+        ),
+    )
+    gen_s = 0.0
+    marker = os.path.join(scale_dir, "embeddings.parquet")
+    if not os.path.exists(marker):
+        t0 = time.perf_counter()
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "gen_scale_data.py"),
+             sf_dir, scale_dir],
+            check=True, capture_output=True, timeout=600,
+        )
+        gen_s = round(time.perf_counter() - t0, 1)
+    saved = os.environ.get("MMR_SETMASK")
+    os.environ["MMR_SETMASK"] = "off"
+    try:
+        timings: dict[str, float] = {}
+        for name in SCALE_SWEEP_QUERIES:
+            runs = []
+            for _ in range(SCALE_SWEEP_RUNS):
+                release_tracked()
+                release_result_memos()
+                spark.catalog.clearCache()
+                _dd._SETMASK_DECISION_CACHE.clear()
+                t0 = time.perf_counter()
+                queries[name].builder(spark, scale_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+    finally:
+        if saved is None:
+            os.environ.pop("MMR_SETMASK", None)
+        else:
+            os.environ["MMR_SETMASK"] = saved
+        _dd._SETMASK_DECISION_CACHE.clear()
+        release_tracked()
+        release_result_memos()
+        spark.catalog.clearCache()
+    return {
+        "scale_dir": scale_dir,
+        "factor": 10,
+        "setmask": "off",
+        "runs_per_query": SCALE_SWEEP_RUNS,
+        "gen_seconds": gen_s,
+        "queries": timings,
+    }
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else -1.0
@@ -427,6 +504,23 @@ def main() -> None:
     }
     release_result_memos()
 
+    # 10×-corpus scale sweep (r11, VERDICT r10 task 8): sf0.1 can no
+    # longer measure parallelism or the at-scale dedup path (59/87
+    # core-ratios ≈ 1 in PERF_r10; the setmask engages on every local
+    # SF), so stamp a SMALL min-of-2 sweep at the deterministic 10×
+    # replica of the bench corpus (scripts/gen_scale_data.py — derived
+    # INPUT data, generated once on disk, never query results) with the
+    # exact-bitmask path disabled: that is the branch a real-vocabulary
+    # corpus executes, and the one the r11 lossy-bitmap prune targets.
+    # OUTSIDE the headline totals; any failure degrades to a skipped
+    # stamp, never a bench failure. MMR_BENCH_SCALE_SWEEP=off disables.
+    scale_sweep_stamp: dict = {"skipped": "off"}
+    if os.environ.get("MMR_BENCH_SCALE_SWEEP", "auto") != "off":
+        try:
+            scale_sweep_stamp = _scale_sweep(spark, sf_dir, queries)
+        except Exception as ex:  # noqa: BLE001 — informational stamp only
+            scale_sweep_stamp = {"skipped": repr(ex)[:200]}
+
     total = round(sum(timings.values()), 3)
     r3_set = HEADLINE[: HEADLINE.index("kmeans_lloyd")]
     r4_set = HEADLINE[: HEADLINE.index("pretraining_funnel_report")]
@@ -486,6 +580,9 @@ def main() -> None:
         # shared quality-gates memo: composite cold, agreement +
         # weighted-sample warm (r11)
         "quality_memo_decision": quality_memo_stamp,
+        # 10×-replica sweep with the setmask disabled — the at-scale
+        # dedup branch the r11 bitmap prune targets (r11)
+        "scale_sweep": scale_sweep_stamp,
         # md5-uniform eval-sample modulus for the ground-truth-bound
         # eval queries (k = 1 → identity; k > 1 → 1-in-k doc sample)
         "eval_sample_decision": dict(_dedup.LAST_EVAL_SAMPLE_DECISION),

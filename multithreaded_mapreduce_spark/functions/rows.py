@@ -32,6 +32,16 @@ def literal_rows_df(
     (bounded driver state: tens to a few thousand rows); every value
     is embedded in the plan as a typed literal."""
     st = StructType.fromDDL(schema)
+    rows = list(rows)
+    # loud failure past the documented envelope (ADVICE r10): a caller
+    # shipping an unbounded relation through plan literals would bloat
+    # the driver and every analyzer walk instead of erroring
+    if len(rows) > 10_000:
+        raise ValueError(
+            f"literal_rows_df got {len(rows)} rows; it embeds values as "
+            "plan literals and is bounded at 10k — use createDataFrame "
+            "or a real source for larger relations"
+        )
     structs = [
         F.struct(
             *[
