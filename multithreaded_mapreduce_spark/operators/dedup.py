@@ -475,8 +475,14 @@ def _ratio_ge_int(c_col: str, denom, threshold: float):
 
 
 def _jaccard_ge_int(threshold: float, c: str = "c", na: str = "na", nb: str = "nb"):
-    """q·c >= p·(na + nb − c) ⟺ jaccard >= p/q (see _ratio_ge_int)."""
-    return _ratio_ge_int(c, F.col(na) + F.col(nb) - F.col(c), threshold)
+    """c·(p+q) >= p·(na+nb) ⟺ q·c >= p·(na+nb−c) ⟺ jaccard >= p/q —
+    the rearranged form references c exactly ONCE (the union-size form
+    would smuggle a second reference back in); see _ratio_ge_int."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    p, q = fr.numerator, fr.denominator
+    return F.col(c) * F.lit(p + q) >= (F.col(na) + F.col(nb)) * F.lit(p)
 
 
 def _bitmap_guard(keep_cond, exact_intersect):
